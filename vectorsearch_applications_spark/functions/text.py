@@ -1,0 +1,47 @@
+"""Text scalar functions (SURVEY.md §2.9) — all JVM-side built-ins.
+
+Tokenization contract (FIXTURES.md determinism rules): ``lower`` + regexp
+split on ``\\W+`` + drop empties. This is the documented token model for the
+BM25 / dedup / text-analysis operators so a SQL oracle can reproduce TF/DF
+exactly. (The reference's BM25 tokenizer lives server-side in Weaviate —
+``src/database/weaviate_interface_v4.py:201-244`` only ships the query — so
+the token model is ours to define; we pick the simplest portable one.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regexp used on BOTH engines (Spark `split`, DuckDB `regexp_split_to_array`).
+TOKEN_PATTERN = r"\W+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """lower → split on \\W+ → drop empty strings. Returns array<string>.
+
+    Stays inside whole-stage codegen (no UDF): split + filter are
+    Catalyst expressions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punctuation token count (reference A6 ``get_token_count``,
+    ``src/llm/llm_utils.py:6-28`` — tiktoken there; the portable token model
+    here)."""
+    return F.size(tokenize(col))
+
+
+def stable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Engine-portable deterministic 32-bit-range hash as BIGINT.
+
+    ``conv(substr(md5(x), 1, 8), 16, 10)`` — reproducible in DuckDB as
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``. Used by MinHash/SimHash so
+    the dedup operators are oracle-checkable. md5 is a Catalyst built-in →
+    still codegen, no Python.
+    """
+    if seed is not None:
+        col = F.concat(col, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,54 @@
+"""Vector math over plain ``array<float|double>`` columns — no UDFs.
+
+Spark has no vector type for DataFrames; a float array is the right
+shuffle-friendly representation (SURVEY.md §1.1). Dot / cosine are
+higher-order-function expressions (``zip_with`` + ``aggregate``) that run
+JVM-side inside codegen — at 100 TB this keeps the kNN scoring scan in the
+JVM instead of round-tripping to Python.
+
+Reference semantics: embeddings are unit-norm MiniLM vectors, so cosine
+similarity == dot product and Weaviate's ``distance`` = 1 − cos
+(``src/database/weaviate_interface_v4.py:246-287``, SURVEY Q2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision, left-to-right (matches the DuckDB
+    oracle's list_dot_product to ~1e-12)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a: Column, b: Column, assume_normalized: bool = True) -> Column:
+    if assume_normalized:
+        return dot(a, b)
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_distance(a: Column, b: Column, assume_normalized: bool = True) -> Column:
+    """Weaviate-style distance = 1 − cosine (lower is better; the notebooks
+    flip it back with ``1 - distance``, nb4 cell 19)."""
+    return F.lit(1.0) - cosine_similarity(a, b, assume_normalized)
+
+
+def l2_normalize(arr: Column) -> Column:
+    """Unit-normalize once at index-build time so query-time cosine is a
+    plain dot product (cheapest possible inner loop at scale)."""
+    d = _as_double(arr)
+    norm = F.sqrt(
+        F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return F.transform(d, lambda x: x / norm)

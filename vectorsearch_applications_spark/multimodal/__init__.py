@@ -1,0 +1,3 @@
+from .binary import binary_metadata, decode_image_batches, frame_sample_plan
+
+__all__ = ["binary_metadata", "decode_image_batches", "frame_sample_plan"]

@@ -1,0 +1,21 @@
+from .bm25 import bm25_build_stats, bm25_search
+from .knn import knn_search, knn_search_crossjoin
+from .hybrid import hybrid_search, minmax_normalize
+from .rerank import rerank_overlap
+from .windows import expanded_content
+from .topk import topk_per_group, token_budget_truncate
+from .evaluation import retrieval_metrics
+
+__all__ = [
+    "bm25_build_stats",
+    "bm25_search",
+    "knn_search",
+    "knn_search_crossjoin",
+    "hybrid_search",
+    "minmax_normalize",
+    "rerank_overlap",
+    "expanded_content",
+    "topk_per_group",
+    "token_budget_truncate",
+    "retrieval_metrics",
+]

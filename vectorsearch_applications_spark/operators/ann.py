@@ -1,0 +1,131 @@
+"""Approximate nearest neighbor — the 100 TB physical strategy for Q2.
+
+Exact kNN (operators/knn.py) is the semantic definition; this module is the
+opt-in approximate path (SURVEY.md §4 "what needs custom Spark work" #1):
+
+IVF (inverted-file) bucketing with deterministic centroids:
+  1. pick C centroids deterministically (every ⌈n/C⌉-th vector by id — no
+     random init, so builds are reproducible; k-means refinement is an
+     optional extra pass with fixed seed);
+  2. assign every vector to its nearest centroid (one broadcast matmul
+     pass — the *index build*, persisted as a parquet table);
+  3. at query time probe only the ``nprobe`` nearest centroid buckets per
+     query — the scan touches n·nprobe/C of the corpus instead of all of it.
+
+Recall is measured against exact kNN (tests/test_ann.py) — the harness the
+SURVEY §7 phase-4 plan calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_distance
+from .knn import knn_search_crossjoin
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids, assignments).
+
+    centroids: (centroid_id, centroid) — deterministic stride sample.
+    assignments: (vec_id, centroid_id) — nearest-centroid partition map.
+    Persist both next to the collection; incremental appends only re-assign
+    the new rows.
+    """
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    w = Window.orderBy(F.asc("_id"))
+    centroids = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("centroid"))
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_centroids))
+        .select(
+            (F.col("_rn") / stride).cast("int").alias("centroid_id"), "centroid"
+        )
+    )
+    assign = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine_distance(F.col("_v"), F.col("centroid")))
+    )
+    ww = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    assignments = (
+        assign.withColumn("_rn", F.row_number().over(ww))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    return centroids, assignments
+
+
+def ivf_search(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest buckets per query, exact-rank within them."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine_distance(F.col("qv"), F.col("centroid")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    probes = (
+        probe.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id", "qv")
+    )
+    bucketed = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(assignments, "vec_id")
+    cand = bucketed.join(F.broadcast(probes), "centroid_id").withColumn(
+        "distance", cosine_distance(F.col("_v"), F.col("qv"))
+    )
+    ww = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(ww))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "distance")
+    )
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    **cols,
+) -> DataFrame:
+    """recall@k of IVF vs exact kNN, per query — the quality harness."""
+    exact = knn_search_crossjoin(corpus, queries, k=k, **cols)
+    centroids, assignments = ivf_build(corpus, **{
+        k_: v for k_, v in cols.items() if k_ in ("id_col", "vec_col")
+    }, n_centroids=n_centroids)
+    approx = ivf_search(
+        corpus, centroids, assignments, queries, k=k, nprobe=nprobe, **cols
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id").withColumn("_found", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.round(F.sum(F.coalesce("_found", F.lit(0))) / F.count("*"), 4).alias(
+            "recall_at_k"
+        )
+    )

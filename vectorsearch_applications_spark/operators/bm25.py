@@ -1,0 +1,118 @@
+"""BM25 keyword search as native DataFrame ops (SURVEY.md Q1).
+
+The reference delegates BM25 to the Weaviate server
+(``src/database/weaviate_interface_v4.py:201-244`` ships the query string;
+the server owns the inverted index). Here the engine owns it:
+
+- **index build** = postings + corpus-stats DataFrames (persist them as
+  parquet next to the collection for reuse — the "index_searchable" flag of
+  ``src/database/properties_template.py`` maps to "include in this build");
+- **query** = broadcast the (tiny) query-term table against the postings,
+  partial-aggregate per (query, doc), window top-k.
+
+Scoring: Lucene/ATIRE-style Okapi BM25 —
+``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (non-negative),
+``tf_norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))``, summed over the
+distinct query terms. k1=1.2, b=0.75 defaults match Lucene/Weaviate.
+
+Scale notes (100 TB): the postings build is one explode + two aggregations
+(shuffle on (id, term) then term). Query-time cost is proportional to the
+postings of the query terms only — the broadcast join prunes everything
+else; no full-corpus scan, no driver collect. Skewed (stopword-heavy)
+terms are bounded because scoring aggregates per (query_id, doc) with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def bm25_build_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the BM25 index tables from a corpus.
+
+    Returns ``(postings, term_stats, corpus_stats)``:
+      postings(doc_id, term, tf, dl)  — one row per (doc, distinct term)
+      term_stats(term, df)            — document frequency per term
+      corpus_stats(n_docs, avgdl)     — single row
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens")
+    )
+    exploded = toks.select(
+        "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
+    )
+    postings = exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    corpus_stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("tokens")).alias("avgdl")
+    )
+    return postings, term_stats, corpus_stats
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Top-``limit`` BM25 hits per query.
+
+    Output: (query_id, doc_id, rank, score) — rank 1-based, ties broken by
+    doc_id ascending so results are bit-deterministic (FIXTURES.md §6 shape).
+    """
+    postings, term_stats, corpus_stats = bm25_build_stats(docs, id_col, text_col)
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
+    )
+
+    # q_terms and term_stats are tiny next to postings: broadcast both so the
+    # postings table is filtered to query terms without shuffling it.
+    scored_terms = (
+        postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+
+    scores = scored_terms.groupBy("query_id", "doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "rank", "score")
+    )

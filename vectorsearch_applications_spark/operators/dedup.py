@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its only dedup is ``set()`` on guests /
+dict-key overwrite, SURVEY U2) — these are the scale extension the engine
+needs at 100 TB (BASELINE.json north star). All variants are deterministic
+and built from Catalyst expressions (md5 / explode / groupBy), so every one
+is DuckDB-oracle-checkable.
+
+Family:
+- exact:      md5(text) group — one shuffle on a 32-byte key.
+- minhash:    word-shingles → k seeded min-hashes → banded LSH buckets →
+              candidate pairs. Shuffle is on (band_id, band_hash); candidate
+              verification (true Jaccard) only touches pair texts.
+- simhash:    32-bit weighted fingerprint; equal fingerprints ⇒ near-dup
+              groups; hamming-ball search is a small band-join extension.
+- ngram-jaccard: exact pairwise Jaccard via shingle-join — the verifier for
+              minhash candidates (bounded subsets only; LSH is the scale path).
+- embedding-cosine: near-dup by vector similarity (pairs above threshold).
+
+Scale notes: the LSH design keeps everything linear in corpus size until
+the final candidate-pair join; band width r and band count control the
+precision/recall tradeoff (P(candidate) = 1-(1-j^r)^bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_hash64, tokenize
+from ..functions.vectors import cosine_similarity
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, min_doc_id)."""
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id")
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as array<string> (positional, space-joined).
+
+    Pure Catalyst: sequence + transform + element_at; returns [] for docs
+    shorter than n tokens.
+    """
+    toks = tokenize(text_col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash): k seeded min-hashes over word shingles.
+
+    h(s, seed) = stable 32-bit md5-prefix hash (functions/text.py) so the
+    signature is identical across engines.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    exploded = sh.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
+    )
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ).alias("seed")
+    return (
+        exploded.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h", stable_hash64(F.concat(F.col("shingle"), F.lit("#"), F.col("seed")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Bands: the k minhashes split into k/band_size bands; a band's key is the
+    md5 of its ordered minhash values; docs sharing (band_id, band_key)
+    become candidates. The self-join is on the band bucket — at scale this
+    is the only quadratic term and it is bounded per bucket.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.minhash.cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash): tf-weighted SimHash over tokens.
+
+    Per token t with frequency tf: hash h(t); bit j contributes +tf if set
+    else −tf; fingerprint bit j = 1 iff the sum is > 0.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("t"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", stable_hash64(F.col("term")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # bit test via floor(h / 2^bit) % 2 — portable arithmetic (pyspark's
+    # shiftleft/shiftright only take literal shift amounts, and the DuckDB
+    # oracle reproduces pow-based bit math exactly; h ≥ 0 so floor-div is safe)
+    bit_set = (
+        F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("bigint") % 2
+    ) == 1
+    contrib = tf.select("doc_id", "tf", "h", bit).withColumn(
+        "c", F.when(bit_set, F.col("tf")).otherwise(-F.col("tf"))
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets for pairs sharing at
+    least one shingle. Output (doc_a, doc_b, jaccard≥threshold).
+
+    Quadratic in the worst case — use on bounded subsets or as the verifier
+    behind minhash_lsh_pairs at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select(
+        "doc_id", F.size(F.array_distinct("sh")).alias("n_sh")
+    )
+    exploded = sh.select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of vectors with cosine ≥ threshold (doc_a < doc_b).
+
+    Brute-force O(n²) — correctness oracle for bounded subsets; the scale
+    path buckets by LSH/IVF (operators/ann.py) before the pair join.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    ).alias("a")
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    ).alias("b")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,70 @@
+"""Retrieval evaluation as one DataFrame job (SURVEY.md §3.2, O3 + A2-A4 + W3).
+
+The reference loops over 100 golden queries × 3 methods with a network call
+each (``src/evaluation/retrieval_evaluation.py:399-466``) and accumulates
+``raw_hits`` / ``mrr`` in Python. Batch re-expression: join the ranked hit
+lists to the golden (query → relevant_doc_id) table, then aggregate —
+
+    hit_rate = round(sum(hit) / n_queries, 2)      (calc_hit_rate_scores :490-501)
+    mrr      = round(sum(1/rank) / n_queries, 2)   (calc_mrr_scores     :503-514)
+
+Both rounded to 2dp exactly as the reference records them (BASELINE.md
+quality parity gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    hits: DataFrame,
+    golden: DataFrame,
+    method_col: str | None = "method",
+) -> DataFrame:
+    """hits: (query_id, doc_id, rank[, method]); golden: (query_id,
+    relevant_doc_id). Output per method: n_queries, raw_hits, hit_rate, mrr,
+    total_misses."""
+    group = [method_col] if method_col else []
+    base = golden.select("query_id", "relevant_doc_id")
+    if method_col:
+        # every golden query is evaluated under every method (reference
+        # evaluates all three search types over the full query set)
+        base = base.crossJoin(hits.select(method_col).distinct())
+    # left join so queries with zero hits still count toward n_queries
+    per_query = (
+        base.join(hits, [*group, "query_id"], "left")
+        .groupBy(*group, "query_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("doc_id") == F.col("relevant_doc_id"), F.col("rank")
+                )
+            ).alias("hit_rank")
+        )
+    )
+    return (
+        per_query.groupBy(*group)
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)
+            ).alias("raw_hits"),
+            F.round(
+                F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                2,
+            ).alias("hit_rate"),
+            F.round(
+                F.sum(
+                    F.coalesce(1.0 / F.col("hit_rank"), F.lit(0.0))
+                )
+                / F.count("*"),
+                2,
+            ).alias("mrr"),
+            F.sum(
+                F.when(F.col("hit_rank").isNull(), 1).otherwise(0)
+            ).alias("total_misses"),
+        )
+    )

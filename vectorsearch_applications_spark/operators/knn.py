@@ -1,0 +1,129 @@
+"""Exact cosine kNN over an embedding column (SURVEY.md Q2).
+
+The reference calls Weaviate's HNSW (``weaviate_interface_v4.py:246-287``,
+returns ``distance`` = 1 − cosine). Exact brute-force kNN is the semantic
+definition here (the oracle); the ANN path (IVF buckets, operators/ann.py)
+is an opt-in physical strategy that must agree with this on recall checks.
+
+Two physical strategies, identical results:
+
+- ``knn_search`` (default, the scale path): broadcast the query matrix,
+  compute per-partition partial top-k with one numpy (float64) matmul per
+  Arrow batch via ``mapInPandas``, then reduce partials with a final window.
+  Shuffle volume is O(partitions × queries × k) instead of O(rows × queries)
+  — at 1B vectors × 100 queries × k=10 that's thousands of rows, not 1e11.
+
+- ``knn_search_crossjoin``: pure Catalyst expressions (zip_with/aggregate
+  dot product + window). Clearer plan, JVM-only, fine when corpus × queries
+  is small; the window shuffles all scored rows.
+
+Both order by (distance asc, id asc) — fully deterministic for hash-match.
+An optional ``pre_filter`` implements Weaviate's *filtered* vector search
+semantics (filter BEFORE ranking — SURVEY P6), which Catalyst pushes into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_distance
+
+
+def knn_search_crossjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Reference-shaped exact kNN as one declarative plan."""
+    if pre_filter is not None:
+        corpus = corpus.filter(pre_filter)
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias("_q"),
+                )
+            )
+        )
+        .withColumn("distance", cosine_distance(F.col("_v"), F.col("_q")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "distance")
+    )
+
+
+def knn_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Partial-top-k exact kNN (the 100 TB plan). See module docstring."""
+    if pre_filter is not None:
+        corpus = corpus.filter(pre_filter)
+
+    # Queries are collected once to the driver and broadcast inside the UDF
+    # closure — this is the "broadcast small dim" side, typically ≤ a few
+    # thousand rows; the corpus side streams through executors untouched.
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    import numpy as np
+
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)  # Q × D
+
+    slim = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # executor-side
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["_v"].to_list(), dtype=np.float64)  # B × D
+            sims = mat @ q_mat.T  # B × Q, float64 so the oracle agrees
+            dists = 1.0 - sims
+            ids = pdf["vec_id"].to_numpy()
+            kk = min(k, len(ids))
+            out_q, out_id, out_d = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = dists[:, j]
+                # partial top-k with (distance, vec_id) tie-break
+                order = np.lexsort((ids, col))[:kk]
+                out_q.extend([qid] * len(order))
+                out_id.extend(ids[order])
+                out_d.extend(col[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_id, "distance": out_d}
+            )
+
+    partials = slim.mapInPandas(
+        partial_topk, schema="query_id long, vec_id long, distance double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "distance")
+    )

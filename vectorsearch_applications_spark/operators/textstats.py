@@ -1,0 +1,100 @@
+"""Text-analysis operators (training-data pipeline extension).
+
+Language-ID (marker-ratio heuristic), quality scoring, token counting and
+document fingerprinting over a text column. All pure Catalyst expressions
+(no Python in the hot path), deterministic, oracle-checkable.
+
+The quality-score recipe follows the reference's only quality gate — the
+length filter in ``_clean_validate_data``
+(``src/evaluation/retrieval_evaluation.py:64-83``, drop chunks shorter than
+the corpus median) — generalized to the standard heuristic bundle used for
+pre-training corpus filtering (length, lexical diversity, stopword ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# Tiny embedded stopword/marker lists: deterministic, engine-portable.
+EN_MARKERS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+
+
+def text_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc text statistics:
+
+    (doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+     type_token_ratio, stopword_ratio, quality_score, lang_pred)
+
+    quality_score ∈ [0,1]: mean of three gates — length in [20,2000] chars,
+    type-token ratio, 1 − |stopword_ratio − 0.4|/0.6 (prose-likeness).
+    lang_pred: 'en' when the EN marker ratio ≥ 0.05 else 'other' (n-gram
+    marker heuristic; swap the marker table per language at deployment).
+    """
+    toks = tokenize(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        toks.alias("_t"),
+    )
+    n_tokens = F.size("_t")
+    n_distinct = F.size(F.array_distinct("_t"))
+    stop_hits = F.size(
+        F.filter(F.col("_t"), lambda x: x.isin(EN_MARKERS))
+    )
+    avg_tok = _ratio(
+        F.aggregate(
+            F.transform(F.col("_t"), lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        n_tokens,
+    )
+    ttr = _ratio(n_distinct, n_tokens)
+    stop_ratio = _ratio(stop_hits, n_tokens)
+    len_gate = F.when(
+        (F.col("n_chars") >= 20) & (F.col("n_chars") <= 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    prose_gate = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(stop_ratio - F.lit(0.4)) / F.lit(0.6)
+    )
+    quality = (len_gate + ttr + prose_gate) / F.lit(3.0)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+        F.when(stop_ratio >= 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, exact_md5, bag_md5): byte-exact and order-insensitive
+    (sorted distinct token bag) fingerprints — the second catches
+    shuffled/reordered duplicates that exact hashing misses."""
+    toks = tokenize(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("exact_md5"),
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))).alias(
+            "bag_md5"
+        ),
+    )

@@ -1,0 +1,950 @@
+"""Query registry: every SURVEY.md §2 operator wired to the driver contract.
+
+Each entry pairs a Spark implementation (a ``(spark, sf_dir) -> DataFrame``
+callable built from the package's operators) with an equivalent ANSI-SQL
+oracle string that DuckDB runs on the same parquet tables. Column names and
+rounding are aligned on both sides (the driver's compare hashes values after
+sorting columns by name).
+
+Determinism rules applied everywhere:
+- every ranking breaks ties on the id column;
+- every float output is rounded (4dp scores, 2dp money sums) on both sides;
+- every integer output is BIGINT on both sides (DuckDB sums are cast);
+- timestamps never appear raw in outputs (bucketed to BIGINT epochs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.io import load_table
+from .functions.text import tokenize
+from .operators.bm25 import bm25_search
+from .operators.knn import knn_search
+from .operators.hybrid import hybrid_search
+from .operators.rerank import rerank_overlap
+from .operators.windows import expanded_content, sessionize
+from .operators.topk import token_budget_truncate
+from .operators.evaluation import retrieval_metrics
+from .operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .operators.textstats import fingerprints, text_profile
+from .operators.ann import ann_recall_at_k
+from .plans.router import route_queries
+from .plans.text2sql import run_guarded_sql
+from .streaming.events import tumbling_counts_batch
+from .multimodal.binary import binary_metadata
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures: canned search queries (engine-side literal table)
+# ---------------------------------------------------------------------------
+
+SEARCH_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join order"),
+    (1, "window agg stream"),
+    (2, "fast filter merge sort"),
+]
+
+
+def _search_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(SEARCH_QUERIES, "query_id long, query string")
+
+
+_SQ_VALUES = ", ".join(f"({i}::BIGINT, '{t}')" for i, t in SEARCH_QUERIES)
+
+# DuckDB tokenizer identical to functions.text.tokenize
+def _toks(col: str) -> str:
+    return (
+        "list_filter(regexp_split_to_array(lower(" + col + "), '\\W+'), x -> x <> '')"
+    )
+
+
+# Shared BM25 CTE prefix (docs/corpus/postings/termstats over `documents`).
+_BM25_PREFIX = f"""
+docs AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+  GROUP BY doc_id, dl, term
+),
+termstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+"""
+
+# BM25 scoring CTEs given a `queries(query_id, query)` CTE. k1=1.2 b=0.75.
+_BM25_SCORING = """
+qterms AS (
+  SELECT query_id,
+         unnest(list_distinct({qtoks})) AS term
+  FROM queries
+),
+kw_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))) AS score
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN termstats t USING (term)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+kw_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM kw_scored
+)
+""".format(qtoks=_toks("query"))
+
+
+# ---------------------------------------------------------------------------
+# Search operators (SURVEY Q1-Q4, T1-T3, O2, W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING}
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM kw_ranked WHERE rnk <= 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_search(docs, _search_queries_df(spark), limit=10)
+    return hits.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@register(
+    "knn_search",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], q.qv) AS distance
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, rnk::BIGINT AS rank, round(distance, 4) AS distance
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_search(emb, queries, k=10)
+    return hits.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("distance", 4).alias("distance"),
+    )
+
+
+_HYBRID_ALPHA = 0.25
+_HYBRID_N = 50
+
+
+@register(
+    "hybrid_search",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= {_HYBRID_N}),
+kw_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END * {1.0 - _HYBRID_ALPHA} AS kw_score
+  FROM kw_top
+),
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+  FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
+),
+vec_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+  FROM embeddings e CROSS JOIN qv
+),
+vec_ranked AS (
+  SELECT query_id, doc_id, 1.0 - distance AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM vec_scored
+),
+vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= {_HYBRID_N}),
+vec_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(sim) OVER (PARTITION BY query_id) = min(sim) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                   / (max(sim) OVER (PARTITION BY query_id) - min(sim) OVER (PARTITION BY query_id))
+         END * {_HYBRID_ALPHA} AS vec_score
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(k.query_id, v.query_id) AS query_id,
+         coalesce(k.doc_id, v.doc_id) AS doc_id,
+         coalesce(k.kw_score, 0) + coalesce(v.vec_score, 0) AS score
+  FROM kw_norm k FULL OUTER JOIN vec_norm v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+),
+final_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM final_ranked WHERE rnk <= 10
+""",
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _search_queries_df(spark)
+    kw = bm25_search(docs, qdf, limit=_HYBRID_N)
+    qv = emb.filter(F.col("vec_id") < len(SEARCH_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = knn_search(emb, qv, k=_HYBRID_N).withColumnRenamed("vec_id", "doc_id")
+    fused = hybrid_search(kw, vec, alpha=_HYBRID_ALPHA, limit=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@register(
+    "rerank_overlap",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rnk <= 20),
+qt AS (SELECT query_id, {_toks('query')} AS qtoks FROM queries),
+pairs AS (
+  SELECT c.query_id, c.doc_id,
+         CASE WHEN len(list_distinct(list_concat(q.qtoks, d.toks))) = 0 THEN 0.0
+              ELSE len(list_filter(list_distinct(q.qtoks), x -> list_contains(d.toks, x)))::DOUBLE
+                   / len(list_distinct(list_concat(q.qtoks, d.toks)))::DOUBLE
+         END AS cross_score
+  FROM cand c
+  JOIN qt q ON q.query_id = c.query_id
+  JOIN docs d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, cross_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY cross_score DESC, doc_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(cross_score, 4) AS cross_score
+FROM ranked WHERE rnk <= 5
+""",
+)
+def q_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = _search_queries_df(spark)
+    cand = bm25_search(docs, qdf, limit=20)
+    out = rerank_overlap(cand, qdf, docs, top_k=5)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cross_score", 4).alias("cross_score"),
+    )
+
+
+@register(
+    "token_budget_prune",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+top10 AS (SELECT query_id, doc_id, rnk FROM kw_ranked WHERE rnk <= 10),
+wt AS (
+  SELECT t.query_id, t.doc_id, t.rnk,
+         sum(len(d.toks)) OVER (PARTITION BY t.query_id ORDER BY t.rnk
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM top10 t JOIN docs d USING (doc_id)
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank
+FROM wt WHERE cum <= 150 OR rnk = 1
+""",
+)
+def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = _search_queries_df(spark)
+    hits = bm25_search(docs, qdf, limit=10).join(
+        docs.select(F.col("doc_id"), F.size(tokenize("text")).alias("n_tokens")),
+        "doc_id",
+    )
+    pruned = token_budget_truncate(hits, "n_tokens", budget=150)
+    return pruned.select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "eval_retrieval_metrics",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (
+  SELECT doc_id::BIGINT AS query_id, array_to_string(toks[1:5], ' ') AS query
+  FROM docs WHERE doc_id < 20
+),
+{_BM25_SCORING},
+top10 AS (SELECT query_id, doc_id, rnk FROM kw_ranked WHERE rnk <= 10),
+per_query AS (
+  SELECT q.query_id,
+         min(CASE WHEN t.doc_id = q.query_id THEN t.rnk END) AS hit_rank
+  FROM queries q LEFT JOIN top10 t ON t.query_id = q.query_id
+  GROUP BY q.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS raw_hits,
+       round(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 2) AS hit_rate,
+       round(sum(coalesce(1.0 / hit_rank, 0.0)) / count(*), 2) AS mrr,
+       CAST(sum(CASE WHEN hit_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_misses
+FROM per_query
+""",
+)
+def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("bigint").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
+    )
+    hits = bm25_search(docs, qdf, limit=10)
+    golden = qdf.select(
+        "query_id", F.col("query_id").alias("relevant_doc_id")
+    )
+    return retrieval_metrics(hits, golden, method_col=None)
+
+
+# ---------------------------------------------------------------------------
+# Window / ordered operators (SURVEY W1-W4, T3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expanded_content",
+    """
+SELECT doc_id, source,
+       concat_ws(' ',
+                 lag(text)  OVER (PARTITION BY source ORDER BY doc_id),
+                 text,
+                 lead(text) OVER (PARTITION BY source ORDER BY doc_id)) AS expanded_content
+FROM documents
+""",
+)
+def q_expanded_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = expanded_content(
+        docs, partition_col="source", order_col="doc_id", text_col="text", window_size=1
+    )
+    return out.select("doc_id", "source", "expanded_content")
+
+
+@register(
+    "events_sessionize",
+    """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS es FROM events
+),
+m AS (
+  SELECT user_id, event_id, value, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_tumbling_agg",
+    """
+SELECT epoch_ns(ts) // 1000000000 // 600 AS bucket, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts_batch(ev, window_seconds=600)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
+FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    withdups = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return exact_duplicates(withdups)
+
+
+_MINHASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 300
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM pos
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(shingle || '#' || seed), 1, 8))::BIGINT) AS minhash
+  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4) AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN CAST(floor(h / pow(2, bit)) AS BIGINT) % 2 = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, bits=32)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 100
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.3
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = embedding_neardup_pairs(emb, threshold=0.35)
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline extension)
+# ---------------------------------------------------------------------------
+
+_EN_MARKERS_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on']"
+
+
+@register(
+    "text_profile",
+    f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS n_chars, {_toks('text')} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_EN_MARKERS_SQL}, x))) AS stop_hits,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS avg_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS ttr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains({_EN_MARKERS_SQL}, x)))::DOUBLE / len(toks) END AS stop_ratio
+  FROM d
+)
+SELECT doc_id, n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       n_distinct::BIGINT AS n_distinct_tokens,
+       round(avg_tok, 4) AS avg_token_len,
+       round(ttr, 4) AS type_token_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round((CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END
+              + ttr
+              + 1.0 - least(1.0, abs(stop_ratio - 0.4) / 0.6)) / 3.0, 4) AS quality_score,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+FROM m
+""",
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs)
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id, md5(text) AS exact_md5,
+       md5(array_to_string(list_sort(list_distinct({_toks('text')})), ' ')) AS bag_md5
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs)
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha256
+FROM documents
+""",
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    meta = binary_metadata(docs)
+    return meta.select(
+        "media_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), "sha256"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.2, 2.4, 2.5, 2.7, 2.8; Text2SQL Q6/S9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_customer_revenue",
+    """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # dims broadcast; the only shuffle is the lineitem⋈orders join + final agg
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "window_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT AS rn,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+""",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "order_priority_pivot",
+    """
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_specified,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def n(p, alias):
+        return F.sum(
+            F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+        ).cast("bigint").alias(alias)
+
+    return o.groupBy("o_orderstatus").agg(
+        n("1-URGENT", "n_urgent"),
+        n("2-HIGH", "n_high"),
+        n("3-MEDIUM", "n_medium"),
+        n("4-NOT SPECIFIED", "n_not_specified"),
+        n("5-LOW", "n_low"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "segment_stats",
+    """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
+    "part_like_filter",
+    """
+SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS retail_price
+FROM part WHERE p_name LIKE '%widget%' AND p_size > 10
+""",
+)
+def q_part_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%") & (F.col("p_size") > 10)
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.round("p_retailprice", 2).alias("retail_price"),
+    )
+
+
+@register(
+    "segment_priority_union",
+    """
+SELECT DISTINCT c_mktsegment AS label FROM customer
+UNION
+SELECT DISTINCT o_orderpriority AS label FROM orders
+""",
+)
+def q_segment_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("label")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("label")
+    )
+    return c.unionByName(o).distinct()
+
+
+_TEXT2SQL_EXAMPLE = (
+    "SELECT c_mktsegment, count(*) AS n_customers FROM customer "
+    "GROUP BY c_mktsegment HAVING count(*) > 1 ORDER BY n_customers DESC"
+)
+
+
+@register("text2sql_guarded", _TEXT2SQL_EXAMPLE)
+def q_text2sql_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6/S9: an (LLM-generated-shaped) SQL string executed through the
+    SELECT-only guard against registered temp views — the sqlite replacement
+    surface of notebooks/8-Text2SQL_Week3.ipynb cell 51."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return run_guarded_sql(spark, _TEXT2SQL_EXAMPLE)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: approximate / driver-side control)
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_recall")  # approximate op: graded rows-only by design
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_recall_at_k(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
+@register("route_classify")  # centroid classifier: rows-only (hash-embed)
+def q_route_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routes = spark.createDataFrame(
+        [
+            ("sql", "how many episodes are there"),
+            ("sql", "which guest has the most views"),
+            ("sql", "count the rows in the table"),
+            ("search", "what did they say about sleep"),
+            ("search", "tell me about morning light exposure"),
+            ("search", "benefits of cold showers"),
+        ],
+        "route string, utterance string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, "how many views does the top episode have"),
+            (1, "what was discussed about dopamine"),
+            (2, "count guests with more than one episode"),
+        ],
+        "query_id long, query string",
+    )
+    return route_queries(queries, routes)
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)

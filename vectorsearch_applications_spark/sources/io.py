@@ -1,0 +1,77 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S9).
+
+The reference's FileIO (``src/preprocessor/preprocessing.py:15-109``) loads
+parquet/JSON into ``list[dict]`` rows; here every dataset stays a columnar
+DataFrame so Catalyst gets predicate pushdown and column pruning on the scan.
+
+Collection DDL (reference ``src/database/weaviate_interface_v4.py:77-168``)
+maps to plain parquet tables + ``spark.catalog`` temp views — the
+"index_filterable" property flag is just a column (Catalyst pushes the
+predicate); "index_searchable" columns feed the BM25 stats build
+(operators/bm25.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated test tables (TESTDATA.md).
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Plain ``spark.read.parquet`` so filters and
+    projections written on top of it reach the scan (PushedFilters/ReadSchema).
+
+    The events table carries TIMESTAMP(NANOS) which Spark rejects by default;
+    the legacy conf reads it as BIGINT nanoseconds (exact — downstream
+    operators use integer DIV arithmetic on it).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the spark.sql surface
+    (reference S9: sqlite ``huberman`` table → Spark temp view)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_collection(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Persist a collection table (reference S3/S5 ``save_as_parquet`` +
+    ``batch_index_data``). At 100 TB this is the indexing path: partition by
+    a coarse key so per-collection scans prune directories."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def load_collection(spark: SparkSession, path: str) -> DataFrame:
+    """Reference S4 ``load_parquet`` — arrays stay native ArrayType, no
+    ndarray→list coercion needed."""
+    return spark.read.parquet(path)
