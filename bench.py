@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is materialized with the noop sink so the full plan executes
+(a bare .count() would let Catalyst prune the computed columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectorsearch_applications_spark.queries import get_queries  # noqa: E402
+from vectorsearch_applications_spark.session import get_spark  # noqa: E402
+
+# Representative slice of the engine: search trio + rerank + eval, relational
+# joins/aggs/windows, events, and the full-corpus dedup/text-analysis ops.
+HEADLINE = [
+    "bm25_search",
+    "knn_search",
+    "hybrid_search",
+    "rerank_overlap",
+    "eval_retrieval_metrics",
+    "tpch_q1_pricing_summary",
+    "nation_revenue",
+    "top_customer_revenue",
+    "window_running_total",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "text_profile",
+    "doc_fingerprints",
+    "expanded_content",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    queries = get_queries()
+
+    # untimed warmup: JVM/codegen/Arrow spin-up should not be attributed to
+    # the first query in the list
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for warm in ("knn_search", "bm25_search"):
+        queries[warm](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

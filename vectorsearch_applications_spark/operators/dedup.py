@@ -65,17 +65,22 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, seed, minhash): k seeded min-hashes over word shingles.
+    """(doc_id, mh0 … mh{k-1}): k seeded min-hashes over word shingles.
 
     h(s, seed) = stable 32-bit md5-prefix hash (functions/text.py) so the
     signature is identical across engines.
+
+    Wide shape on purpose: one aggregation with k min() columns over the
+    exploded-shingle table instead of exploding shingles × seeds — the
+    shuffle carries |shingles| rows, not |shingles|·k (the k-fold blowup
+    was the dominant cost at bench scale and would be fatal at 100 TB).
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
@@ -83,16 +88,29 @@ def minhash_signatures(
     exploded = sh.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
     )
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    ).alias("seed")
-    return (
-        exploded.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h", stable_hash64(F.concat(F.col("shingle"), F.lit("#"), F.col("seed")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(
+            stable_hash64(F.concat(F.col("shingle"), F.lit(f"#{s}")))
+        ).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-format view (doc_id, seed, minhash) of the wide signature."""
+    wide = minhash_signatures_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{s}") for s in range(num_hashes)])
+        ).alias("seed", "minhash"),
     )
 
 
@@ -111,21 +129,23 @@ def minhash_lsh_pairs(
     become candidates. The self-join is on the band bucket — at scale this
     is the only quadratic term and it is bounded per bucket.
     """
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s.minhash.cast("string"),
-                    ),
-                )
-            ).alias("band_key")
+    n_bands = num_hashes // band_size
+    sig = minhash_signatures_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * band_size + j}").cast("string")
+                    for j in range(band_size)
+                ],
+            )
         )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -161,28 +181,27 @@ def simhash_fingerprints(
         .agg(F.count("*").alias("tf"))
         .withColumn("h", stable_hash64(F.col("term")))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # bit test via floor(h / 2^bit) % 2 — portable arithmetic (pyspark's
-    # shiftleft/shiftright only take literal shift amounts, and the DuckDB
-    # oracle reproduces pow-based bit math exactly; h ≥ 0 so floor-div is safe)
-    bit_set = (
-        F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("bigint") % 2
-    ) == 1
-    contrib = tf.select("doc_id", "tf", "h", bit).withColumn(
-        "c", F.when(bit_set, F.col("tf")).otherwise(-F.col("tf"))
-    )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .withColumn(
-            "bitval",
+    # One wide aggregation with `bits` sum columns instead of exploding
+    # (doc, term) × bits — the shuffle carries |terms| rows, not |terms|·bits.
+    # Bit test via floor(h / 2^j) % 2: portable arithmetic (h ≥ 0), exactly
+    # reproducible in the SQL oracle.
+    bit_sums = [
+        F.sum(
             F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
-    )
+                (F.floor(F.col("h") / F.lit(float(2**j))).cast("bigint") % 2) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        bitval = F.when(
+            F.col(f"_s{j}") > 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = bitval if fingerprint is None else fingerprint + bitval
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -137,7 +137,7 @@ FROM kw_ranked WHERE rnk <= 10
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hits = bm25_search(docs, _search_queries_df(spark), limit=10)
+    hits = bm25_search(docs, _search_queries_df(spark), limit=10, cache_key=sf_dir)
     return hits.select(
         "query_id",
         "doc_id",
@@ -244,7 +244,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _search_queries_df(spark)
-    kw = bm25_search(docs, qdf, limit=_HYBRID_N)
+    kw = bm25_search(docs, qdf, limit=_HYBRID_N, cache_key=sf_dir)
     qv = emb.filter(F.col("vec_id") < len(SEARCH_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -288,7 +288,7 @@ FROM ranked WHERE rnk <= 5
 def q_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    cand = bm25_search(docs, qdf, limit=20)
+    cand = bm25_search(docs, qdf, limit=20, cache_key=sf_dir)
     out = rerank_overlap(cand, qdf, docs, top_k=5)
     return out.select(
         "query_id",
@@ -318,7 +318,7 @@ FROM wt WHERE cum <= 150 OR rnk = 1
 def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    hits = bm25_search(docs, qdf, limit=10).join(
+    hits = bm25_search(docs, qdf, limit=10, cache_key=sf_dir).join(
         docs.select(F.col("doc_id"), F.size(tokenize("text")).alias("n_tokens")),
         "doc_id",
     )
@@ -358,7 +358,7 @@ def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("query_id"),
         F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
     )
-    hits = bm25_search(docs, qdf, limit=10)
+    hits = bm25_search(docs, qdf, limit=10, cache_key=sf_dir)
     golden = qdf.select(
         "query_id", F.col("query_id").alias("relevant_doc_id")
     )
