@@ -1,0 +1,68 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, UDF
+signatures are real; the decode itself is the documented deterministic stub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.multimodal.binary import (
+    binary_metadata,
+    decode_image_batches,
+    frame_sample_plan,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG\r\nfakebytes" * 10), "image", 0, 0, 0),
+        (2, bytearray(b"RIFFfakewav" * 40), "audio", 0, 0, 5000),
+        (3, bytearray(b"\x00\x00\x01\xbafakempeg" * 99), "video", 0, 0, 3500),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, width int, "
+        "height int, duration_ms bigint",
+    )
+
+
+def test_binary_metadata(spark):
+    meta = {r["media_id"]: r for r in binary_metadata(_media(spark)).collect()}
+    assert meta[1]["n_bytes"] == 150  # 15-byte pattern × 10
+    assert meta[1]["magic_hex"] == "89504E47"  # PNG magic
+    assert len(meta[2]["sha256"]) == 64
+    assert meta[2]["sha256"] != meta[3]["sha256"]
+
+
+def test_decode_stub_batches(spark):
+    out = (
+        _media(spark)
+        .select("media_id", "payload")
+        .mapInPandas(
+            decode_image_batches(),
+            schema="media_id bigint, width int, height int, ok boolean",
+        )
+        .collect()
+    )
+    assert len(out) == 3
+    assert all(r["ok"] and r["width"] >= 16 and r["height"] >= 16 for r in out)
+    # deterministic: same bytes → same fake dimensions
+    again = (
+        _media(spark)
+        .select("media_id", "payload")
+        .mapInPandas(
+            decode_image_batches(),
+            schema="media_id bigint, width int, height int, ok boolean",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_plan(spark):
+    frames = frame_sample_plan(_media(spark), every_ms=1000).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(per[2]) == [0, 1000, 2000, 3000, 4000]
+    assert sorted(per[3]) == [0, 1000, 2000, 3000]
+    assert sorted(per[1]) == [0]  # zero duration → single frame at 0

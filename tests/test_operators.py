@@ -1,0 +1,240 @@
+"""Unit tests for operator semantics the SQL oracle can't grade directly:
+edge cases, UDF plumbing, ANN recall, guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.functions.embed import (
+    hash_embed_col,
+    model_embed_factory,
+)
+from vectorsearch_applications_spark.operators.ann import ann_recall_at_k
+from vectorsearch_applications_spark.operators.chunking import chunk_tokens
+from vectorsearch_applications_spark.operators.hybrid import minmax_normalize
+from vectorsearch_applications_spark.operators.knn import (
+    knn_search,
+    knn_search_crossjoin,
+)
+from vectorsearch_applications_spark.operators.rerank import rerank_overlap
+from vectorsearch_applications_spark.operators.topk import token_budget_truncate
+from vectorsearch_applications_spark.operators.windows import expanded_content
+from vectorsearch_applications_spark.plans.text2sql import (
+    SqlGuardError,
+    validate_select_only,
+)
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_chunk_tokens_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(33))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, chunk_size=16, overlap=0).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # 33 tokens → 16+16+1
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_index"])] == [16, 16, 1]
+    assert by_doc[1][0]["chunk_id"] == "1_0"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc  # empty text → no chunks
+
+
+def test_chunk_tokens_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_tokens(docs, chunk_size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    # stride 2, n_chunks = ceil((10-2)/2) = 4: windows [0:4],[2:6],[4:8],[6:10]
+    # (a 5th window at 8 would be fully contained in [6:10])
+    assert [r["chunk_text"].split()[0] for r in out] == ["t0", "t2", "t4", "t6"]
+    assert out[-1]["n_chunk_tokens"] == 4
+    assert out[-1]["chunk_text"] == "t6 t7 t8 t9"
+
+
+def test_hash_embed_deterministic_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join order"), (2, "spark join order"), (3, "other text")],
+        "id long, text string",
+    )
+    rows = df.select("id", hash_embed_col(F.col("text"), dim=16).alias("e")).collect()
+    e = {r["id"]: r["e"] for r in rows}
+    assert e[1] == e[2] != e[3]
+    assert len(e[1]) == 16
+    assert abs(sum(x * x for x in e[1]) - 1.0) < 1e-9
+
+
+def test_model_embed_plumbing_with_fake_encoder(spark):
+    """The mapInPandas embedding path with an injected deterministic encoder
+    (the model lib is absent in this container — the plumbing is the test)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    fake = lambda texts: [[float(len(t) % 7), 1.0, 0.0] for t in texts]  # noqa: E731
+    out = docs.select("doc_id", "text").mapInPandas(
+        model_embed_factory(encode_fn=fake, dim=3),
+        schema="doc_id long, text string, embedding array<float>",
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["embedding"]) == 3 and r["embedding"][1] == 1.0 for r in rows)
+
+
+def test_knn_partial_equals_crossjoin(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_search(emb, q, k=7).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_search_crossjoin(emb, q, k=7).collect()
+    }
+    assert a == b and len(a) == 21
+
+
+def test_knn_pre_filter_semantics(spark):
+    """Filtered vector search filters BEFORE ranking (Weaviate pre-filter,
+    SURVEY P6) — excluded ids must never appear, and ranks stay dense."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_search(emb, q, k=5, pre_filter=F.col("label") == 3).collect()
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame(
+                [(r["vec_id"],) for r in hits], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert labels == {3}
+    assert [r["rank"] for r in sorted(hits, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_ann_recall_reasonable(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rec = ann_recall_at_k(emb, q, k=10, n_centroids=16, nprobe=16)
+    vals = [r["recall_at_k"] for r in rec.collect()]
+    assert len(vals) == 5
+    # probing every bucket == exhaustive search
+    assert all(v == 1.0 for v in vals)
+    partial = ann_recall_at_k(emb, q, k=10, n_centroids=16, nprobe=4)
+    pvals = [r["recall_at_k"] for r in partial.collect()]
+    assert all(0.0 <= v <= 1.0 for v in pvals)
+    assert sum(pvals) / len(pvals) >= 0.5  # 1/4 of buckets ≥ half the hits
+
+
+def test_minmax_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 1.0), (2, 3.0)], "g long, v double"
+    )
+    out = {
+        (r["g"], r["v"]): r["norm"]
+        for r in minmax_normalize(df, "v", ["g"]).collect()
+    }
+    assert out[(1, 5.0)] == 0.0  # constant group → 0 (sklearn behavior)
+    assert out[(2, 1.0)] == 0.0 and out[(2, 3.0)] == 1.0
+
+
+def test_token_budget_keeps_first_hit(spark):
+    hits = spark.createDataFrame(
+        [(1, 10, 1, 500), (1, 11, 2, 10), (2, 20, 1, 50), (2, 21, 2, 60)],
+        "query_id long, doc_id long, rank long, n_tokens long",
+    )
+    kept = {
+        (r["query_id"], r["doc_id"])
+        for r in token_budget_truncate(hits, "n_tokens", budget=100).collect()
+    }
+    # query 1: rank-1 overflows the budget alone but is always kept; rank 2
+    # is dropped because the cumulative sum is already over budget
+    assert (1, 10) in kept and (1, 11) not in kept
+    # query 2: 50 fits, 50+60=110 overflows → rank 2 dropped
+    assert (2, 20) in kept and (2, 21) not in kept
+
+
+def test_rerank_threshold_fallback(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "zzz yyy")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "qqq www")], "query_id long, query string"
+    )
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 1), (1, 3)], "query_id long, doc_id long"
+    )
+    out = rerank_overlap(
+        hits, queries, docs, top_k=1, threshold=0.5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 0: doc 2 (jaccard 1.0) and doc 1 (2/3) pass the 0.5 threshold;
+    # doc 3 (0) does not
+    assert {r["doc_id"] for r in by_q[0]} == {1, 2}
+    # query 1: nothing passes → fallback to top_k=1
+    assert len(by_q[1]) == 1
+
+
+def test_expanded_content_window2(spark):
+    docs = spark.createDataFrame(
+        [("v", i, f"c{i}") for i in range(5)],
+        "video_id string, chunk_index long, content string",
+    )
+    out = {
+        r["chunk_index"]: r["expanded_content"]
+        for r in expanded_content(docs, window_size=2).collect()
+    }
+    assert out[0] == "c0 c1 c2"
+    assert out[2] == "c0 c1 c2 c3 c4"
+    assert out[4] == "c2 c3 c4"
+
+
+def test_sql_guard():
+    assert validate_select_only("SELECT 1").startswith("SELECT")
+    with pytest.raises(SqlGuardError):
+        validate_select_only("DELETE FROM t")
+    with pytest.raises(SqlGuardError):
+        validate_select_only("SELECT 1; SELECT 2")
+    with pytest.raises(SqlGuardError):
+        validate_select_only("WITH a AS (SELECT 1) DROP TABLE t")
+    # comments are stripped, not executable
+    assert "drop" not in validate_select_only(
+        "SELECT 1 -- drop table t"
+    ).lower()
+
+
+def test_cosine_math(spark):
+    from vectorsearch_applications_spark.functions.vectors import (
+        cosine_similarity,
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        cosine_similarity(
+            l2_normalize(F.col("a")), l2_normalize(F.col("b"))
+        ).alias("c")
+    ).collect()
+    assert abs(rows[0]["c"] - 1.0) < 1e-12
+    assert abs(rows[1]["c"]) < 1e-12

@@ -1,0 +1,99 @@
+"""Streaming ops (SURVEY §2.11): the streaming twin must agree with the
+batch operator on the same input; watermark/session plumbing must run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.sources.io import load_table
+from vectorsearch_applications_spark.streaming.events import (
+    stream_static_search_join,
+    streaming_tumbling_counts,
+    tumbling_counts_batch,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _events_ts(spark):
+    """Events with a proper TimestampType column (streaming needs real
+    timestamps for watermarks; the parquet stores ns-as-long)."""
+    from vectorsearch_applications_spark.functions.time import to_timestamp_col
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    return ev.withColumn("ts", to_timestamp_col(ev, "ts"))
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "events_ts")
+    _events_ts(spark).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    schema = static.schema
+
+    stream_df = streaming_tumbling_counts(spark, src, schema, window_seconds=600)
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts_batch(static, 600)
+        .select("bucket", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_static_join(spark, tmp_path):
+    queries = spark.createDataFrame(
+        [(0, "q zero"), (1, "q one")], "query_id long, query string"
+    )
+    src = str(tmp_path / "qstream")
+    queries.write.mode("overwrite").parquet(src)
+    static_hits = spark.createDataFrame(
+        [(0, 101, 1), (0, 102, 2), (1, 103, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    joined = stream_static_search_join(stream, static_hits)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM join_out").collect()
+    assert len(rows) == 3
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == {
+        (0, 101),
+        (0, 102),
+        (1, 103),
+    }
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        # user 1: gap exactly 1800 (same session), then 1801 (new session)
+        (1, 0, 1_000_000_000_000_000_000, 1.0),
+        (1, 1, 1_000_000_000_000_000_000 + 1800 * 10**9, 1.0),
+        (1, 2, 1_000_000_000_000_000_000 + 3601 * 10**9 + 10**9, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    )
+    from vectorsearch_applications_spark.operators.windows import sessionize
+
+    out = {r["event_id"]: r["session_id"] for r in sessionize(ev).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 1

@@ -942,6 +942,223 @@ def q_route_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_queries(queries, routes)
 
 
+# ---------------------------------------------------------------------------
+# Chunking / prompt assembly / corpus stats (SURVEY F1, F8, A5-A6, P7, W2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 100
+),
+n AS (
+  SELECT doc_id, toks,
+         CAST(ceil(greatest(len(toks), 0)::DOUBLE / 16) AS INT) AS n_chunks
+  FROM d
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM n
+)
+SELECT doc_id, i::BIGINT AS chunk_index,
+       doc_id::VARCHAR || '_' || i AS chunk_id,
+       array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk_text,
+       len(toks[i*16+1 : i*16+16])::BIGINT AS n_chunk_tokens
+FROM pos
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_tokens(docs, chunk_size=16, overlap=0)
+
+
+@register(
+    "prompt_assembly",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+top3 AS (SELECT query_id, doc_id, rnk FROM kw_ranked WHERE rnk <= 3),
+ctx AS (
+  SELECT t.query_id, count(*) AS n_context,
+         string_agg(x.text, ' | ' ORDER BY t.rnk) AS ctx
+  FROM top3 t JOIN documents x USING (doc_id)
+  GROUP BY t.query_id
+)
+SELECT c.query_id, c.n_context,
+       'Question: ' || q.query || ' Context: ' || c.ctx AS prompt
+FROM ctx c JOIN queries q ON q.query_id = c.query_id
+""",
+)
+def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prompts import assemble_prompts
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = _search_queries_df(spark)
+    hits = bm25_search(docs, qdf, limit=3, cache_key=sf_dir)
+    return assemble_prompts(hits, docs, qdf)
+
+
+@register(
+    "corpus_token_stats",
+    f"""
+WITH d AS (SELECT {_toks('text')} AS toks FROM documents)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       round(avg(len(toks)), 4) AS avg_doc_tokens,
+       CAST(min(len(toks)) AS BIGINT) AS min_doc_tokens,
+       CAST(max(len(toks)) AS BIGINT) AS max_doc_tokens
+FROM d
+""",
+)
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    return docs.select(n.alias("_n")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("_n"), 4).alias("avg_doc_tokens"),
+        F.min("_n").cast("bigint").alias("min_doc_tokens"),
+        F.max("_n").cast("bigint").alias("max_doc_tokens"),
+    )
+
+
+@register(
+    "quality_length_filter",
+    """
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE n_chars > (SELECT avg(n_chars) FROM documents)
+GROUP BY lang
+""",
+)
+def q_quality_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: corpus-statistic length threshold (reference _clean_validate_data
+    drops chunks under the corpus median; avg here for engine-portable
+    determinism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = docs.agg(F.avg("n_chars").alias("_avg"))
+    return (
+        docs.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_chars") > F.col("_avg"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "grouped_content_hash",
+    """
+SELECT source, count(*) AS n_docs,
+       md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_hash
+FROM documents GROUP BY source
+""",
+)
+def q_grouped_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ordered per-group collect (reference groupby_episode preserves
+    chunk order per video)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.text,
+                ),
+            )
+        ).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational breadth (rollup, semi-join, TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "customers_with_big_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
