@@ -1159,6 +1159,150 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic text embedding → semantic search (SURVEY Q2/Q7 + F2) and the
+# multi-method evaluation job (§3.2)
+# ---------------------------------------------------------------------------
+
+# hash_embed_col reproduced in SQL: dim d = Σ_tokens ((md5hash(t#d) % 1000)
+# − 499.5)/500, then L2-normalized. {src} must provide (eid, toks).
+_EMBED_SQL = """
+{name}_tok AS (SELECT eid, unnest(toks) AS t FROM {src}),
+{name}_raw AS (
+  SELECT eid, d,
+         sum(((('0x' || substr(md5(t || '#' || d), 1, 8))::BIGINT % 1000) - 499.5) / 500.0) AS v
+  FROM {name}_tok CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) AS d) dims
+  GROUP BY eid, d
+),
+{name}_norm AS (SELECT eid, sqrt(sum(v * v)) AS n FROM {name}_raw GROUP BY eid),
+{name}_emb AS (
+  SELECT r.eid, r.d, r.v / m.n AS v FROM {name}_raw r JOIN {name}_norm m USING (eid)
+)
+"""
+
+_EMBED_DIM = 16
+
+
+@register(
+    "semantic_text_search",
+    f"""
+WITH queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+qsrc AS (SELECT query_id AS eid, {_toks('query')} AS toks FROM queries),
+{_EMBED_SQL.format(name='q', src='qsrc', dmax=_EMBED_DIM - 1)},
+dsrc AS (SELECT doc_id AS eid, {_toks('text')} AS toks FROM documents WHERE doc_id < 1000),
+{_EMBED_SQL.format(name='d', src='dsrc', dmax=_EMBED_DIM - 1)},
+sims AS (
+  SELECT q.eid AS query_id, e.eid AS doc_id, 1.0 - sum(q.v * e.v) AS distance
+  FROM q_emb q JOIN d_emb e USING (d)
+  GROUP BY q.eid, e.eid
+),
+ranked AS (
+  SELECT query_id, doc_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(distance, 4) AS distance
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → deterministic hash embedding → exact cosine kNN, end to end in
+    one declarative plan (the reference's §3.1 steps 2-3 with the
+    deterministic encoder; swap model_embed_factory in deployment)."""
+    from .functions.embed import hash_embed_col
+    from .operators.knn import knn_search_crossjoin
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    demb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed_col(F.col("text"), _EMBED_DIM).alias("embedding"),
+    )
+    qemb = _search_queries_df(spark).select(
+        "query_id", hash_embed_col(F.col("query"), _EMBED_DIM).alias("query_vec")
+    )
+    hits = knn_search_crossjoin(demb, qemb, k=10)
+    return hits.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("distance", 4).alias("distance"),
+    )
+
+
+@register(
+    "eval_multi_method",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (
+  SELECT doc_id::BIGINT AS query_id, array_to_string(toks[1:5], ' ') AS query
+  FROM docs WHERE doc_id < 20
+),
+{_BM25_SCORING},
+kw_hits AS (
+  SELECT 'kw' AS method, query_id, doc_id, rnk FROM kw_ranked WHERE rnk <= 10
+),
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+  FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
+),
+vec_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+  FROM embeddings e CROSS JOIN qv
+),
+vec_hits AS (
+  SELECT 'vector' AS method, query_id, doc_id, rnk
+  FROM (SELECT query_id, doc_id, distance,
+               row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+        FROM vec_scored)
+  WHERE rnk <= 10
+),
+hits AS (SELECT * FROM kw_hits UNION ALL SELECT * FROM vec_hits),
+per_query AS (
+  SELECT m.method, q.query_id,
+         min(CASE WHEN h.doc_id = q.query_id THEN h.rnk END) AS hit_rank
+  FROM queries q
+  CROSS JOIN (SELECT DISTINCT method FROM hits) m
+  LEFT JOIN hits h ON h.query_id = q.query_id AND h.method = m.method
+  GROUP BY m.method, q.query_id
+)
+SELECT method,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS raw_hits,
+       round(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 2) AS hit_rate,
+       round(sum(coalesce(1.0 / hit_rank, 0.0)) / count(*), 2) AS mrr,
+       CAST(sum(CASE WHEN hit_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_misses
+FROM per_query
+GROUP BY method
+""",
+)
+def q_eval_multi_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 as ONE job: all golden queries × {{kw, vector}} methods evaluated
+    in a single plan (the reference loops 100×3 network calls)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("bigint").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
+    )
+    kw = bm25_search(docs, qdf, limit=10, cache_key=sf_dir).withColumn(
+        "method", F.lit("kw")
+    )
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = (
+        knn_search(emb, qv, k=10)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("method", F.lit("vector"))
+    )
+    hits = kw.select("method", "query_id", "doc_id", "rank").unionByName(
+        vec.select("method", "query_id", "doc_id", "rank")
+    )
+    golden = qdf.select("query_id", F.col("query_id").alias("relevant_doc_id"))
+    return retrieval_metrics(hits, golden, method_col="method")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -75,6 +75,67 @@ def streaming_tumbling_counts(
     )
 
 
+def sliding_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    window_seconds: int = 600,
+    slide_seconds: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts with late-data handling — each event
+    lands in window/slide overlapping windows; the watermark bounds state."""
+    stream = (
+        spark.readStream.schema(schema).parquet(events_path)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(
+            F.window(F.col("ts"), f"{window_seconds} seconds", f"{slide_seconds} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("double").cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def user_running_totals_stateful(
+    spark: SparkSession, events_path: str, schema
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total maintained in explicit state across
+    micro-batches (the §2.11 'custom stateful operator' slot).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_static_search_join(
     query_stream: DataFrame, static_hits: DataFrame
 ) -> DataFrame:
