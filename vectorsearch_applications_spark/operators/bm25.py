@@ -90,6 +90,33 @@ def bm25_build_stats(
     return postings, term_stats, corpus_stats
 
 
+def bm25_merge_stats(
+    a: tuple[DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental index maintenance (SURVEY §7 hard part 3): merge the
+    stats of two disjoint corpus slices without re-tokenizing either.
+
+    postings concatenate (doc sets are disjoint); term df's add; corpus
+    stats merge as weighted averages. On append at 100 TB: build stats for
+    the new partition only, merge, rewrite the (tiny) term/corpus tables
+    and append the postings partition.
+    """
+    pa, ta, ca = a
+    pb, tb, cb = b
+    postings = pa.unionByName(pb)
+    term_stats = (
+        ta.unionByName(tb).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    merged = ca.unionByName(cb).agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")
+        ).alias("avgdl"),
+    )
+    return postings, term_stats, merged
+
+
 def bm25_search(
     docs: DataFrame,
     queries: DataFrame,

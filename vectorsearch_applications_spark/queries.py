@@ -1303,6 +1303,151 @@ def q_eval_multi_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(hits, golden, method_col="method")
 
 
+# ---------------------------------------------------------------------------
+# QA-pair generation (F4, stubbed generator), train/val split (F9),
+# scalar-function family (§2.9: JSON / regex / time formatting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa_generation",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 50
+),
+n AS (
+  SELECT doc_id, toks,
+         CAST(ceil(greatest(len(toks), 0)::DOUBLE / 16) AS INT) AS n_chunks
+  FROM d
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM n
+),
+chunks AS (
+  SELECT doc_id::VARCHAR || '_' || i AS anchor_id,
+         toks[i*16+1 : i*16+16] AS ct
+  FROM pos
+),
+cand AS (
+  SELECT anchor_id,
+         'what is discussed regarding ' || array_to_string(ct[1:3], ' ') AS question,
+         array_to_string(ct, ' ') AS answer,
+         len(ct) AS n_toks
+  FROM chunks
+),
+filtered AS (
+  SELECT * FROM cand
+  WHERE n_toks >= 8
+    AND NOT regexp_matches(question, 'transcript|episode|excerpt')
+),
+dedup AS (
+  SELECT question, min(anchor_id) AS anchor_id, min(answer) AS answer
+  FROM filtered GROUP BY question
+)
+SELECT anchor_id, question, answer
+FROM dedup ORDER BY anchor_id LIMIT 50
+""",
+)
+def q_qa_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 oversample→validate→dedup→limit with the deterministic stub
+    generator (the LLM generator of retrieval_evaluation.py:151-233 drops in
+    as a mapInPandas stage; the surrounding plan — quality filter P7, regex
+    validation P8, key dedup U2, budget limit — is the engine's job)."""
+    from .operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_tokens(docs, chunk_size=16)
+    cand = chunks.select(
+        F.col("chunk_id").alias("anchor_id"),
+        F.concat(
+            F.lit("what is discussed regarding "),
+            F.concat_ws(" ", F.slice(F.split("chunk_text", " "), 1, 3)),
+        ).alias("question"),
+        F.col("chunk_text").alias("answer"),
+        F.col("n_chunk_tokens").alias("n_toks"),
+    )
+    filtered = cand.filter(
+        (F.col("n_toks") >= 8)
+        & ~F.col("question").rlike("transcript|episode|excerpt")
+    )
+    dedup = filtered.groupBy("question").agg(
+        F.min("anchor_id").alias("anchor_id"), F.min("answer").alias("answer")
+    )
+    return dedup.select("anchor_id", "question", "answer").orderBy(
+        "anchor_id"
+    ).limit(50)
+
+
+@register(
+    "train_val_split",
+    """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT % 10 < 8
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs
+FROM s GROUP BY split, lang
+""",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: deterministic hash split (the reference shuffles with a seed,
+    retrieval_evaluation.py:85-109; a hash split gives the same property —
+    stable, size-proportioned — and is reproducible across engines)."""
+    from .functions.text import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#split"))
+        )
+        % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "event_scalar_functions",
+    """
+SELECT event_id,
+       lpad((CAST(floor(value) AS BIGINT) // 3600)::VARCHAR, 2, '0') || ':' ||
+       lpad(((CAST(floor(value) AS BIGINT) % 3600) // 60)::VARCHAR, 2, '0') || ':' ||
+       lpad((CAST(floor(value) AS BIGINT) % 60)::VARCHAR, 2, '0') AS duration_hms,
+       json_extract_string(props, '$.k')::BIGINT AS k_val,
+       upper(event_type) AS type_upper,
+       regexp_extract(event_type, '^(.)', 1) AS type_initial
+FROM events WHERE event_id < 2000
+""",
+)
+def q_event_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar family: seconds→HH:MM:SS by integer arithmetic (the
+    reference's convert_seconds, src/app_functions.py:41-45, session-TZ-free),
+    JSON field extraction (stream_json_chat key checks), regex, case."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    secs = F.floor(F.col("value")).cast("bigint")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return ev.select(
+        "event_id",
+        F.concat(
+            two(F.floor(secs / 3600).cast("bigint")),
+            F.lit(":"),
+            two(F.floor((secs % 3600) / 60).cast("bigint")),
+            F.lit(":"),
+            two(secs % 60),
+        ).alias("duration_hms"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.upper("event_type").alias("type_upper"),
+        F.regexp_extract("event_type", "^(.)", 1).alias("type_initial"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

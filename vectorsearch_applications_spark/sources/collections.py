@@ -1,0 +1,121 @@
+"""Collection lifecycle (SURVEY.md S5, S6, S8, §3.4).
+
+The reference manages Weaviate collections (create/list/describe/delete —
+``src/database/weaviate_interface_v4.py:77-168``) and batch-indexes rows
+with a 1%-error budget plus failed-row capture (``batch_index_data``
+:409-492). A collection here is a parquet table + registered view; indexing
+is a validated write with a quarantine table instead of a driver-side error
+list; "point update" (the reference's per-uuid property backfill,
+``notebooks/7-…ipynb`` cell 22) is a declarative column recompute +
+overwrite — no row-wise RPCs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IndexingError(RuntimeError):
+    pass
+
+
+def create_collection(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Create (overwrite) a collection table. Hyphens rejected like the
+    reference's name check (``weaviate_interface_v4.py:392-393``)."""
+    if "-" in name:
+        raise ValueError("collection names may not contain hyphens")
+    path = os.path.join(root, name)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def list_collections(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def describe_collection(spark: SparkSession, root: str, name: str) -> list[tuple[str, str]]:
+    df = spark.read.parquet(os.path.join(root, name))
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def drop_collection(root: str, name: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(root, name))
+
+
+def batch_index(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    not_null_cols: list[str],
+    error_threshold: float = 0.01,
+) -> dict[str, int]:
+    """Validated batch indexing with an error budget.
+
+    Rows failing the not-null checks land in ``<name>__quarantine``; if the
+    failure fraction exceeds ``error_threshold`` the indexing aborts (the
+    reference aborts above 1% — ``weaviate_interface_v4.py:459,469-472``).
+    Returns {"indexed": n_good, "quarantined": n_bad}.
+    """
+    ok = F.lit(True)
+    for c in not_null_cols:
+        ok = ok & F.col(c).isNotNull()
+    flagged = df.withColumn("_ok", ok)
+    # single pass over the input: cache, count both sides
+    flagged = flagged.persist()
+    try:
+        n_total = flagged.count()
+        n_bad = flagged.filter(~F.col("_ok")).count()
+        if n_total > 0 and n_bad / n_total > error_threshold:
+            raise IndexingError(
+                f"{n_bad}/{n_total} rows failed validation "
+                f"(> {error_threshold:.0%} budget); indexing aborted"
+            )
+        good = flagged.filter(F.col("_ok")).drop("_ok")
+        bad = flagged.filter(~F.col("_ok")).drop("_ok")
+        create_collection(spark, root, name, good)
+        if n_bad:
+            create_collection(spark, root, f"{name}__quarantine", bad)
+        return {"indexed": n_total - n_bad, "quarantined": n_bad}
+    finally:
+        flagged.unpersist()
+
+
+def update_collection(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    transform,
+) -> None:
+    """Point update, Spark-style: recompute columns for every row and
+    overwrite the collection (S8). ``transform(df) -> DataFrame`` — a
+    window-derived column (like the expanded_content backfill) needs the
+    whole frame, not just an expression."""
+    path = os.path.join(root, name)
+    df = spark.read.parquet(path)
+    updated = transform(df)
+    # parquet cannot overwrite in place while reading; stage then swap
+    tmp = path + "__staging"
+    updated.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
