@@ -1,0 +1,76 @@
+"""JSON source/sink (S1/S2), zip join (O7), register_views (S9 surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.sources.io import (
+    load_table,
+    register_views,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_json_roundtrip(spark, tmp_path):
+    """S1/S2: golden-dataset-style JSON artifacts via spark.read/write.json."""
+    golden = spark.createDataFrame(
+        [("q1", "what is x", "d_3", "x is y"), ("q2", "what is z", "d_7", "z is w")],
+        "query_id string, query string, relevant_doc_id string, answer string",
+    )
+    path = str(tmp_path / "golden.json")
+    golden.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r["query_id"] for r in back.collect()} == {"q1", "q2"}
+
+
+def test_multiline_json_source(spark, tmp_path):
+    """The reference corpus is one big indented JSON array
+    (FileIO.load_json) — multiLine mode reads it as rows."""
+    import json
+
+    p = tmp_path / "corpus.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"video_id": "abc", "title": "t1", "content": "hello world"},
+                {"video_id": "def", "title": "t2", "content": "more text"},
+            ],
+            indent=2,
+        )
+    )
+    df = spark.read.option("multiLine", "true").json(str(p))
+    assert df.count() == 2
+    assert set(df.columns) == {"video_id", "title", "content"}
+
+
+def test_zip_join_positional(spark):
+    """O7: positional zip of parallel lists (the reference zips metadata
+    lists for SQL insert) → posexplode + join on position."""
+    guests = spark.createDataFrame(
+        [(["alice", "bob", "carol"],)], "xs array<string>"
+    ).select(F.posexplode("xs").alias("pos", "guest"))
+    views = spark.createDataFrame(
+        [([100, 250, 50],)], "xs array<int>"
+    ).select(F.posexplode("xs").alias("pos", "view_count"))
+    joined = guests.join(views, "pos").orderBy("pos").collect()
+    assert [(r["guest"], r["view_count"]) for r in joined] == [
+        ("alice", 100),
+        ("bob", 250),
+        ("carol", 50),
+    ]
+
+
+def test_register_views_sql_surface(spark):
+    register_views(spark, SF_SMOKE)
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n == load_table(spark, SF_SMOKE, "documents").count()
+    joined = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 3
+        """
+    ).collect()
+    assert len(joined) == 3

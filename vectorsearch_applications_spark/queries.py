@@ -1448,6 +1448,81 @@ def q_event_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "generation_eval_polling",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 50
+),
+qa AS (
+  SELECT doc_id,
+         list_distinct(toks[1:5]) AS q_toks,
+         list_distinct(toks) AS a_toks
+  FROM d
+),
+scored AS (
+  SELECT doc_id, 'overlap_judge' AS model,
+         CASE WHEN len(list_distinct(list_concat(q_toks, a_toks))) = 0 THEN 0.0
+              ELSE len(list_filter(q_toks, x -> list_contains(a_toks, x)))::DOUBLE
+                   / len(list_distinct(list_concat(q_toks, a_toks)))::DOUBLE END AS score
+  FROM qa
+  UNION ALL
+  SELECT doc_id, 'length_judge' AS model,
+         least(1.0, len(a_toks)::DOUBLE / 30.0) AS score
+  FROM qa
+),
+per_model AS (
+  SELECT model, round(avg(score), 4) AS mean_score, count(*) AS n_cases
+  FROM scored GROUP BY model
+)
+SELECT model, mean_score, n_cases,
+       round((SELECT avg(mean_score) FROM per_model), 4) AS overall_mean
+FROM per_model
+""",
+)
+def q_generation_eval_polling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/A7: multi-judge generation eval with deterministic stub judges
+    (the reference polls several LLM judges and means the means —
+    llm_evaluation.py:332-363; judges here are pluggable scorers, the
+    mean-of-means aggregation shape is the engine op)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    qa = docs.select(
+        "doc_id",
+        F.array_distinct(F.slice(tokenize("text"), 1, 5)).alias("q_toks"),
+        F.array_distinct(tokenize("text")).alias("a_toks"),
+    )
+    union = F.size(F.array_union("q_toks", "a_toks"))
+    overlap = qa.select(
+        "doc_id",
+        F.lit("overlap_judge").alias("model"),
+        F.when(union == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.array_intersect("q_toks", "a_toks")).cast("double")
+            / union.cast("double")
+        )
+        .alias("score"),
+    )
+    length = qa.select(
+        "doc_id",
+        F.lit("length_judge").alias("model"),
+        F.least(
+            F.lit(1.0), F.size("a_toks").cast("double") / F.lit(30.0)
+        ).alias("score"),
+    )
+    per_model = (
+        overlap.unionByName(length)
+        .groupBy("model")
+        .agg(
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.count("*").alias("n_cases"),
+        )
+    )
+    overall = per_model.agg(
+        F.round(F.avg("mean_score"), 4).alias("overall_mean")
+    )
+    return per_model.crossJoin(F.broadcast(overall))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
