@@ -1,0 +1,101 @@
+"""Property-based invariants (hypothesis) for the custom operators —
+randomized corpora checked against pure-Python reference implementations."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from vectorsearch_applications_spark.operators.chunking import chunk_tokens
+from vectorsearch_applications_spark.operators.dedup import simhash_fingerprints
+from vectorsearch_applications_spark.operators.hybrid import minmax_normalize
+
+WORDS = ["spark", "join", "agg", "x1", "batch", "the", "merge", "key", "row"]
+
+texts = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(max_examples=5, deadline=None)
+
+
+def _tok(s: str) -> list[str]:
+    return [t for t in re.split(r"\W+", s.lower()) if t]
+
+
+@SETTINGS
+@given(texts, st.integers(1, 8), st.integers(0, 3))
+def test_chunking_partitions_tokens(spark, corpus, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    rows = chunk_tokens(df, chunk_size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = size - overlap
+    for i, text in enumerate(corpus):
+        toks = _tok(text)
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        if not toks:
+            assert got == []
+            continue
+        # chunk_index contiguous from 0
+        assert [r["chunk_index"] for r in got] == list(range(len(got)))
+        # every chunk reproduces the token window; all ≤ size tokens
+        for j, r in enumerate(got):
+            window = toks[j * stride : j * stride + size]
+            assert r["chunk_text"].split(" ") == window
+            assert r["n_chunk_tokens"] == len(window) <= size
+        # with overlap=0 chunks exactly partition the token list
+        if overlap == 0:
+            flat = [t for r in got for t in r["chunk_text"].split(" ")]
+            assert flat == toks
+        # every token is covered by at least one chunk
+        covered = len(got[-1]["chunk_text"].split(" ")) + (len(got) - 1) * stride
+        assert covered >= len(toks)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_minmax_bounds_and_order(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g long, v double"
+    )
+    out = minmax_normalize(df, "v", ["g"]).collect()
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["v"], r["norm"]))
+    for g, pairs in by_group.items():
+        for v, n in pairs:
+            assert -1e-12 <= n <= 1.0 + 1e-12
+        # monotone: larger value → larger-or-equal norm
+        pairs.sort()
+        norms = [n for _, n in pairs]
+        assert all(a <= b + 1e-12 for a, b in zip(norms, norms[1:]))
+
+
+@SETTINGS
+@given(st.lists(st.sampled_from(WORDS), min_size=1, max_size=30))
+def test_simhash_order_invariant(spark, tokens):
+    """SimHash is a bag-of-words fingerprint: permuting tokens must not
+    change it; changing the multiset must be able to."""
+    a = " ".join(tokens)
+    b = " ".join(reversed(tokens))
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2**32

@@ -1,0 +1,96 @@
+"""Plan-level scale evidence: pushdown, broadcast, bucketed Exchange-free
+joins, salted aggregation correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.operators.skew import (
+    bucket_table,
+    salted_aggregate,
+)
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    plan = _plan(docs)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    # column pruning: lang/source/n_chars must not be read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    n = load_table(spark, SF_SMOKE, "nation")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_SMOKE, "orders")
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        bucket_table(o, "b_orders", "o_orderkey", 4)
+        bucket_table(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            "o_orderkey",
+            4,
+        )
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == l.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    salted = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        n_salts=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    s = {r["event_type"]: r for r in salted.collect()}
+    p = {r["event_type"]: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k]["n"] == p[k]["n"]
+        assert abs(s[k]["total"] - p[k]["total"]) < 1e-6
+        assert s[k]["vmin"] == p[k]["vmin"] and s[k]["vmax"] == p[k]["vmax"]
+
+
+def test_global_topk_uses_take_ordered(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    top = o.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(top)  # no full sort

@@ -48,9 +48,15 @@ def chunk_tokens(
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_size")
     toks = tokenize(text_col)
-    n_chunks = F.ceil(
-        F.greatest(F.size(toks) - overlap, F.lit(0)) / F.lit(stride)
-    ).cast("int")
+    # windows needed to cover n tokens: 1 + ceil((n − size)/stride), min 1
+    # for any non-empty doc (equals ceil(n/size) when overlap = 0, which is
+    # the form the SQL oracles use)
+    n_chunks = F.when(F.size(toks) == 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.size(toks) - chunk_size, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
     # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not [] —
     # zero-token docs must produce zero chunks
     chunks = F.when(n_chunks <= 0, F.array().cast("array<array<string>>")).otherwise(
