@@ -37,9 +37,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "text_profile",
     "doc_fingerprints",
     "expanded_content",
+    "semantic_text_search",
+    "eval_multi_method",
+    "rag_pipeline_eval",
+    "chunk_documents",
 ]
 
 
@@ -49,11 +54,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = get_queries()
 
-    # untimed warmup: JVM/codegen/Arrow spin-up should not be attributed to
-    # the first query in the list
+    # Steady-state measurement: one untimed warmup pass compiles/JITs every
+    # query's generated code (one-time costs that would otherwise dominate a
+    # single-shot run and vanish on any long-lived cluster), then the timed
+    # pass measures actual execution.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for warm in ("knn_search", "bm25_search"):
-        queries[warm](spark, sf_dir).write.format("noop").mode(
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
 

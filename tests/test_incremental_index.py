@@ -1,0 +1,95 @@
+"""Streaming incremental indexing (SURVEY §2.11 design target): new docs
+arrive on a stream → chunk + embed in foreachBatch → append to the
+collection; BM25 stats maintained incrementally and proven equal to a full
+rebuild over everything indexed so far."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.functions.embed import hash_embed_col
+from vectorsearch_applications_spark.operators.bm25 import (
+    bm25_build_stats,
+    bm25_merge_stats,
+)
+from vectorsearch_applications_spark.operators.chunking import chunk_tokens
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_ingest_appends_collection(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "incoming")
+    sink = str(tmp_path / "collection")
+
+    # batch 1 lands before the stream starts; batch 2 arrives mid-stream
+    docs.filter(F.col("doc_id") < 30).write.parquet(src + "/b1")
+    docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)).write.parquet(
+        src + "/b2"
+    )
+
+    def index_batch(batch_df, epoch_id):
+        chunks = chunk_tokens(batch_df, chunk_size=16).withColumn(
+            "content_embedding", hash_embed_col(F.col("chunk_text"), 8)
+        )
+        chunks.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    indexed = spark.read.parquet(sink)
+    expect = chunk_tokens(
+        docs.filter(F.col("doc_id") < 60), chunk_size=16
+    ).count()
+    assert indexed.count() == expect
+    assert dict(indexed.dtypes)["content_embedding"] == "array<double>"
+    # idempotent restart: no new files → no new rows
+    q2 = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == expect
+
+
+def test_incremental_stats_track_stream(spark):
+    """Append slices one at a time, merging stats; the merged result must
+    equal a cold rebuild over the union at every step."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    slices = [
+        docs.filter(F.col("doc_id") < 20),
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70)),
+    ]
+    state = bm25_build_stats(slices[0])
+    indexed = slices[0]
+    for s in slices[1:]:
+        state = bm25_merge_stats(state, bm25_build_stats(s))
+        indexed = indexed.unionByName(s)
+        full = bm25_build_stats(indexed)
+        got_terms = {
+            (r["term"], r["df"]) for r in state[1].collect()
+        }
+        want_terms = {
+            (r["term"], r["df"]) for r in full[1].collect()
+        }
+        assert got_terms == want_terms
+        g, w = state[2].collect()[0], full[2].collect()[0]
+        assert g["n_docs"] == w["n_docs"]
+        assert abs(g["avgdl"] - w["avgdl"]) < 1e-9

@@ -26,29 +26,112 @@ from .text import stable_hash64, tokenize
 from .vectors import l2_normalize
 
 
-def hash_embed_col(text: Column, dim: int = 16) -> Column:
-    """Deterministic unit-norm embedding of a text column.
+def _dim_contrib(token: Column, d) -> Column:
+    """Per-token contribution to dimension d: one byte of md5(token),
+    centered and scaled — ((hex byte d of md5) − 127.5)/128. One md5 per
+    token serves all 16 dims (2 hex chars each), engine-portable
+    (DuckDB: ('0x' || substr(md5(t), 2d+1, 2))::BIGINT)."""
+    if isinstance(d, int):
+        start = 2 * d + 1
+        sub = F.substring(F.md5(token), start, 2)
+    else:  # lambda variable dimension index
+        sub = F.md5(token).substr(d * 2 + 1, F.lit(2))
+    return (F.conv(sub, 16, 10).cast("double") - 127.5) / 128.0
 
-    dim_d(text) = Σ_tokens ((md5-hash(token#d) mod 1000) − 499.5)/500,
-    then L2-normalized. Zero-token texts embed to the zero vector.
+
+def hash_embed_col(text: Column, dim: int = 16) -> Column:
+    """Deterministic unit-norm embedding of a text column (dim ≤ 16).
+
+    dim_d(text) = Σ_tokens ((byte d of md5(token)) − 127.5)/128, then
+    L2-normalized. Zero-token texts embed to the zero vector.
+
+    The raw array is **let-bound** via a 1-element ``transform`` lambda so
+    it is evaluated once per row — inlining it naively (e.g.
+    ``when(cond, raw).otherwise(l2_normalize(raw))``) copies the whole raw
+    tree into every normalized element (17× the hash work; this exact
+    mistake made embedding 1000 docs take minutes).
     """
+    assert dim <= 16, "one md5 yields 16 byte-dims"
     toks = tokenize(text)
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.aggregate(
             toks,
             F.lit(0.0),
-            lambda acc, t: acc
-            + (
-                (
-                    stable_hash64(F.concat(t, F.lit("#"), d.cast("string"))) % 1000
-                ).cast("double")
-                - 499.5
-            )
-            / 500.0,
+            lambda acc, t: acc + _dim_contrib(t, d),
         ),
     )
-    return F.when(F.size(toks) == 0, raw).otherwise(l2_normalize(raw))
+
+    def _norm(r: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(r, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(raw),
+            lambda r: F.when(_norm(r) == 0, r).otherwise(
+                F.transform(r, lambda x: x / _norm(r))
+            ),
+        ),
+        1,
+    )
+
+
+def hash_embed_df(
+    df,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+    out_col: str = "embedding",
+):
+    """DataFrame-level hash embedding — same result as ``hash_embed_col``
+    (up to float summation order), built for corpora.
+
+    The md5 hashing runs once per **distinct token** (a broadcast
+    vocabulary table of |vocab| × dim hashes), not once per token
+    occurrence × dim: embedding a corpus costs one explode + one broadcast
+    join + one wide aggregation, all codegen'd. At 100 TB the vocab table
+    is the only hash work and it is proportional to vocabulary, not corpus.
+
+    ``hash_embed_col`` (expression form) stays for single-row/driver-side
+    uses; its higher-order functions are interpreted (CodegenFallback) and
+    cost ~ms per row — fine for query strings, wrong for corpora.
+    """
+    assert dim <= 16, "one md5 yields 16 byte-dims"
+    toks = df.select(
+        F.col(id_col).alias("_eid"), F.explode(tokenize(text_col)).alias("_t")
+    )
+    vocab = toks.select("_t").distinct()
+    vec_cols = [
+        _dim_contrib(F.col("_t"), d).alias(f"_v{d}") for d in range(dim)
+    ]
+    vocab_vecs = vocab.select("_t", *vec_cols)
+    sums = (
+        toks.join(F.broadcast(vocab_vecs), "_t")
+        .groupBy("_eid")
+        .agg(*[F.sum(f"_v{d}").alias(f"_s{d}") for d in range(dim)])
+    )
+    raw = F.array(*[F.col(f"_s{d}") for d in range(dim)])
+    norm = F.sqrt(
+        sum((F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim)), F.lit(0.0))
+    )
+    embedded = sums.select(
+        "_eid",
+        F.when(norm == 0, raw)
+        .otherwise(F.transform(raw, lambda x: x / norm))
+        .alias(out_col),
+    )
+    return df.join(
+        embedded, df[id_col] == embedded["_eid"], "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(
+            F.col(out_col), F.array_repeat(F.lit(0.0), dim)
+        ).alias(out_col),
+    )
 
 
 _MODEL_CACHE: dict[str, object] = {}

@@ -204,6 +204,65 @@ def simhash_fingerprints(
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding: the fingerprint splits into (max_hamming + 1) byte-bands; any
+    pair within the hamming ball must share at least one intact band
+    (pigeonhole), so the candidate join is on (band_index, band_value) and
+    the exact hamming check only runs on candidates. Exact result, no
+    quadratic scan.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    band_vals = [
+        (
+            F.floor(
+                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
+            ).cast("bigint")
+            % (2**band_bits)
+        )
+        for b in range(n_bands)
+    ]
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

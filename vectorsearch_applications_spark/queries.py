@@ -1164,13 +1164,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-method evaluation job (§3.2)
 # ---------------------------------------------------------------------------
 
-# hash_embed_col reproduced in SQL: dim d = Σ_tokens ((md5hash(t#d) % 1000)
-# − 499.5)/500, then L2-normalized. {src} must provide (eid, toks).
+# hash_embed reproduced in SQL: dim d = Σ_tokens ((hex byte d of md5(t)) −
+# 127.5)/128, then L2-normalized. {src} must provide (eid, toks).
 _EMBED_SQL = """
 {name}_tok AS (SELECT eid, unnest(toks) AS t FROM {src}),
 {name}_raw AS (
   SELECT eid, d,
-         sum(((('0x' || substr(md5(t || '#' || d), 1, 8))::BIGINT % 1000) - 499.5) / 500.0) AS v
+         sum((('0x' || substr(md5(t), 2 * d + 1, 2))::BIGINT - 127.5) / 128.0) AS v
   FROM {name}_tok CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) AS d) dims
   GROUP BY eid, d
 ),
@@ -1209,14 +1209,13 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text → deterministic hash embedding → exact cosine kNN, end to end in
     one declarative plan (the reference's §3.1 steps 2-3 with the
     deterministic encoder; swap model_embed_factory in deployment)."""
-    from .functions.embed import hash_embed_col
+    from .functions.embed import hash_embed_col, hash_embed_df
     from .operators.knn import knn_search_crossjoin
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    demb = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embed_col(F.col("text"), _EMBED_DIM).alias("embedding"),
-    )
+    demb = hash_embed_df(
+        docs.select("doc_id", "text"), "doc_id", "text", _EMBED_DIM
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
     qemb = _search_queries_df(spark).select(
         "query_id", hash_embed_col(F.col("query"), _EMBED_DIM).alias("query_vec")
     )
@@ -1521,6 +1520,172 @@ def q_generation_eval_polling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_score"), 4).alias("overall_mean")
     )
     return per_model.crossJoin(F.broadcast(overall))
+
+
+@register(
+    "rag_pipeline_eval",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (
+  SELECT doc_id::BIGINT AS query_id, array_to_string(toks[1:5], ' ') AS query
+  FROM docs WHERE doc_id < 20
+),
+{_BM25_SCORING},
+kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= 50),
+kw_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END * 0.75 AS kw_score
+  FROM kw_top
+),
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+  FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
+),
+vec_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+  FROM embeddings e CROSS JOIN qv
+),
+vec_ranked AS (
+  SELECT query_id, doc_id, 1.0 - distance AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM vec_scored
+),
+vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= 50),
+vec_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(sim) OVER (PARTITION BY query_id) = min(sim) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                   / (max(sim) OVER (PARTITION BY query_id) - min(sim) OVER (PARTITION BY query_id))
+         END * 0.25 AS vec_score
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(k.query_id, v.query_id) AS query_id,
+         coalesce(k.doc_id, v.doc_id) AS doc_id,
+         coalesce(k.kw_score, 0) + coalesce(v.vec_score, 0) AS score
+  FROM kw_norm k FULL OUTER JOIN vec_norm v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+),
+fused_top AS (
+  SELECT query_id, doc_id
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM fused)
+  WHERE rnk <= 20
+),
+qt AS (SELECT query_id, {_toks('query')} AS qtoks FROM queries),
+rr AS (
+  SELECT f.query_id, f.doc_id,
+         CASE WHEN len(list_distinct(list_concat(q.qtoks, d.toks))) = 0 THEN 0.0
+              ELSE len(list_filter(list_distinct(q.qtoks), x -> list_contains(d.toks, x)))::DOUBLE
+                   / len(list_distinct(list_concat(q.qtoks, d.toks)))::DOUBLE
+         END AS cross_score
+  FROM fused_top f
+  JOIN qt q ON q.query_id = f.query_id
+  JOIN docs d ON d.doc_id = f.doc_id
+),
+rr_top AS (
+  SELECT query_id, doc_id, rnk
+  FROM (SELECT query_id, doc_id, cross_score,
+               row_number() OVER (PARTITION BY query_id ORDER BY cross_score DESC, doc_id ASC) AS rnk
+        FROM rr)
+  WHERE rnk <= 5
+),
+per_query AS (
+  SELECT q.query_id,
+         min(CASE WHEN t.doc_id = q.query_id THEN t.rnk END) AS hit_rank
+  FROM queries q LEFT JOIN rr_top t ON t.query_id = q.query_id
+  GROUP BY q.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS raw_hits,
+       round(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 2) AS hit_rate,
+       round(sum(coalesce(1.0 / hit_rank, 0.0)) / count(*), 2) AS mrr,
+       CAST(sum(CASE WHEN hit_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_misses
+FROM per_query
+""",
+)
+def q_rag_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition (§3.1 retrieval + §3.2 evaluation in ONE
+    plan): golden queries → hybrid search (BM25 ⊕ vector, α=0.25, top-20) →
+    cross-scorer rerank (top-5) → hit_rate/MRR. The reference needs
+    100 queries × (2 server calls + rerank + loop bookkeeping); here it is
+    a single DataFrame job."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").cast("bigint").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
+    )
+    kw = bm25_search(docs, qdf, limit=50, cache_key=sf_dir)
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = knn_search(emb, qv, k=50).withColumnRenamed("vec_id", "doc_id")
+    fused = hybrid_search(kw, vec, alpha=0.25, limit=20)
+    reranked = rerank_overlap(fused, qdf, docs, top_k=5)
+    golden = qdf.select("query_id", F.col("query_id").alias("relevant_doc_id"))
+    return retrieval_metrics(reranked, golden, method_col=None)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+),
+d AS (SELECT doc_id, {_toks('text')} AS toks FROM all_docs),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN CAST(floor(h / pow(2, bit)) AS BIGINT) % 2 = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         CAST(floor(simhash / pow(2, 8 * band)) AS BIGINT) % 256 AS bval
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    withdups = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return simhash_neardup_pairs(withdups, max_hamming=3)
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
