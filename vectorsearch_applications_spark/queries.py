@@ -1688,6 +1688,32 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(withdups, max_hamming=3)
 
 
+@register(
+    "cheapest_part_per_brand",
+    """
+SELECT p.p_partkey, p.p_name, p.p_brand, round(p.p_retailprice, 2) AS retail_price
+FROM part p
+WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_brand = p.p_brand)
+""",
+)
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q2 family) — expressed as a
+    per-group min window + equality filter (one pass, no self-join)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("_min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_min"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retail_price"),
+        )
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
