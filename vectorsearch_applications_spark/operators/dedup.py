@@ -88,13 +88,23 @@ def minhash_signatures_wide(
     exploded = sh.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
     )
-    aggs = [
-        F.min(
-            stable_hash64(F.concat(F.col("shingle"), F.lit(f"#{s}")))
-        ).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    # hash each DISTINCT shingle once (broadcast vocab), not once per
+    # (doc, shingle) occurrence — same values, ~occurrences/distinct× less
+    # md5 work (the dominant cost at corpus scale)
+    vocab = exploded.select("shingle").distinct().select(
+        "shingle",
+        *[
+            stable_hash64(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(
+                f"_h{s}"
+            )
+            for s in range(num_hashes)
+        ],
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "shingle")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"_h{s}").alias(f"mh{s}") for s in range(num_hashes)])
+    )
 
 
 def minhash_signatures(
@@ -175,11 +185,16 @@ def simhash_fingerprints(
     else −tf; fingerprint bit j = 1 iff the sum is > 0.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("t"))
+    exploded = toks.select("doc_id", F.explode("t").alias("term"))
+    # hash each DISTINCT term once (broadcast vocab join) — same values as
+    # hashing inline, a fraction of the md5 work
+    vocab = exploded.select("term").distinct().select(
+        "term", stable_hash64(F.col("term")).alias("h")
+    )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .groupBy("doc_id", "term")
+        exploded.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", stable_hash64(F.col("term")))
+        .join(F.broadcast(vocab), "term")
     )
     # One wide aggregation with `bits` sum columns instead of exploding
     # (doc, term) × bits — the shuffle carries |terms| rows, not |terms|·bits.
