@@ -120,6 +120,25 @@ kw_ranked AS (
 """.format(qtoks=_toks("query"))
 
 
+# hash_embed reproduced in SQL: dim d = Σ_tokens ((hex byte d of md5(t)) −
+# 127.5)/128, then L2-normalized. {src} must provide (eid, toks).
+_EMBED_SQL = """
+{name}_tok AS (SELECT eid, unnest(toks) AS t FROM {src}),
+{name}_raw AS (
+  SELECT eid, d,
+         sum((('0x' || substr(md5(t), 2 * d + 1, 2))::BIGINT - 127.5) / 128.0) AS v
+  FROM {name}_tok CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) AS d) dims
+  GROUP BY eid, d
+),
+{name}_norm AS (SELECT eid, sqrt(sum(v * v)) AS n FROM {name}_raw GROUP BY eid),
+{name}_emb AS (
+  SELECT r.eid, r.d, r.v / m.n AS v FROM {name}_raw r JOIN {name}_norm m USING (eid)
+)
+"""
+
+_EMBED_DIM = 16
+
+
 # ---------------------------------------------------------------------------
 # Search operators (SURVEY Q1-Q4, T1-T3, O2, W4)
 # ---------------------------------------------------------------------------
@@ -918,28 +937,67 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
-@register("route_classify")  # centroid classifier: rows-only (hash-embed)
+_ROUTE_UTTERANCES = [
+    ("sql", 0, "how many episodes are there"),
+    ("sql", 1, "which guest has the most views"),
+    ("sql", 2, "count the rows in the table"),
+    ("search", 3, "what did they say about sleep"),
+    ("search", 4, "tell me about morning light exposure"),
+    ("search", 5, "benefits of cold showers"),
+]
+_ROUTE_QUERIES = [
+    (0, "how many views does the top episode have"),
+    (1, "what was discussed about dopamine"),
+    (2, "count guests with more than one episode"),
+]
+_RU_VALUES = ", ".join(
+    f"('{r}', {i}::BIGINT, '{u}')" for r, i, u in _ROUTE_UTTERANCES
+)
+_RQ_VALUES = ", ".join(f"({i}::BIGINT, '{q}')" for i, q in _ROUTE_QUERIES)
+
+
+@register(
+    "route_classify",
+    f"""
+WITH utt AS (SELECT * FROM (VALUES {_RU_VALUES}) v(route, uid, utterance)),
+usrc AS (SELECT uid AS eid, {_toks('utterance')} AS toks FROM utt),
+{_EMBED_SQL.format(name='u', src='usrc', dmax=_EMBED_DIM - 1)},
+centroids AS (
+  SELECT route, d, avg(v) AS v
+  FROM u_emb e JOIN utt ON utt.uid = e.eid
+  GROUP BY route, d
+),
+cnorm AS (SELECT route, sqrt(sum(v * v)) AS n FROM centroids GROUP BY route),
+rq AS (SELECT * FROM (VALUES {_RQ_VALUES}) v(query_id, query)),
+qsrc AS (SELECT query_id AS eid, {_toks('query')} AS toks FROM rq),
+{_EMBED_SQL.format(name='q', src='qsrc', dmax=_EMBED_DIM - 1)},
+qnorm2 AS (SELECT eid, sqrt(sum(v * v)) AS n FROM q_emb GROUP BY eid),
+scored AS (
+  SELECT q.eid AS query_id, c.route,
+         sum(q.v * c.v) / (qq.n * cn.n) AS score
+  FROM q_emb q
+  JOIN centroids c USING (d)
+  JOIN cnorm cn ON cn.route = c.route
+  JOIN qnorm2 qq ON qq.eid = q.eid
+  GROUP BY q.eid, c.route, qq.n, cn.n
+),
+ranked AS (
+  SELECT query_id, route, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, route ASC) AS rn
+  FROM scored
+)
+SELECT query_id, route, round(score, 4) AS score
+FROM ranked WHERE rn = 1
+""",
+)
 def q_route_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes = spark.createDataFrame(
-        [
-            ("sql", "how many episodes are there"),
-            ("sql", "which guest has the most views"),
-            ("sql", "count the rows in the table"),
-            ("search", "what did they say about sleep"),
-            ("search", "tell me about morning light exposure"),
-            ("search", "benefits of cold showers"),
-        ],
-        "route string, utterance string",
+        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
     )
     queries = spark.createDataFrame(
-        [
-            (0, "how many views does the top episode have"),
-            (1, "what was discussed about dopamine"),
-            (2, "count guests with more than one episode"),
-        ],
-        "query_id long, query string",
+        _ROUTE_QUERIES, "query_id long, query string"
     )
-    return route_queries(queries, routes)
+    return route_queries(queries, routes, dim=_EMBED_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -1164,23 +1222,6 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-method evaluation job (§3.2)
 # ---------------------------------------------------------------------------
 
-# hash_embed reproduced in SQL: dim d = Σ_tokens ((hex byte d of md5(t)) −
-# 127.5)/128, then L2-normalized. {src} must provide (eid, toks).
-_EMBED_SQL = """
-{name}_tok AS (SELECT eid, unnest(toks) AS t FROM {src}),
-{name}_raw AS (
-  SELECT eid, d,
-         sum((('0x' || substr(md5(t), 2 * d + 1, 2))::BIGINT - 127.5) / 128.0) AS v
-  FROM {name}_tok CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) AS d) dims
-  GROUP BY eid, d
-),
-{name}_norm AS (SELECT eid, sqrt(sum(v * v)) AS n FROM {name}_raw GROUP BY eid),
-{name}_emb AS (
-  SELECT r.eid, r.d, r.v / m.n AS v FROM {name}_raw r JOIN {name}_norm m USING (eid)
-)
-"""
-
-_EMBED_DIM = 16
 
 
 @register(
@@ -1771,6 +1812,37 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+@register(
+    "search_with_properties",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING}
+SELECT r.query_id, r.doc_id, r.rnk::BIGINT AS rank, round(r.score, 4) AS score,
+       x.lang, x.source, x.n_chars, substr(x.text, 1, 80) AS snippet
+FROM kw_ranked r JOIN documents x USING (doc_id)
+WHERE r.rnk <= 5
+""",
+)
+def q_search_with_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's format_response shape (weaviate_interface_v4.py:
+    184-199): hits flattened with the caller's return_properties projection
+    + score metadata — here a join back to the collection with column
+    pruning doing the projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_search(docs, _search_queries_df(spark), limit=5, cache_key=sf_dir)
+    return hits.join(docs, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 80).alias("snippet"),
     )
 
 
