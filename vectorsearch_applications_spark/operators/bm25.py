@@ -51,7 +51,10 @@ def bm25_cached_stats(
     append — recompute-on-write first, incremental later (SURVEY §7 hard
     part 3).
     """
-    key = (id(docs.sparkSession), cache_key)
+    # applicationId is stable for the life of the underlying SparkContext
+    # and changes when it is torn down — unlike id(session), which Python
+    # can reuse for a new session, leaving dead DataFrames in the cache
+    key = (docs.sparkSession.sparkContext.applicationId, cache_key)
     if key not in _INDEX_CACHE:
         postings, term_stats, corpus_stats = bm25_build_stats(
             docs, id_col, text_col

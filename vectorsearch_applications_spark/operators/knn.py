@@ -118,8 +118,15 @@ def knn_search(
                 {"query_id": out_q, "vec_id": out_id, "distance": out_d}
             )
 
+    qid_type = (
+        queries.select(F.col(query_id_col).alias("query_id"))
+        .schema["query_id"]
+        .dataType.simpleString()
+    )
+    vid_type = slim.schema["vec_id"].dataType.simpleString()
     partials = slim.mapInPandas(
-        partial_topk, schema="query_id long, vec_id long, distance double"
+        partial_topk,
+        schema=f"query_id {qid_type}, vec_id {vid_type}, distance double",
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
     return (
