@@ -1846,6 +1846,72 @@ def q_search_with_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "expanded_content_w2",
+    """
+SELECT doc_id, source,
+       string_agg(text, ' ') OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS expanded_content
+FROM documents
+""",
+)
+def q_expanded_content_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 at window_size=2 — the collect_list frame spec against a framed
+    string_agg oracle (the w=1 variant uses lag/lead; this one exercises
+    the general rowsBetween path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = expanded_content(
+        docs, partition_col="source", order_col="doc_id", text_col="text", window_size=2
+    )
+    return out.select("doc_id", "source", "expanded_content")
+
+
+@register(
+    "qa_triplets",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 60
+),
+q AS (
+  SELECT doc_id,
+         array_to_string(toks, ' ') AS anchor,
+         'what is discussed regarding ' || array_to_string(toks[1:3], ' ') AS positive
+  FROM d
+)
+SELECT doc_id AS anchor_doc_id, anchor, positive,
+       lead(positive) OVER (ORDER BY doc_id) AS hard_negative
+FROM q QUALIFY hard_negative IS NOT NULL
+""",
+)
+def q_qa_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 triplet generation with the deterministic stub: positive = the
+    anchor's own generated question; hard_negative = the NEXT doc's
+    question (similar surface form, wrong doc — the reference's
+    hard-negative recipe, retrieval_evaluation.py:235-294, uses an LLM for
+    the same 'plausible but unanswerable' property)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = tokenize("text")
+    q = docs.select(
+        "doc_id",
+        F.concat_ws(" ", toks).alias("anchor"),
+        F.concat(
+            F.lit("what is discussed regarding "),
+            F.concat_ws(" ", F.slice(toks, 1, 3)),
+        ).alias("positive"),
+    )
+    w = Window.orderBy("doc_id")
+    return (
+        q.withColumn("hard_negative", F.lead("positive").over(w))
+        .filter(F.col("hard_negative").isNotNull())
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            "anchor",
+            "positive",
+            "hard_negative",
+        )
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
