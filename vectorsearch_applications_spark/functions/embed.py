@@ -23,7 +23,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .text import stable_hash64, tokenize
-from .vectors import l2_normalize
 
 
 def _dim_contrib(token: Column, d) -> Column:
@@ -109,8 +108,12 @@ def hash_embed_df(
         _dim_contrib(F.col("_t"), d).alias(f"_v{d}") for d in range(dim)
     ]
     vocab_vecs = vocab.select("_t", *vec_cols)
+    # no broadcast hint: natural-language vocabularies are usually small
+    # enough to broadcast and the planner/AQE will choose that, but an
+    # adversarial corpus can have unbounded distinct tokens — a forced
+    # broadcast would hit Spark's 8 GB cap, a shuffle join degrades safely
     sums = (
-        toks.join(F.broadcast(vocab_vecs), "_t")
+        toks.join(vocab_vecs, "_t")
         .groupBy("_eid")
         .agg(*[F.sum(f"_v{d}").alias(f"_s{d}") for d in range(dim)])
     )

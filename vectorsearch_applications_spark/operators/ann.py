@@ -38,16 +38,23 @@ def ivf_build(
     Persist both next to the collection; incremental appends only re-assign
     the new rows.
     """
+    # one full count (the documented index-build scan) sizes the stride;
+    # the centroid sample is a distributed filter + partial top-k — no
+    # global single-partition window over the corpus
     n = corpus.count()
     stride = max(1, n // n_centroids)
-    w = Window.orderBy(F.asc("_id"))
-    centroids = (
+    sampled = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("centroid"))
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_centroids))
-        .select(
-            (F.col("_rn") / stride).cast("int").alias("centroid_id"), "centroid"
-        )
+        .filter((F.col("_id") % stride) == 0)
+        .orderBy(F.asc("_id"))
+        .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k
+    )
+    # numbering runs on ≤ n_centroids rows — the tiny frame makes the
+    # unpartitioned window harmless
+    w = Window.orderBy(F.asc("_id"))
+    centroids = sampled.select(
+        (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+        "centroid",
     )
     assign = (
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))

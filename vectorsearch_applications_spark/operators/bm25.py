@@ -46,15 +46,23 @@ def bm25_cached_stats(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """bm25_build_stats with a session-scoped persist()ed cache.
 
-    ``cache_key`` identifies the corpus (e.g. the sf_dir path). At 100 TB
-    the equivalent is a parquet-persisted postings table maintained on
-    append — recompute-on-write first, incremental later (SURVEY §7 hard
-    part 3).
+    ``cache_key`` MUST uniquely identify the corpus *view* (rows + text
+    column) — e.g. the collection path. Passing the same key for a
+    filtered/different frame serves the wrong index. The key additionally
+    carries (id_col, text_col) so column changes never alias. At 100 TB the
+    equivalent is a parquet-persisted postings table maintained on append —
+    recompute-on-write first, incremental later (SURVEY §7 hard part 3).
+    Call ``bm25_cache_clear()`` to release the persisted frames.
     """
     # applicationId is stable for the life of the underlying SparkContext
     # and changes when it is torn down — unlike id(session), which Python
     # can reuse for a new session, leaving dead DataFrames in the cache
-    key = (docs.sparkSession.sparkContext.applicationId, cache_key)
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        cache_key,
+        id_col,
+        text_col,
+    )
     if key not in _INDEX_CACHE:
         postings, term_stats, corpus_stats = bm25_build_stats(
             docs, id_col, text_col
@@ -65,6 +73,17 @@ def bm25_cached_stats(
             corpus_stats.persist(),
         )
     return _INDEX_CACHE[key]
+
+
+def bm25_cache_clear() -> None:
+    """Unpersist and drop every cached index (frees executor memory)."""
+    for postings, term_stats, corpus_stats in _INDEX_CACHE.values():
+        for df in (postings, term_stats, corpus_stats):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _INDEX_CACHE.clear()
 
 
 def bm25_build_stats(

@@ -88,9 +88,10 @@ def minhash_signatures_wide(
     exploded = sh.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
     )
-    # hash each DISTINCT shingle once (broadcast vocab), not once per
+    # hash each DISTINCT shingle once (vocab table), not once per
     # (doc, shingle) occurrence — same values, ~occurrences/distinct× less
-    # md5 work (the dominant cost at corpus scale)
+    # md5 work. No broadcast hint: distinct shingles grow with the corpus,
+    # so the planner must be free to shuffle-join when the vocab is big.
     vocab = exploded.select("shingle").distinct().select(
         "shingle",
         *[
@@ -101,7 +102,7 @@ def minhash_signatures_wide(
         ],
     )
     return (
-        exploded.join(F.broadcast(vocab), "shingle")
+        exploded.join(vocab, "shingle")
         .groupBy("doc_id")
         .agg(*[F.min(f"_h{s}").alias(f"mh{s}") for s in range(num_hashes)])
     )
@@ -194,7 +195,7 @@ def simhash_fingerprints(
     tf = (
         exploded.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .join(F.broadcast(vocab), "term")
+        .join(vocab, "term")  # planner picks broadcast vs shuffle by size
     )
     # One wide aggregation with `bits` sum columns instead of exploding
     # (doc, term) × bits — the shuffle carries |terms| rows, not |terms|·bits.

@@ -22,16 +22,30 @@ def retrieval_metrics(
     hits: DataFrame,
     golden: DataFrame,
     method_col: str | None = "method",
+    methods: list[str] | None = None,
 ) -> DataFrame:
     """hits: (query_id, doc_id, rank[, method]); golden: (query_id,
     relevant_doc_id). Output per method: n_queries, raw_hits, hit_rate, mrr,
-    total_misses."""
+    total_misses.
+
+    ``methods``: the full expected method list. Without it the methods are
+    derived from the hits, so a method whose search returned zero rows
+    vanishes from the report instead of showing hit_rate 0 — pass the list
+    explicitly when that distinction matters (the reference evaluates every
+    configured method over the full query set).
+    """
     group = [method_col] if method_col else []
     base = golden.select("query_id", "relevant_doc_id")
     if method_col:
-        # every golden query is evaluated under every method (reference
-        # evaluates all three search types over the full query set)
-        base = base.crossJoin(hits.select(method_col).distinct())
+        # every golden query is evaluated under every method
+        if methods is not None:
+            spark = hits.sparkSession
+            method_df = spark.createDataFrame(
+                [(m,) for m in methods], f"{method_col} string"
+            )
+        else:
+            method_df = hits.select(method_col).distinct()
+        base = base.crossJoin(method_df)
     # left join so queries with zero hits still count toward n_queries
     per_query = (
         base.join(hits, [*group, "query_id"], "left")

@@ -90,6 +90,20 @@ def knn_search(
     ).collect()
     import numpy as np
 
+    if not q_rows:
+        # empty query set → empty result with the right schema (matches
+        # knn_search_crossjoin; a (0,)-shaped matmul would crash the job)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id string, vec_id string, rank int, distance double"
+        ).select(
+            F.col("query_id").cast(
+                queries.schema[query_id_col].dataType
+            ),
+            F.col("vec_id").cast(corpus.schema[id_col].dataType),
+            "rank",
+            "distance",
+        )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)  # Q × D
 

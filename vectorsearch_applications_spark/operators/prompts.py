@@ -51,6 +51,10 @@ def assemble_prompts(
             ).alias("_ctx"),
         )
     )
+    # build the prompt from the module template so the constant is the
+    # single configuration point
+    before, middle = DEFAULT_TEMPLATE.split("{q}")
+    middle, after = middle.split("{ctx}")
     return ctx.join(
         F.broadcast(
             queries.select(
@@ -62,6 +66,6 @@ def assemble_prompts(
         "query_id",
         "n_context",
         F.concat(
-            F.lit("Question: "), F.col("_q"), F.lit(" Context: "), F.col("_ctx")
+            F.lit(before), F.col("_q"), F.lit(middle), F.col("_ctx"), F.lit(after)
         ).alias("prompt"),
     )

@@ -32,15 +32,23 @@ _FORBIDDEN = re.compile(
 
 
 def validate_select_only(sql: str) -> str:
-    """Return the cleaned statement or raise SqlGuardError."""
+    """Return the cleaned statement or raise SqlGuardError.
+
+    The keyword / semicolon scan runs with string literals blanked out so
+    legitimate queries like ``WHERE c LIKE '%update%'`` or a ``';'``
+    inside a literal are not rejected; the returned (executable) statement
+    keeps its literals.
+    """
     cleaned = re.sub(r"--[^\n]*", " ", sql)
     cleaned = re.sub(r"/\*.*?\*/", " ", cleaned, flags=re.DOTALL)
     cleaned = cleaned.strip().rstrip(";").strip()
-    if ";" in cleaned:
+    # blank out single-quoted literals ('' escapes included) for scanning
+    scannable = re.sub(r"'(?:[^']|'')*'", "''", cleaned)
+    if ";" in scannable:
         raise SqlGuardError("multiple statements are not allowed")
-    if not re.match(r"^(select|with)\b", cleaned, re.IGNORECASE):
+    if not re.match(r"^(select|with)\b", scannable, re.IGNORECASE):
         raise SqlGuardError("only SELECT statements are allowed")
-    if _FORBIDDEN.search(cleaned):
+    if _FORBIDDEN.search(scannable):
         raise SqlGuardError("statement contains a forbidden keyword")
     return cleaned
 

@@ -1253,7 +1253,12 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.embed import hash_embed_col, hash_embed_df
     from .operators.knn import knn_search_crossjoin
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 1000) & (F.size(tokenize("text")) > 0)
+    )
+    # the token-count filter pins engine semantics to the oracle's: a
+    # token-less doc embeds to the zero vector in hash_embed_df but has no
+    # rows in the SQL embedding CTE — excluded on both sides by contract
     demb = hash_embed_df(
         docs.select("doc_id", "text"), "doc_id", "text", _EMBED_DIM
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
@@ -1340,7 +1345,9 @@ def q_eval_multi_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.select("method", "query_id", "doc_id", "rank")
     )
     golden = qdf.select("query_id", F.col("query_id").alias("relevant_doc_id"))
-    return retrieval_metrics(hits, golden, method_col="method")
+    return retrieval_metrics(
+        hits, golden, method_col="method", methods=["kw", "vector"]
+    )
 
 
 # ---------------------------------------------------------------------------

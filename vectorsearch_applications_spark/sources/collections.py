@@ -92,8 +92,15 @@ def batch_index(
         good = flagged.filter(F.col("_ok")).drop("_ok")
         bad = flagged.filter(~F.col("_ok")).drop("_ok")
         create_collection(spark, root, name, good)
+        qpath = os.path.join(root, f"{name}__quarantine")
         if n_bad:
             create_collection(spark, root, f"{name}__quarantine", bad)
+        elif os.path.isdir(qpath):
+            # a clean re-index must not leave a previous generation's
+            # failures lying around
+            import shutil
+
+            shutil.rmtree(qpath)
         return {"indexed": n_total - n_bad, "quarantined": n_bad}
     finally:
         flagged.unpersist()
@@ -112,10 +119,16 @@ def update_collection(
     path = os.path.join(root, name)
     df = spark.read.parquet(path)
     updated = transform(df)
-    # parquet cannot overwrite in place while reading; stage then swap
+    # parquet cannot overwrite in place while reading; stage, move the old
+    # generation aside, promote, then delete — a crash mid-swap leaves
+    # either the old or the new generation recoverable, never neither
     tmp = path + "__staging"
+    old = path + "__old"
     updated.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
