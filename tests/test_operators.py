@@ -141,6 +141,35 @@ def test_ann_recall_reasonable(spark):
     assert sum(pvals) / len(pvals) >= 0.5  # 1/4 of buckets ≥ half the hits
 
 
+def test_hybrid_alpha_edges(spark):
+    """α=0 → ranking is pure keyword order; α=1 → pure vector order
+    (hybrid_search docstring contract, weaviate_interface_v4.py:330-335)."""
+    from vectorsearch_applications_spark.operators.hybrid import hybrid_search
+
+    kw = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 2.0), (0, 3, 1.0)],
+        "query_id long, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [(0, 3, 0.1), (0, 2, 0.2), (0, 1, 0.3)],
+        "query_id long, doc_id long, distance double",
+    )
+    pure_kw = [
+        r["doc_id"]
+        for r in hybrid_search(kw, vec, alpha=0.0, limit=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    pure_vec = [
+        r["doc_id"]
+        for r in hybrid_search(kw, vec, alpha=1.0, limit=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert pure_kw == [1, 2, 3]
+    assert pure_vec == [3, 2, 1]
+
+
 def test_minmax_degenerate_group(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (1, 5.0), (2, 1.0), (2, 3.0)], "g long, v double"

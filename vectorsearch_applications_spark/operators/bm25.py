@@ -112,6 +112,52 @@ def bm25_build_stats(
     return postings, term_stats, corpus_stats
 
 
+def bm25_search_multifield(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_cols: list[str] = ("text",),
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Multi-property keyword search (the reference's ``query_properties``
+    list, ``weaviate_interface_v4.py:205-232``): each field is scored as
+    its own BM25 corpus (own df/avgdl) and per-doc scores sum across
+    fields — Weaviate/Lucene multi-field semantics.
+
+    Output: (query_id, doc_id, rank, score).
+    """
+    per_field = None
+    for c in text_cols:
+        scores = (
+            bm25_search(
+                docs,
+                queries,
+                id_col=id_col,
+                text_col=c,
+                query_id_col=query_id_col,
+                query_col=query_col,
+                k1=k1,
+                b=b,
+                limit=1_000_000_000,  # no per-field cut before fusion
+            )
+            .select("query_id", "doc_id", "score")
+        )
+        per_field = scores if per_field is None else per_field.unionByName(scores)
+    total = per_field.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
 def bm25_merge_stats(
     a: tuple[DataFrame, DataFrame, DataFrame],
     b: tuple[DataFrame, DataFrame, DataFrame],

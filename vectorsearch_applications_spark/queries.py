@@ -1919,6 +1919,79 @@ def q_qa_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_field_cte(prefix: str, table: str, id_col: str, text_col: str) -> str:
+    """CTE block scoring `queries` against one field of a table (own
+    df/avgdl per field — multi-property BM25)."""
+    toks = _toks(text_col)
+    return f"""
+{prefix}docs AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+),
+{prefix}corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM {prefix}docs),
+{prefix}postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM {prefix}docs)
+  GROUP BY doc_id, dl, term
+),
+{prefix}termstats AS (SELECT term, count(*) AS df FROM {prefix}postings GROUP BY term),
+{prefix}scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))) AS score
+  FROM qterms q
+  JOIN {prefix}postings p USING (term)
+  JOIN {prefix}termstats t USING (term)
+  CROSS JOIN {prefix}corpus c
+  GROUP BY q.query_id, p.doc_id
+)"""
+
+
+_MF_QUERIES = [(0, "small widget"), (1, "large steel bolt"), (2, "promo blue rod")]
+_MF_VALUES = ", ".join(f"({i}::BIGINT, '{t}')" for i, t in _MF_QUERIES)
+
+
+@register(
+    "bm25_multifield",
+    f"""
+WITH queries AS (SELECT * FROM (VALUES {_MF_VALUES}) v(query_id, query)),
+qterms AS (
+  SELECT query_id, unnest(list_distinct({_toks('query')})) AS term FROM queries
+),
+{_bm25_field_cte('n', 'part', 'p_partkey', 'p_name')},
+{_bm25_field_cte('t', 'part', 'p_partkey', 'p_type')},
+total AS (
+  SELECT query_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM nscored UNION ALL SELECT * FROM tscored)
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM total
+)
+SELECT query_id, doc_id AS p_partkey, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with query_properties=['p_name','p_type'] — per-field BM25
+    corpora, scores summed across fields (Weaviate multi-property
+    semantics)."""
+    from .operators.bm25 import bm25_search_multifield
+
+    part = load_table(spark, sf_dir, "part")
+    qdf = spark.createDataFrame(_MF_QUERIES, "query_id long, query string")
+    hits = bm25_search_multifield(
+        part, qdf, id_col="p_partkey", text_cols=["p_name", "p_type"], limit=10
+    )
+    return hits.select(
+        "query_id",
+        F.col("doc_id").alias("p_partkey"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
