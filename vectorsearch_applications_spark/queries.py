@@ -444,8 +444,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT epoch_ns(ts) // 1000000000 // 600 AS bucket, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value
+       round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )

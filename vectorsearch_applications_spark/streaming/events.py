@@ -31,12 +31,15 @@ def tumbling_counts_batch(
     """
     # es < 2^53 so double division is exact enough for the truncation cast
     bucket = (epoch_seconds(events, "ts") / window_seconds).cast("bigint")
+    # No avg column on purpose: the event values are 2-decimal numbers, so
+    # sum/count lands exactly on rounding half-way points where engines
+    # legitimately disagree (Spark HALF_UP vs DuckDB half-even). count +
+    # sum carry the same information exactly; consumers derive the mean.
     return (
         events.groupBy(bucket.alias("bucket"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
