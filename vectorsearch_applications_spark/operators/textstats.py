@@ -28,6 +28,17 @@ def _ratio(num: Column, den: Column) -> Column:
     )
 
 
+def trunc4(col: Column) -> Column:
+    """floor(x·10⁴)/10⁴ — engine-portable truncation for ratio outputs.
+
+    round() differs across engines on exact halves (Spark HALF_UP, DuckDB
+    half-even), and small-integer ratios (p/2^k in particular) land on
+    halves systematically; floor of a bitwise-identical double never
+    disagrees. Non-negative inputs only.
+    """
+    return F.floor(col * 10000) / 10000
+
+
 def text_profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -74,10 +85,10 @@ def text_profile(
         "n_chars",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_distinct.cast("bigint").alias("n_distinct_tokens"),
-        F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        trunc4(avg_tok).alias("avg_token_len"),
+        trunc4(ttr).alias("type_token_ratio"),
+        trunc4(stop_ratio).alias("stopword_ratio"),
+        trunc4(quality).alias("quality_score"),
         F.when(stop_ratio >= 0.05, F.lit("en"))
         .otherwise(F.lit("other"))
         .alias("lang_pred"),

@@ -37,6 +37,7 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .operators.textstats import fingerprints, text_profile
+from .operators.textstats import trunc4
 from .operators.ann import ann_recall_at_k
 from .plans.router import route_queries
 from .plans.text2sql import run_guarded_sql
@@ -300,7 +301,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cross_score DESC, doc_id ASC) AS rnk
   FROM pairs
 )
-SELECT query_id, doc_id, rnk::BIGINT AS rank, round(cross_score, 4) AS cross_score
+SELECT query_id, doc_id, rnk::BIGINT AS rank, floor(cross_score * 10000) / 10000 AS cross_score
 FROM ranked WHERE rnk <= 5
 """,
 )
@@ -313,7 +314,7 @@ def q_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "doc_id",
         F.col("rank").cast("bigint").alias("rank"),
-        F.round("cross_score", 4).alias("cross_score"),
+        trunc4(F.col("cross_score")).alias("cross_score"),
     )
 
 
@@ -565,7 +566,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+       floor(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) * 10000) / 10000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -575,7 +576,7 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.3
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     pairs = ngram_jaccard_pairs(docs, threshold=0.3)
-    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return pairs.select("doc_a", "doc_b", trunc4(F.col("jaccard")).alias("jaccard"))
 
 
 @register(
@@ -623,12 +624,12 @@ m AS (
 SELECT doc_id, n_chars,
        n_tokens::BIGINT AS n_tokens,
        n_distinct::BIGINT AS n_distinct_tokens,
-       round(avg_tok, 4) AS avg_token_len,
-       round(ttr, 4) AS type_token_ratio,
-       round(stop_ratio, 4) AS stopword_ratio,
-       round((CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END
+       floor(avg_tok * 10000) / 10000 AS avg_token_len,
+       floor(ttr * 10000) / 10000 AS type_token_ratio,
+       floor(stop_ratio * 10000) / 10000 AS stopword_ratio,
+       floor((CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END
               + ttr
-              + 1.0 - least(1.0, abs(stop_ratio - 0.4) / 0.6)) / 3.0, 4) AS quality_score,
+              + (1.0 - least(1.0, abs(stop_ratio - 0.4) / 0.6))) / 3.0 * 10000) / 10000 AS quality_score,
        CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
 FROM m
 """,
@@ -1518,11 +1519,11 @@ scored AS (
   FROM qa
 ),
 per_model AS (
-  SELECT model, round(avg(score), 4) AS mean_score, count(*) AS n_cases
+  SELECT model, floor(avg(score) * 10000) / 10000 AS mean_score, count(*) AS n_cases
   FROM scored GROUP BY model
 )
 SELECT model, mean_score, n_cases,
-       round((SELECT avg(mean_score) FROM per_model), 4) AS overall_mean
+       floor((SELECT avg(mean_score) FROM per_model) * 10000) / 10000 AS overall_mean
 FROM per_model
 """,
 )
@@ -1559,12 +1560,12 @@ def q_generation_eval_polling(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.unionByName(length)
         .groupBy("model")
         .agg(
-            F.round(F.avg("score"), 4).alias("mean_score"),
+            trunc4(F.avg("score")).alias("mean_score"),
             F.count("*").alias("n_cases"),
         )
     )
     overall = per_model.agg(
-        F.round(F.avg("mean_score"), 4).alias("overall_mean")
+        trunc4(F.avg("mean_score")).alias("overall_mean")
     )
     return per_model.crossJoin(F.broadcast(overall))
 
