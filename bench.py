@@ -45,6 +45,8 @@ HEADLINE = [
     "eval_multi_method",
     "rag_pipeline_eval",
     "chunk_documents",
+    "bm25_multifield",
+    "filtered_vector_search",
 ]
 
 

@@ -1992,6 +1992,61 @@ def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filtered_vector_search",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], q.qv) AS distance
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, rnk::BIGINT AS rank, round(distance, 4) AS distance
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: Weaviate-style filtered vector search — the metadata predicate
+    applies BEFORE ranking (pre-filter), so the top-k is dense within the
+    filtered set; Catalyst pushes the predicate into the parquet scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_search(emb, queries, k=10, pre_filter=F.col("label") == 3)
+    return hits.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("distance", 4).alias("distance"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family beyond ROLLUP: full CUBE over two dims."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
