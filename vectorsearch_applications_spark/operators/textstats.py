@@ -55,7 +55,7 @@ def text_profile(
     toks = tokenize(text_col)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
         toks.alias("_t"),
     )
     n_tokens = F.size("_t")
