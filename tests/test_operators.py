@@ -170,6 +170,30 @@ def test_hybrid_alpha_edges(spark):
     assert pure_vec == [3, 2, 1]
 
 
+def test_bucketed_neardup_recall(spark):
+    """The IVF-bucketed near-dup path returns a subset of brute force with
+    usable recall at a lowered threshold (exact values, no false pairs)."""
+    from vectorsearch_applications_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs_bucketed(
+            emb, threshold=0.35, n_centroids=8
+        ).collect()
+    }
+    assert bucketed <= brute  # no false pairs: exact check on candidates
+    if brute:
+        assert len(bucketed) / len(brute) >= 0.2  # similar pairs co-bucket
+
+
 def test_minmax_degenerate_group(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (1, 5.0), (2, 1.0), (2, 3.0)], "g long, v double"

@@ -325,6 +325,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs_bucketed(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: assign vectors to IVF
+    buckets, pair-join only within a bucket, exact-cosine check the
+    candidates. Quadratic cost drops to Σ bucket², at the price of missing
+    pairs that straddle a centroid boundary (recall measured in tests;
+    raise n_probe-style overlap by lowering n_centroids for higher recall).
+    """
+    from .ann import ivf_build
+
+    _, assignments = ivf_build(
+        vectors, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    slim = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(assignments, "vec_id")
+    a = slim.alias("a")
+    b = slim.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine", cosine_similarity(F.col("a._v"), F.col("b._v"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

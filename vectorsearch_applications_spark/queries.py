@@ -37,6 +37,7 @@ from .operators.dedup import (
     simhash_fingerprints,
 )
 from .operators.textstats import fingerprints, text_profile
+from .operators.textstats import EN_MARKERS
 from .operators.textstats import trunc4
 from .operators.ann import ann_recall_at_k
 from .plans.router import route_queries
@@ -2044,6 +2045,90 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang, length(text) AS n_chars, {_toks('text')} AS toks,
+         md5(text) AS text_hash
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, len(toks) AS n_tokens, text_hash,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS ttr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains({_EN_MARKERS_SQL}, x)))::DOUBLE / len(toks) END AS stop_ratio
+  FROM d
+),
+scored AS (
+  SELECT *, (CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END
+             + ttr
+             + (1.0 - least(1.0, abs(stop_ratio - 0.4) / 0.6))) / 3.0 AS quality
+  FROM m
+),
+-- exact dedup: keep the lowest doc_id per identical text
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM scored GROUP BY text_hash
+),
+kept AS (
+  SELECT s.* FROM scored s JOIN canonical c ON c.doc_id = s.doc_id
+  WHERE s.quality >= 0.5 AND s.n_tokens >= 10
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       floor(avg(quality) * 10000) / 10000 AS avg_quality
+FROM kept GROUP BY lang
+""",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation flow end to end, as ONE plan: quality
+    scoring → exact dedup (keep canonical doc per hash) → length gate →
+    per-language corpus stats. This is the operator composition a 100 TB
+    pre-training pipeline runs; every stage is the already-verified
+    operator, fused so Catalyst optimizes across stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("text_hash"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("ttr"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.filter(toks, lambda x: x.isin(EN_MARKERS))).cast("double")
+            / F.size(toks)
+        )
+        .alias("stop_ratio"),
+    )
+    len_gate = F.when(
+        F.col("n_chars").between(20, 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    prose = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(F.col("stop_ratio") - 0.4) / F.lit(0.6)
+    )
+    scored = scored.withColumn(
+        "quality", (len_gate + F.col("ttr") + prose) / F.lit(3.0)
+    )
+    canonical = scored.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = scored.join(canonical, ["text_hash", "doc_id"]).filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10)
+    )
+    from .operators.textstats import trunc4
+
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        trunc4(F.avg("quality")).alias("avg_quality"),
     )
 
 
