@@ -2191,6 +2191,39 @@ def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_lineitem_volume",
+    """
+SELECT s_suppkey, s_name, n_name,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY revenue DESC, s_suppkey ASC
+""",
+)
+def q_supplier_lineitem_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier shipped volume with nation dimension (completes the
+    star-schema coverage: every test table now feeds at least one query)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
