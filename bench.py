@@ -47,6 +47,9 @@ HEADLINE = [
     "chunk_documents",
     "bm25_multifield",
     "filtered_vector_search",
+    "corpus_curation_pipeline",
+    "tpch_q18_large_orders",
+    "supplier_lineitem_volume",
 ]
 
 

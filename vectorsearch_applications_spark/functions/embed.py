@@ -22,7 +22,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import stable_hash64, tokenize
+from .text import tokenize
 
 
 def _dim_contrib(token: Column, d) -> Column:

@@ -16,7 +16,7 @@ aggregations and for deterministic layouts AQE can't rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
