@@ -2224,6 +2224,46 @@ def q_supplier_lineitem_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_last_signup",
+    """
+WITH o AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000000000 AS es
+  FROM events
+)
+SELECT event_id, user_id, es,
+       max(CASE WHEN event_type = 'signup' THEN es END)
+         OVER (PARTITION BY user_id ORDER BY es, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_signup_es
+FROM o
+""",
+)
+def q_events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, set-based: for every event, the most recent signup at or
+    before it for the same user — a conditional running max over the
+    per-user ordered window (one shuffle on user_id, no merge_asof UDF, no
+    range join). The general as-of pattern Spark lacks natively."""
+    ev = load_table(spark, sf_dir, "events")
+    from .functions.time import epoch_seconds
+
+    es = epoch_seconds(ev, "ts")
+    o = ev.select("event_id", "user_id", "event_type", es.alias("es"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("es"))
+        ).over(w).alias("last_signup_es"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
