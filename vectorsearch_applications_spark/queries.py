@@ -2264,6 +2264,97 @@ def q_events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filtered_hybrid_search",
+    f"""
+WITH docs AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE lang = 'en'
+),
+corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+  GROUP BY doc_id, dl, term
+),
+termstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= 50),
+kw_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END * 0.75 AS kw_score
+  FROM kw_top
+),
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+  FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
+),
+vec_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id IN (SELECT doc_id FROM docs)
+),
+vec_ranked AS (
+  SELECT query_id, doc_id, 1.0 - distance AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM vec_scored
+),
+vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= 50),
+vec_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(sim) OVER (PARTITION BY query_id) = min(sim) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                   / (max(sim) OVER (PARTITION BY query_id) - min(sim) OVER (PARTITION BY query_id))
+         END * 0.25 AS vec_score
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(k.query_id, v.query_id) AS query_id,
+         coalesce(k.doc_id, v.doc_id) AS doc_id,
+         coalesce(k.kw_score, 0) + coalesce(v.vec_score, 0) AS score
+  FROM kw_norm k FULL OUTER JOIN vec_norm v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+),
+final_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM final_ranked WHERE rnk <= 10
+""",
+)
+def q_filtered_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference UI's guest-filtered hybrid search (rag_ui.py:108 +
+    P6): the metadata predicate pre-filters BOTH retrieval arms — the BM25
+    corpus (its stats shrink to the filtered set, exactly like Weaviate's
+    filtered BM25) and the vector side (semi-join on the allowed ids) —
+    before any ranking."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _search_queries_df(spark)
+    kw = bm25_search(docs, qdf, limit=50)  # stats over the filtered corpus
+    allowed = docs.select(F.col("doc_id").alias("vec_id"))
+    emb_f = emb.join(allowed, "vec_id", "left_semi")
+    qv = emb.filter(F.col("vec_id") < len(SEARCH_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = knn_search(emb_f, qv, k=50).withColumnRenamed("vec_id", "doc_id")
+    fused = hybrid_search(kw, vec, alpha=0.25, limit=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
