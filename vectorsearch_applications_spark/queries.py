@@ -2355,6 +2355,36 @@ def q_filtered_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_plan",
+    """
+WITH media AS (
+  SELECT event_id AS media_id,
+         CAST(floor(value * 100) AS BIGINT) AS duration_ms
+  FROM events WHERE event_id < 1000
+)
+SELECT media_id, duration_ms,
+       unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ts_ms
+FROM media
+""",
+)
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N frame sampling (video row → one row per sampled
+    frame timestamp) — the UDTF-shaped plumbing ahead of any decode UDF,
+    driven here from synthetic durations so the explode arithmetic itself
+    is oracle-graded."""
+    from .multimodal.binary import frame_sample_plan
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", "duration_ms", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
