@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from vectorsearch_applications_spark.functions.time import to_timestamp_col
 from vectorsearch_applications_spark.sources.io import load_table
 from vectorsearch_applications_spark.streaming.events import (
+    sliding_counts_batch,
     sliding_counts_stream,
     user_running_totals_stateful,
 )
@@ -40,20 +41,8 @@ def test_sliding_counts_match_batch(spark, tmp_path):
         (r["win_start"], r["event_type"]): r["n_events"]
         for r in spark.sql("SELECT * FROM sliding_out").collect()
     }
-    # batch equivalent: every event contributes to 2 overlapping windows
-    want_df = (
-        static.select(
-            F.explode(
-                F.array(
-                    (F.floor(F.col("ts").cast("double") / 300) * 300 - 300).cast("bigint"),
-                    (F.floor(F.col("ts").cast("double") / 300) * 300).cast("bigint"),
-                )
-            ).alias("win_start"),
-            "event_type",
-        )
-        .groupBy("win_start", "event_type")
-        .agg(F.count("*").alias("n_events"))
-    )
+    # batch twin — the oracle-backed op behind the events_sliding_agg query
+    want_df = sliding_counts_batch(static, window_seconds=600, slide_seconds=300)
     want = {
         (r["win_start"], r["event_type"]): r["n_events"]
         for r in want_df.collect()

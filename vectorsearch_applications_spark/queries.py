@@ -2385,6 +2385,87 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5_local_supplier",
+    """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table star join with the *local supplier*
+    compound condition (l_suppkey = s_suppkey AND c_nationkey =
+    s_nationkey) — the one join topology the relational surface was still
+    missing. Dims broadcast; the big lineitem⋈orders shuffle keys on
+    orderkey and the date filter pushes to the orders scan."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "events_sliding_agg",
+    """
+WITH o AS (
+  SELECT event_type, value, epoch_ns(ts) // 1000000000 AS es FROM events
+),
+w AS (
+  SELECT event_type, value,
+         unnest(generate_series(es // 300 - 1, es // 300)) AS k
+  FROM o
+)
+SELECT k * 300 AS win_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (600 s window, 300 s slide) as a batch
+    plan: the overlap is materialized by exploding each event into the
+    window indexes it belongs to — the deterministic twin of
+    sliding_counts_stream (§2.11), and the oracle for it."""
+    from .streaming.events import sliding_counts_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts_batch(ev, window_seconds=600, slide_seconds=300)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -44,6 +44,42 @@ def tumbling_counts_batch(
     )
 
 
+def sliding_counts_batch(
+    events: DataFrame, window_seconds: int = 600, slide_seconds: int = 300
+) -> DataFrame:
+    """Batch twin of the sliding window: each event lands in
+    window/slide overlapping windows, materialized by exploding the window
+    indexes it belongs to (k ∈ [es DIV slide − overlap + 1, es DIV slide]).
+
+    Exact integer arithmetic (window start = k·slide as BIGINT epoch
+    seconds) so it is oracle-checkable; the earliest events legitimately
+    produce a pre-range window start (k may index a window starting before
+    the first slide boundary), matching F.window's semantics.
+    """
+    assert window_seconds % slide_seconds == 0, "window must be a multiple of slide"
+    n_over = window_seconds // slide_seconds
+    es = epoch_seconds(events, "ts")
+    # es < 2^31 so the double division below is exact; es ≥ 0 so the
+    # truncating cast equals floor. sequence() is ascending (n_over ≥ 1).
+    k_max = F.floor(es / F.lit(slide_seconds)).cast("bigint")
+    return (
+        events.select(
+            F.col("event_type"),
+            F.col("value"),
+            F.explode(
+                F.sequence(k_max - F.lit(n_over - 1), k_max)
+            ).alias("k"),
+        )
+        .groupBy(
+            (F.col("k") * slide_seconds).alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,
