@@ -50,6 +50,8 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "tpch_q18_large_orders",
     "supplier_lineitem_volume",
+    "tpch_q5_local_supplier",
+    "events_sliding_agg",
 ]
 
 
