@@ -4,6 +4,7 @@ row count + sorted-column order-insensitive value comparison."""
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 import pandas as pd
@@ -27,7 +28,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # bytes / decimals → str for stable compare
             df[c] = df[c].map(lambda v: v if isinstance(v, str) else str(v))
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
+            df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), ignore_index=True)
@@ -44,6 +45,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     assert list(r.columns) == list(o.columns), (
         f"columns: spark={list(r.columns)} oracle={list(o.columns)}"
     )
+    assert list(r.dtypes) == list(o.dtypes), (
+        f"dtypes: spark={list(r.dtypes)} oracle={list(o.dtypes)}"
+    )
     for c in r.columns:
         rv, ov = r[c].tolist(), o[c].tolist()
         mism = [
@@ -54,9 +58,18 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         assert not mism, f"column {c}: first mismatches {mism[:5]}"
 
 
+def _bits(x: float) -> bytes:
+    # canonicalize every NaN payload to the one NaN; -0.0 keeps its sign
+    # bit and so DIFFERS from +0.0 — exactly like the driver's value hash
+    if math.isnan(x):
+        x = float("nan")
+    return struct.pack("<d", x)
+
+
 def _eq(a, b) -> bool:
+    """Bitwise float equality (after NaN canonicalization) so the local
+    gate predicts the driver's hash compare — an |a-b|<eps tolerance let
+    the knn_search -0.0 red row through two rounds running."""
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return abs(a - b) < 1e-9
+        return _bits(a) == _bits(b)
     return a == b

@@ -90,6 +90,23 @@ def test_salted_aggregate_matches_plain(spark):
         assert s[k]["vmin"] == p[k]["vmin"] and s[k]["vmax"] == p[k]["vmax"]
 
 
+def test_bm25_broadcasts_filtered_stats_not_full_vocab(spark):
+    """The full-vocabulary term_stats (10^8-10^9 terms at 100 TB) must be
+    semi-joined down to the query vocabulary BEFORE any broadcast: the
+    executed plan must contain the LeftSemi filter, and the broadcast that
+    feeds the scoring join must consume it."""
+    from vectorsearch_applications_spark.operators.bm25 import bm25_search
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    plan = _plan(bm25_search(docs, queries, limit=5))
+    assert "LeftSemi" in plan  # term_stats ⋉ query vocab precedes broadcast
+    # both remaining equi-joins (query terms, filtered stats) broadcast
+    assert plan.count("BroadcastHashJoin") >= 3  # incl. the semi itself
+
+
 def test_global_topk_uses_take_ordered(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     top = o.orderBy(F.desc("o_totalprice")).limit(5)

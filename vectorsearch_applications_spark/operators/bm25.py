@@ -219,11 +219,20 @@ def bm25_search(
         F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
     )
 
-    # q_terms and term_stats are tiny next to postings: broadcast both so the
-    # postings table is filtered to query terms without shuffling it.
+    # term_stats spans the FULL corpus vocabulary (10^8-10^9 terms at
+    # 100 TB of web text) — broadcasting it whole OOMs at exactly the
+    # target scale. Semi-join it down to the query vocabulary first (the
+    # semi-join broadcasts the tiny query-term list, so term_stats is
+    # filtered executor-side without a shuffle), then broadcast the
+    # filtered stats: at most |distinct query terms| rows.
+    q_vocab = q_terms.select("term").distinct()
+    q_term_stats = term_stats.join(F.broadcast(q_vocab), "term", "semi")
+
+    # q_terms and q_term_stats are tiny next to postings: broadcast both so
+    # the postings table is filtered to query terms without shuffling it.
     scored_terms = (
         postings.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(term_stats), "term")
+        .join(F.broadcast(q_term_stats), "term")
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "idf",
