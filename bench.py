@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -71,13 +72,21 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # Median of 3 interleaved sweeps: the box is noisy (±50% run-to-run
+    # observed), so single-shot timings can't distinguish a regression
+    # from noise. Interleaving the sweeps (q1..qN, q1..qN, q1..qN) spreads
+    # any transient load spike across queries instead of poisoning one.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - start)
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
