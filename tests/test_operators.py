@@ -246,6 +246,59 @@ def test_rerank_threshold_fallback(spark):
     assert len(by_q[1]) == 1
 
 
+def test_rerank_model_fake_scorer_sigmoid_and_fallback(spark):
+    """Q4 model path: mapInPandas pair scorer with an injected fake model —
+    verifies the sigmoid option and that the threshold-with-fallback
+    orchestration is identical to the overlap path."""
+    import math
+
+    from vectorsearch_applications_spark.operators.rerank import rerank_model
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer document text"), (3, "mid text")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "q zero"), (1, "q one")], "query_id long, query string"
+    )
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 1), (1, 2)], "query_id long, doc_id long"
+    )
+
+    # deterministic fake cross-encoder: raw logit = text length - 10
+    fake = lambda pairs: [float(len(t) - 10) for _, t in pairs]  # noqa: E731
+
+    raw = rerank_model(
+        hits, queries, docs, top_k=3, apply_sigmoid=False, score_fn=fake
+    ).collect()
+    sig = rerank_model(
+        hits, queries, docs, top_k=3, apply_sigmoid=True, score_fn=fake
+    ).collect()
+    raw_by = {(r["query_id"], r["doc_id"]): r["cross_score"] for r in raw}
+    sig_by = {(r["query_id"], r["doc_id"]): r["cross_score"] for r in sig}
+    assert raw_by[(0, 1)] == -5.0  # len("short") - 10
+    for k, v in raw_by.items():
+        assert abs(sig_by[k] - 1.0 / (1.0 + math.exp(-v))) < 1e-12
+    # ranking follows score desc: doc 2 (longest) first for both queries
+    assert [r["doc_id"] for r in sorted(raw, key=lambda r: r["rank"]) if r["query_id"] == 0][0] == 2
+
+    # threshold 0.5 on sigmoid scores = raw > 0: only doc 2 passes; for a
+    # query where nothing passes, fallback keeps top_k
+    thr = rerank_model(
+        hits.filter(F.col("doc_id") != 2),
+        queries,
+        docs,
+        top_k=1,
+        threshold=0.5,
+        apply_sigmoid=True,
+        score_fn=fake,
+    ).collect()
+    by_q = {}
+    for r in thr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q[0]) == 1 and len(by_q[1]) == 1  # fallback engaged
+
+
 def test_expanded_content_window2(spark):
     docs = spark.createDataFrame(
         [("v", i, f"c{i}") for i in range(5)],

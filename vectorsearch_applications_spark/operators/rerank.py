@@ -19,8 +19,11 @@ threshold; if a query has none, fall back to its top_k by score.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..functions.text import tokenize
 
@@ -69,6 +72,15 @@ def rerank_overlap(
         .withColumn("cross_score", _jaccard(F.col("_qt"), F.col("_dt")))
         .select("query_id", "doc_id", "cross_score")
     )
+    return _rank_with_threshold(pairs, top_k, threshold)
+
+
+def _rank_with_threshold(
+    pairs: DataFrame, top_k: int, threshold: float | None
+) -> DataFrame:
+    """Shared rerank orchestration: rank (query_id, doc_id, cross_score)
+    pairs desc, apply threshold-with-fallback (reference reranker.py:82-87)
+    — set-based, no driver loop."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cross_score"), F.asc("doc_id")
     )
@@ -88,3 +100,107 @@ def rerank_overlap(
             | ((F.col("_np") == 0) & (F.col("rank") <= top_k))
         )
     return out.select("query_id", "doc_id", "rank", "cross_score")
+
+
+_CROSS_CACHE: dict[str, object] = {}
+
+
+def _get_cross_encoder(name: str):
+    """Per-executor CrossEncoder singleton (load-once, same shape as
+    functions/embed.py:_get_model)."""
+    if name not in _CROSS_CACHE:
+        try:
+            from sentence_transformers import CrossEncoder  # type: ignore
+        except ImportError as e:  # pragma: no cover - model lib absent in CI
+            raise NotImplementedError(
+                "sentence-transformers not installed; pass score_fn or use "
+                "rerank_overlap for the deterministic engine path"
+            ) from e
+        _CROSS_CACHE[name] = CrossEncoder(name)
+    return _CROSS_CACHE[name]
+
+
+def model_rerank_factory(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    apply_sigmoid: bool = True,
+    score_fn: Callable[[list[tuple[str, str]]], list[float]] | None = None,
+):
+    """Build a mapInPandas pair scorer: batches with ``query`` and ``text``
+    columns gain a ``cross_score`` double.
+
+    Mirrors the reference's cross-encoder scoring (``src/reranker.py:25-48``:
+    predict on [query, content] pairs, sigmoid activation unless
+    ``apply_sigmoid=False``). ``score_fn`` injects a custom/fake scorer
+    (tests, or any model runtime); default loads the CrossEncoder singleton
+    per executor — one model load per worker, Arrow-batched inference,
+    never per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        fn = score_fn
+        if fn is None:
+            model = _get_cross_encoder(model_name)
+            fn = lambda pairs: [float(s) for s in model.predict(pairs)]  # noqa: E731
+        for pdf in batches:
+            out = pdf.copy()
+            raw = np.asarray(
+                fn(list(zip(pdf["query"], pdf["text"]))), dtype="float64"
+            )
+            if apply_sigmoid:
+                raw = 1.0 / (1.0 + np.exp(-raw))
+            out["cross_score"] = raw
+            yield out
+
+    return score_batches
+
+
+def rerank_model(
+    hits: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    top_k: int = 5,
+    threshold: float | None = None,
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    apply_sigmoid: bool = True,
+    score_fn: Callable[[list[tuple[str, str]]], list[float]] | None = None,
+) -> DataFrame:
+    """Model-backed rerank: same candidate-join + threshold orchestration as
+    ``rerank_overlap``, with the pair scorer swapped for the cross-encoder
+    factory. Output: (query_id, doc_id, rank, cross_score)."""
+    pairs_in = (
+        hits.select("query_id", "doc_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_col).alias("query"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            "doc_id",
+        )
+    )
+    # fresh StructType: DataFrame.schema is a cached object and .add()
+    # mutates it in place, corrupting the input frame's resolved columns
+    out_schema = StructType(
+        list(pairs_in.schema) + [StructField("cross_score", DoubleType())]
+    )
+    scored = pairs_in.mapInPandas(
+        model_rerank_factory(model_name, apply_sigmoid, score_fn), out_schema
+    )
+    return _rank_with_threshold(
+        scored.select("query_id", "doc_id", "cross_score"), top_k, threshold
+    )
