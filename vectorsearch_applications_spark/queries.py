@@ -1399,23 +1399,33 @@ FROM dedup ORDER BY anchor_id LIMIT 50
 """,
 )
 def q_qa_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 oversample→validate→dedup→limit with the deterministic stub
-    generator (the LLM generator of retrieval_evaluation.py:151-233 drops in
-    as a mapInPandas stage; the surrounding plan — quality filter P7, regex
-    validation P8, key dedup U2, budget limit — is the engine's job)."""
+    """F4 oversample→validate→dedup→limit, generation routed through the F3
+    ``llm_complete`` egress operator (async-batched mapInPandas) with a
+    deterministic injected generator — the litellm-backed fn of
+    retrieval_evaluation.py:151-233 drops into the same slot; the
+    surrounding plan — quality filter P7, regex validation P8, key dedup
+    U2, budget limit — is the engine's job."""
     from .operators.chunking import chunk_tokens
+    from .operators.llm import llm_complete
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     chunks = chunk_tokens(docs, chunk_size=16)
-    cand = chunks.select(
+    prompts = chunks.select(
         F.col("chunk_id").alias("anchor_id"),
-        F.concat(
-            F.lit("what is discussed regarding "),
-            F.concat_ws(" ", F.slice(F.split("chunk_text", " "), 1, 3)),
-        ).alias("question"),
         F.col("chunk_text").alias("answer"),
         F.col("n_chunk_tokens").alias("n_toks"),
+        F.lit("Write one question about the excerpt.").alias("system_message"),
+        F.concat_ws(" ", F.slice(F.split("chunk_text", " "), 1, 3)).alias(
+            "user_message"
+        ),
     )
+
+    async def deterministic_generator(system_message: str, user_message: str) -> str:
+        return f"what is discussed regarding {user_message}"
+
+    cand = llm_complete(
+        prompts, acomplete_fn=deterministic_generator, out_col="question"
+    ).select("anchor_id", "question", "answer", "n_toks")
     filtered = cand.filter(
         (F.col("n_toks") >= 8)
         & ~F.col("question").rlike("transcript|episode|excerpt")
