@@ -313,6 +313,61 @@ def test_expanded_content_window2(spark):
     assert out[4] == "c2 c3 c4"
 
 
+def test_router_fit_and_fitted_inference(spark):
+    """Q5 training: fitted thresholds separate an easy two-route corpus and
+    the fitted classifier falls back to the default route below threshold."""
+    from vectorsearch_applications_spark.plans.router import (
+        fit_route_thresholds,
+        route_queries_fitted,
+    )
+
+    routes = spark.createDataFrame(
+        [
+            ("sql", "how many rows are there"),
+            ("sql", "count the total views"),
+            ("search", "tell me about sleep"),
+            ("search", "what was said about light"),
+        ],
+        "route string, utterance string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "how many views are there", "sql"),
+            (1, "count the rows", "sql"),
+            (2, "tell me about morning light", "search"),
+            (3, "what was said about sleep", "search"),
+        ],
+        "query_id long, query string, label string",
+    )
+    fitted = fit_route_thresholds(train, routes, default_route="search")
+    rows = {r["route"]: r for r in fitted.collect()}
+    assert set(rows) <= {"sql", "search"}
+    for r in rows.values():
+        assert 0 <= r["threshold_idx"] < 20
+        assert r["n_correct"] <= r["n_train"]
+        assert abs(r["threshold"] - r["threshold_idx"] * 0.05) < 1e-15
+
+    # inference honors the fitted thresholds; an absurdly high threshold
+    # forces the default-route fallback
+    out = {
+        r["query_id"]: r["route"]
+        for r in route_queries_fitted(
+            train.select("query_id", "query"), routes, fitted
+        ).collect()
+    }
+    assert len(out) == 4
+    high = spark.createDataFrame(
+        [("sql", 0.99), ("search", 0.99)], "route string, threshold double"
+    )
+    forced = {
+        r["query_id"]: r["route"]
+        for r in route_queries_fitted(
+            train.select("query_id", "query"), routes, high, default_route="search"
+        ).collect()
+    }
+    assert all(v == "search" for v in forced.values())
+
+
 def test_sql_guard():
     assert validate_select_only("SELECT 1").startswith("SELECT")
     with pytest.raises(SqlGuardError):

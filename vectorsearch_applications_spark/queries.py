@@ -1003,6 +1003,148 @@ def q_route_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_queries(queries, routes, dim=_EMBED_DIM)
 
 
+_ROUTE_TRAIN = [
+    (0, "how many views does the top episode have", "sql"),
+    (1, "what was discussed about dopamine", "search"),
+    (2, "count guests with more than one episode", "sql"),
+    (3, "total number of episodes this year", "sql"),
+    (4, "tell me about sleep hygiene", "search"),
+    (5, "benefits of zone two cardio", "search"),
+    (6, "which episode has the fewest views", "sql"),
+    (7, "what did the guest say about fasting", "search"),
+]
+_RT_VALUES = ", ".join(
+    f"({i}::BIGINT, '{q}', '{label}')" for i, q, label in _ROUTE_TRAIN
+)
+
+
+@register(
+    "router_fit",
+    f"""
+WITH utt AS (SELECT * FROM (VALUES {_RU_VALUES}) v(route, uid, utterance)),
+usrc AS (SELECT uid AS eid, {_toks('utterance')} AS toks FROM utt),
+{_EMBED_SQL.format(name='u', src='usrc', dmax=_EMBED_DIM - 1)},
+centroids AS (
+  SELECT route, d, avg(v) AS v
+  FROM u_emb e JOIN utt ON utt.uid = e.eid
+  GROUP BY route, d
+),
+cnorm AS (SELECT route, sqrt(sum(v * v)) AS n FROM centroids GROUP BY route),
+rt AS (SELECT * FROM (VALUES {_RT_VALUES}) v(query_id, query, label)),
+qsrc AS (SELECT query_id AS eid, {_toks('query')} AS toks FROM rt),
+{_EMBED_SQL.format(name='q', src='qsrc', dmax=_EMBED_DIM - 1)},
+qnorm2 AS (SELECT eid, sqrt(sum(v * v)) AS n FROM q_emb GROUP BY eid),
+scored AS (
+  SELECT q.eid AS query_id, c.route,
+         sum(q.v * c.v) / (qq.n * cn.n) AS score
+  FROM q_emb q
+  JOIN centroids c USING (d)
+  JOIN cnorm cn ON cn.route = c.route
+  JOIN qnorm2 qq ON qq.eid = q.eid
+  GROUP BY q.eid, c.route, qq.n, cn.n
+),
+best AS (
+  SELECT query_id, route, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, route ASC) AS rn
+  FROM scored
+),
+labeled AS (
+  SELECT b.query_id, b.route, b.score, r.label
+  FROM best b JOIN rt r USING (query_id) WHERE b.rn = 1
+),
+grid AS (SELECT unnest(generate_series(0, 19)) AS tidx),
+evals AS (
+  SELECT route, tidx,
+         sum(CASE WHEN (score >= tidx * 0.05 AND label = route)
+                    OR (score < tidx * 0.05 AND label = 'search')
+             THEN 1 ELSE 0 END) AS n_correct,
+         count(*) AS n_train
+  FROM labeled CROSS JOIN grid GROUP BY route, tidx
+),
+pick AS (
+  SELECT route, tidx, n_correct, n_train,
+         row_number() OVER (PARTITION BY route ORDER BY n_correct DESC, tidx ASC) AS rn
+  FROM evals
+)
+SELECT route, tidx::BIGINT AS threshold_idx, tidx * 0.05 AS threshold,
+       n_correct::BIGINT AS n_correct, n_train::BIGINT AS n_train
+FROM pick WHERE rn = 1
+""",
+)
+def q_router_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 training path — the reference's ``layer.fit`` (nb8 cells 34-41)
+    re-expressed as a set-based threshold grid search; see
+    plans/router.py:fit_route_thresholds."""
+    from .plans.router import fit_route_thresholds
+
+    routes = spark.createDataFrame(
+        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
+    )
+    train = spark.createDataFrame(
+        _ROUTE_TRAIN, "query_id long, query string, label string"
+    )
+    return fit_route_thresholds(
+        train, routes, default_route="search", dim=_EMBED_DIM
+    )
+
+
+@register(
+    "llm_cost_accounting",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 100
+),
+p AS (
+  SELECT doc_id,
+         'Summarize the excerpt. ' || array_to_string(toks[1:8], ' ') AS prompt,
+         '[gpt-4o-mini] ' || array_to_string(toks[1:8], ' ') AS completion
+  FROM d
+),
+t AS (
+  SELECT len({_toks('prompt')}) AS np, len({_toks('completion')}) AS nc FROM p
+)
+SELECT 'gpt-4o-mini' AS model, count(*)::BIGINT AS n_calls,
+       sum(np)::BIGINT AS prompt_tokens, sum(nc)::BIGINT AS completion_tokens,
+       (150 * sum(np) + 600 * sum(nc))::BIGINT AS cost_nanousd
+FROM t
+GROUP BY 1
+""",
+)
+def q_llm_cost_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 cost accounting — the reference accumulates litellm
+    ``completion_cost`` into a session counter (``src/rag_ui.py:69-71,146``).
+    Engine re-expression: completions flow through the F3 egress operator,
+    per-call token counts come from the portable tokenizer, and pricing is
+    integer nano-USD per token (gpt-4o-mini public list: $0.15/1M prompt,
+    $0.60/1M completion) — one aggregation, integer-exact, no float
+    rounding to flap."""
+    from .operators.llm import llm_complete
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    prompts = docs.select(
+        "doc_id",
+        F.lit("Summarize the excerpt.").alias("system_message"),
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 8)).alias("user_message"),
+    )
+    done = llm_complete(prompts, model_name="gpt-4o-mini")
+    counts = done.select(
+        F.size(
+            tokenize(
+                F.concat_ws(" ", F.col("system_message"), F.col("user_message"))
+            )
+        ).alias("np"),
+        F.size(tokenize("completion")).alias("nc"),
+    )
+    return counts.groupBy(F.lit("gpt-4o-mini").alias("model")).agg(
+        F.count("*").cast("bigint").alias("n_calls"),
+        F.sum("np").cast("bigint").alias("prompt_tokens"),
+        F.sum("nc").cast("bigint").alias("completion_tokens"),
+        (F.lit(150) * F.sum("np") + F.lit(600) * F.sum("nc"))
+        .cast("bigint")
+        .alias("cost_nanousd"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking / prompt assembly / corpus stats (SURVEY F1, F8, A5-A6, P7, W2)
 # ---------------------------------------------------------------------------
@@ -2551,6 +2693,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets, dedup_simhash covers dedup_simhash_pairs). All remain registered,
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
+    "router_fit",
+    "llm_cost_accounting",
     "qa_triplets",
     "bm25_multifield",
     "filtered_vector_search",
@@ -2567,6 +2711,8 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "dedup_ngram_jaccard",
+    "doc_fingerprints",
     "expanded_content_w2",
     "dedup_simhash_pairs",
     "tpch_q6_forecast_revenue",
