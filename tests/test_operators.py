@@ -125,6 +125,25 @@ def test_knn_pre_filter_semantics(spark):
     assert [r["rank"] for r in sorted(hits, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
 
 
+def test_ivf_build_sparse_ids(spark):
+    """Hash-mod centroid sampling must produce a full centroid set even
+    when ids are sparse/offset (a stride `id % k == 0` filter picks ~0
+    rows here because every id is ≡ 1 mod 7)."""
+    from vectorsearch_applications_spark.operators.ann import ivf_build
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("vec_id", F.col("vec_id") * 7 + 1_000_003)
+    )
+    centroids, assignments = ivf_build(emb, n_centroids=16)
+    assert centroids.count() == 16
+    ids = {r["centroid_id"] for r in centroids.collect()}
+    assert ids == set(range(16))
+    # every vector assigned to exactly one bucket
+    assert assignments.count() == emb.count()
+    assert assignments.select("vec_id").distinct().count() == emb.count()
+
+
 def test_ann_recall_reasonable(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(

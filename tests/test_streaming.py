@@ -85,10 +85,13 @@ def test_stream_static_join(spark, tmp_path):
 
 def test_sessionize_gap_boundaries(spark):
     rows = [
-        # user 1: gap exactly 1800 (same session), then 1801 (new session)
+        # user 1: gap 1799 (same session), then EXACTLY 1800 (still the
+        # same session — session_window merges on end >= next start, so
+        # only a STRICTLY larger gap splits), then 1801 (new session)
         (1, 0, 1_000_000_000_000_000_000, 1.0),
-        (1, 1, 1_000_000_000_000_000_000 + 1800 * 10**9, 1.0),
-        (1, 2, 1_000_000_000_000_000_000 + 3601 * 10**9 + 10**9, 1.0),
+        (1, 1, 1_000_000_000_000_000_000 + 1799 * 10**9, 1.0),
+        (1, 2, 1_000_000_000_000_000_000 + (1799 + 1800) * 10**9, 1.0),
+        (1, 3, 1_000_000_000_000_000_000 + (1799 + 1800 + 1801) * 10**9, 1.0),
     ]
     ev = spark.createDataFrame(
         rows, "user_id long, event_id long, ts long, value double"
@@ -96,4 +99,44 @@ def test_sessionize_gap_boundaries(spark):
     from vectorsearch_applications_spark.operators.windows import sessionize
 
     out = {r["event_id"]: r["session_id"] for r in sessionize(ev).collect()}
-    assert out[0] == 0 and out[1] == 0 and out[2] == 1
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0 and out[3] == 1
+
+
+def test_sessionize_matches_session_window(spark):
+    """The batch operator must agree with Spark's own session_window on
+    session count AND session sizes — including exactly-gap events."""
+    from vectorsearch_applications_spark.operators.windows import sessionize
+
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    for user, gaps in [
+        (1, [0, 100, 1800, 5, 1799, 1800]),
+        (2, [0, 1801, 1799, 1800, 60]),
+        (3, [0]),
+    ]:
+        t = base
+        for g in gaps:
+            t += g
+            rows.append((user, eid, t * 10**9, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    )
+
+    batch = (
+        sessionize(ev, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .count()
+    )
+    batch_sizes = {
+        (r["user_id"], r["count"]) for r in batch.collect()
+    }
+    sw = (
+        ev.withColumn("t", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        .groupBy("user_id", F.session_window("t", "1800 seconds"))
+        .count()
+    )
+    sw_sizes = {(r["user_id"], r["count"]) for r in sw.collect()}
+    assert batch_sizes == sw_sizes
+    assert batch.count() == sw.count()

@@ -38,14 +38,19 @@ def ivf_build(
     Persist both next to the collection; incremental appends only re-assign
     the new rows.
     """
-    # one full count (the documented index-build scan) sizes the stride;
-    # the centroid sample is a distributed filter + partial top-k — no
-    # global single-partition window over the corpus
+    # one full count (the documented index-build scan) sizes the sampling
+    # rate; the centroid sample is a distributed filter + partial top-k —
+    # no global single-partition window over the corpus
     n = corpus.count()
-    stride = max(1, n // n_centroids)
+    # hash-mod sampling: deterministic AND uniform for ANY id distribution
+    # (sparse, hashed, or offset ids — a plain `id % stride` picks 0 rows
+    # when no id happens to be divisible). 4× oversample keeps the
+    # probability of drawing fewer than n_centroids candidates negligible;
+    # the ordered limit then takes the first n_centroids by hash.
+    rate = max(1, n // max(1, 4 * n_centroids))
     sampled = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("centroid"))
-        .filter((F.col("_id") % stride) == 0)
+        .filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(rate)) == 0)
         .orderBy(F.asc("_id"))
         .limit(n_centroids)  # TakeOrderedAndProject: per-partition top-k
     )

@@ -47,9 +47,16 @@ def sessionize(
     gap_seconds: int = 1800,
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
-    """Batch sessionization: lag + cumsum(gap > threshold) — the batch analog
-    of streaming ``session_window`` (SURVEY §2.11). Adds ``session_id``
-    (0-based per user).
+    """Batch sessionization: lag + cumsum(gap > threshold) — the batch
+    analog of streaming ``session_window`` (SURVEY §2.11). Adds
+    ``session_id`` (0-based per user).
+
+    Gap boundary verified against Spark's own ``session_window``
+    (tests/test_streaming.py:test_sessionize_matches_session_window): an
+    event arriving at *exactly* ``gap`` seconds after its predecessor
+    MERGES into the session (session_window extends the window end to
+    event+gap and merges on end >= next start), so the split condition is
+    strictly ``gap > gap_seconds``.
 
     Timestamps are floored to whole epoch seconds and ordered with a
     tiebreak column so results are engine-portable bit-for-bit.
