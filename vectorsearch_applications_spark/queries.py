@@ -1396,7 +1396,7 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     one declarative plan (the reference's §3.1 steps 2-3 with the
     deterministic encoder; swap model_embed_factory in deployment)."""
     from .functions.embed import hash_embed_col, hash_embed_df
-    from .operators.knn import knn_search_crossjoin
+    from .operators.knn import knn_search
 
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 1000) & (F.size(tokenize("text")) > 0)
@@ -1410,7 +1410,10 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qemb = _search_queries_df(spark).select(
         "query_id", hash_embed_col(F.col("query"), _EMBED_DIM).alias("query_vec")
     )
-    hits = knn_search_crossjoin(demb, qemb, k=10)
+    # partial-top-k kNN (the 100 TB plan): shuffle O(partitions × Q × k),
+    # no doc_id bound needed for safety — the bound here only pins the
+    # oracle's corpus slice
+    hits = knn_search(demb, qemb, k=10)
     return hits.select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
