@@ -387,6 +387,30 @@ def test_router_fit_and_fitted_inference(spark):
     assert all(v == "search" for v in forced.values())
 
 
+def test_text2sql_pipeline_guards_generated_sql(spark):
+    """Generated SQL is untrusted: a stub that emits a destructive
+    statement must be stopped by the guard, never executed."""
+    import pytest
+
+    from vectorsearch_applications_spark.plans.text2sql import (
+        SqlGuardError,
+        text2sql_pipeline,
+    )
+
+    async def hostile(system_message: str, user_message: str) -> str:
+        return "DROP TABLE orders"
+
+    with pytest.raises(SqlGuardError):
+        text2sql_pipeline(spark, "delete everything", acomplete_fn=hostile)
+
+    async def benign(system_message: str, user_message: str) -> str:
+        return "SELECT 1 AS one"
+
+    assert text2sql_pipeline(spark, "just one", acomplete_fn=benign).collect()[
+        0
+    ]["one"] == 1
+
+
 def test_sql_guard():
     assert validate_select_only("SELECT 1").startswith("SELECT")
     with pytest.raises(SqlGuardError):

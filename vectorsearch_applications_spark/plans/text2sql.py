@@ -55,3 +55,47 @@ def validate_select_only(sql: str) -> str:
 
 def run_guarded_sql(spark: SparkSession, sql: str) -> DataFrame:
     return spark.sql(validate_select_only(sql))
+
+
+_SYSTEM_MESSAGE = (
+    "Your main function is to generate flawless SQL queries from plain "
+    "text language. Return the SQL as a single command with no newlines "
+    "and nothing else."
+)
+_USER_TEMPLATE = "PLAIN TEXT QUERY: {query} SQL:"
+
+
+def text2sql_generate(questions: DataFrame, acomplete_fn=None) -> DataFrame:
+    """NL→SQL generation stage (reference nb8 cells 49-51: system + user
+    prompt into the LLM, SQL string back). Adds ``generated_sql`` via the
+    F3 egress operator; ``acomplete_fn`` injects the deterministic stub in
+    tests or the litellm-backed call in deployment. Expects a ``question``
+    column; passes every other column through."""
+    from pyspark.sql import functions as F
+
+    from ..operators.llm import llm_complete
+
+    prompts = questions.select(
+        "*",
+        F.lit(_SYSTEM_MESSAGE).alias("system_message"),
+        F.concat(
+            F.lit(_USER_TEMPLATE.split("{query}")[0]),
+            F.col("question"),
+            F.lit(_USER_TEMPLATE.split("{query}")[1]),
+        ).alias("user_message"),
+    )
+    return llm_complete(
+        prompts, acomplete_fn=acomplete_fn, out_col="generated_sql"
+    ).drop("system_message", "user_message")
+
+
+def text2sql_pipeline(
+    spark: SparkSession, question: str, acomplete_fn=None
+) -> DataFrame:
+    """End-to-end Q6: generate → guard → execute. One statement per call
+    (the reference's interactive shape); the generated string is untrusted
+    input and always passes through :func:`validate_select_only`."""
+    q = spark.createDataFrame([(question,)], "question string")
+    generated = text2sql_generate(q, acomplete_fn=acomplete_fn)
+    sql = generated.select("generated_sql").head()["generated_sql"]
+    return run_guarded_sql(spark, sql)

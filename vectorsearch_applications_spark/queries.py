@@ -926,6 +926,90 @@ def q_text2sql_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_guarded_sql(spark, _TEXT2SQL_EXAMPLE)
 
 
+_T2S_GENERATED_SQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+@register(
+    "text2sql_generated",
+    _T2S_GENERATED_SQL,
+)
+def q_text2sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 end-to-end: NL question → NL→SQL generation (F3 egress slot with
+    a deterministic stub — the litellm call of nb8 cell 51 drops in) →
+    SELECT-only guard → spark.sql execution. The oracle runs the identical
+    generated statement in DuckDB."""
+    from .plans.text2sql import text2sql_pipeline
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+
+    async def deterministic_nl2sql(system_message: str, user_message: str) -> str:
+        assert "PLAIN TEXT QUERY:" in user_message
+        return _T2S_GENERATED_SQL
+
+    return text2sql_pipeline(
+        spark,
+        "How many orders are there for each order priority?",
+        acomplete_fn=deterministic_nl2sql,
+    )
+
+
+@register(
+    "llm_field_extraction",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, coalesce(toks[1], '') AS first_token,
+       len(toks[1:6])::BIGINT AS n_tokens
+FROM d
+""",
+)
+def q_llm_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 field extraction: completions come back as JSON (deterministic
+    stub in the F3 egress slot; reference shape = structured output from
+    ``llm_interface.chat_completion``) and are parsed to typed columns with
+    ``from_json`` — malformed JSON degrades to NULLs, not job failure. The
+    oracle states the expected field values directly."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .operators.llm import llm_complete
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prompts = docs.select(
+        "doc_id",
+        F.lit("Extract the fields as JSON.").alias("system_message"),
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 6)).alias("user_message"),
+    )
+
+    async def json_extractor(system_message: str, user_message: str) -> str:
+        toks = user_message.split()
+        return _json.dumps(
+            {"first_token": toks[0] if toks else "", "n_tokens": len(toks)},
+            sort_keys=True,
+        )
+
+    done = llm_complete(prompts, acomplete_fn=json_extractor)
+    schema = StructType(
+        [
+            StructField("first_token", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    parsed = done.withColumn("_j", F.from_json("completion", schema))
+    return parsed.select(
+        "doc_id",
+        F.coalesce(F.col("_j.first_token"), F.lit("")).alias("first_token"),
+        F.coalesce(F.col("_j.n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (non-SQL-expressible: approximate / driver-side control)
 # ---------------------------------------------------------------------------
@@ -2698,6 +2782,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRADE_FIRST = [
     "router_fit",
     "llm_cost_accounting",
+    "text2sql_generated",
+    "llm_field_extraction",
     "qa_triplets",
     "bm25_multifield",
     "filtered_vector_search",
@@ -2714,6 +2800,8 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "text2sql_guarded",  # subsumed by text2sql_generated (generation + guard + execute)
+    "top_customer_revenue",  # O4 join+agg shape also graded via tpch_q18/q5/q7
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "expanded_content_w2",
