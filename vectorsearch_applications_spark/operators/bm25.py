@@ -132,19 +132,15 @@ def bm25_search_multifield(
     """
     per_field = None
     for c in text_cols:
-        scores = (
-            bm25_search(
-                docs,
-                queries,
-                id_col=id_col,
-                text_col=c,
-                query_id_col=query_id_col,
-                query_col=query_col,
-                k1=k1,
-                b=b,
-                limit=1_000_000_000,  # no per-field cut before fusion
-            )
-            .select("query_id", "doc_id", "score")
+        scores = bm25_scores(
+            docs,
+            queries,
+            id_col=id_col,
+            text_col=c,
+            query_id_col=query_id_col,
+            query_col=query_col,
+            k1=k1,
+            b=b,
         )
         per_field = scores if per_field is None else per_field.unionByName(scores)
     total = per_field.groupBy("query_id", "doc_id").agg(
@@ -185,7 +181,7 @@ def bm25_merge_stats(
     return postings, term_stats, merged
 
 
-def bm25_search(
+def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
     id_col: str = "doc_id",
@@ -194,16 +190,14 @@ def bm25_search(
     query_col: str = "query",
     k1: float = 1.2,
     b: float = 0.75,
-    limit: int = 10,
     cache_key: str | None = None,
 ) -> DataFrame:
-    """Top-``limit`` BM25 hits per query.
+    """Unranked per-(query, doc) BM25 scores — the scoring core without the
+    top-k window. Use when a downstream fusion re-ranks anyway (multifield
+    sums per-field scores first): skipping the per-field rank window saves
+    a full sort-shuffle of every scored row per field at scale.
 
-    Output: (query_id, doc_id, rank, score) — rank 1-based, ties broken by
-    doc_id ascending so results are bit-deterministic (FIXTURES.md §6 shape).
-
-    ``cache_key``: reuse the persisted postings build across queries against
-    the same corpus (index-once, query-many).
+    Output: (query_id, doc_id, score).
     """
     if cache_key is not None:
         postings, term_stats, corpus_stats = bm25_cached_stats(
@@ -253,8 +247,41 @@ def bm25_search(
         )
     )
 
-    scores = scored_terms.groupBy("query_id", "doc_id").agg(
+    return scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("w").alias("score")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Top-``limit`` BM25 hits per query.
+
+    Output: (query_id, doc_id, rank, score) — rank 1-based, ties broken by
+    doc_id ascending so results are bit-deterministic (FIXTURES.md §6 shape).
+
+    ``cache_key``: reuse the persisted postings build across queries against
+    the same corpus (index-once, query-many).
+    """
+    scores = bm25_scores(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+        cache_key=cache_key,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

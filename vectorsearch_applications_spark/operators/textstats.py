@@ -109,3 +109,77 @@ def fingerprints(
             "bag_md5"
         ),
     )
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams of a token array, as space-joined strings.
+    Pure Catalyst. Guards the descending-``sequence`` pitfall: fewer than
+    ``n`` tokens → empty array, not ``sequence(0, -1)``'s [0, -1]."""
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Duplicate-n-gram statistics per document — the Gopher-style
+    repetition quality gate for pre-training corpora (docs dominated by
+    repeated n-grams are boilerplate/spam). Output: (doc_id, n_ngrams,
+    n_distinct); the duplicate fraction is (n_ngrams − n_distinct) /
+    n_ngrams downstream. Pure narrow Catalyst pass — no shuffle, no
+    Python; at 100 TB it runs at scan speed."""
+    grams = ngrams(tokenize(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("bigint").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (pre-training hygiene): flag every corpus
+    document sharing a word n-gram with an evaluation/benchmark set (the
+    standard n-gram-overlap contamination test, n=8 by convention).
+
+    Output: (doc_id, n_contaminated_ngrams) — only contaminated docs; an
+    anti-join against this frame yields the clean corpus.
+
+    Scale shape: doc-side n-grams explode DISTINCT per doc (narrow); the
+    benchmark n-gram set is tiny by definition → broadcast hash join; the
+    only shuffle is the per-doc count aggregation over matching rows
+    (≈ contaminated rows only). The 100 TB corpus is never shuffled.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ngrams(tokenize(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    b = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(ngrams(tokenize(bench_text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_contaminated_ngrams"))
+    )

@@ -2771,6 +2771,79 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_repetition_filter",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                        i -> array_to_string(toks[i : i + 2], ' ')) AS grams
+  FROM d
+)
+SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct
+FROM g
+WHERE len(grams) - len(list_distinct(grams)) >= 2
+""",
+)
+def q_quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: keep (here: report) docs whose
+    duplicate-3-gram count crosses a threshold — boilerplate/spam pages
+    repeat n-grams heavily. Pure narrow Catalyst pass (see
+    operators/textstats.py:repetition_stats)."""
+    from .operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, n=3)
+    return stats.filter(
+        (F.col("n_ngrams") - F.col("n_distinct")) >= 2
+    ).select("doc_id", "n_ngrams", "n_distinct")
+
+
+@register(
+    "decontaminate_benchmark",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+bench AS (
+  SELECT toks[1:8] AS btoks FROM d WHERE doc_id IN (3, 7, 11, 19)
+),
+bg AS (
+  SELECT DISTINCT array_to_string(btoks, ' ') AS gram
+  FROM bench WHERE len(btoks) = 8
+),
+dg AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+                          i -> array_to_string(toks[i : i + 7], ' '))
+         )) AS gram
+  FROM d
+)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+FROM dg JOIN bg USING (gram)
+GROUP BY doc_id
+""",
+)
+def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing an 8-gram with
+    a (here corpus-derived, deterministic) benchmark set — the standard
+    n-gram-overlap contamination test for pre-training data. Broadcast
+    benchmark grams; the corpus is never shuffled (see
+    operators/textstats.py:decontaminate)."""
+    from .operators.textstats import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id").isin(3, 7, 11, 19)).select(
+        F.concat_ws(" ", F.slice(tokenize("text"), 1, 8)).alias("text")
+    )
+    return decontaminate(docs, benchmark, n=8)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -2784,6 +2857,8 @@ _GRADE_FIRST = [
     "llm_cost_accounting",
     "text2sql_generated",
     "llm_field_extraction",
+    "quality_repetition_filter",
+    "decontaminate_benchmark",
     "qa_triplets",
     "bm25_multifield",
     "filtered_vector_search",
@@ -2802,6 +2877,8 @@ _GRADE_FIRST = [
 _GRADE_LAST = [
     "text2sql_guarded",  # subsumed by text2sql_generated (generation + guard + execute)
     "top_customer_revenue",  # O4 join+agg shape also graded via tpch_q18/q5/q7
+    "route_classify",  # Q5 scoring machinery graded via router_fit
+    "dedup_embedding_cosine",  # dedup family: minhash/simhash/exact stay graded
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "expanded_content_w2",
