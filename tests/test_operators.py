@@ -442,3 +442,62 @@ def test_cosine_math(spark):
     ).collect()
     assert abs(rows[0]["c"] - 1.0) < 1e-12
     assert abs(rows[1]["c"]) < 1e-12
+
+
+def test_bpe_tokenize_golden(spark):
+    """BPE-ish pretokenizer semantics: leading-space fusion, contraction
+    tails, punctuation runs as tokens, digit/letter splits — the cases that
+    distinguish it from the \\W+ whitespace model."""
+    from vectorsearch_applications_spark.functions.text import (
+        bpe_token_count,
+        bpe_tokenize,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("Don't stop!! 42 items  here",), ("",)], "text string"
+    )
+    rows = df.select(
+        bpe_tokenize("text").alias("t"),
+        bpe_token_count("text").alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    ).collect()
+    assert rows[0]["t"] == [
+        "don", "'t", " stop", "!!", " 42", " items", " here",
+    ]
+    # punctuation run and contraction tail count under BPE, vanish under \W+
+    assert rows[0]["n_bpe"] == 7
+    assert rows[0]["n_ws"] == 6  # don, t, stop, 42, items, here
+    assert rows[1]["t"] == [] and rows[1]["n_bpe"] == 0
+
+
+def test_ann_exhaustive_probe_equals_exact(spark):
+    """nprobe == n_centroids ⇒ IVF candidate set is the whole corpus ⇒
+    identical ranking to exact kNN (the invariant ann_ivf_exhaustive's
+    oracle grades at the driver)."""
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_build,
+        ivf_search,
+    )
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_search_crossjoin,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).selectExpr(
+        "vec_id",
+        "transform(embedding, x -> x / sqrt(aggregate(transform(embedding, y -> y*y), 0D, (a,y) -> a+y))) AS embedding",
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids, assignments = ivf_build(corpus, n_centroids=4)
+    approx = ivf_search(
+        corpus, centroids, assignments, queries, k=5, nprobe=4
+    )
+    exact = knn_search_crossjoin(corpus, queries, k=5)
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    assert a == e

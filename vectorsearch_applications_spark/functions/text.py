@@ -34,6 +34,30 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+# GPT-2-style pretokenizer, simplified to the alternation both Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically leftmost-first: contraction
+# tail | space?+letters | space?+digits | space?+other-punct run. Whitespace
+# between matches is skipped by extract_all, so no \\s+ branch is needed.
+BPE_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_tokenize(col: Column | str) -> Column:
+    """BPE-ish pretokenization (reference A6 counts tokens with tiktoken,
+    ``src/llm/llm_utils.py:6-28``; this is the portable regex analog of its
+    pretokenizer stage). lower → leftmost-first alternation scan. Returns
+    array<string>; stays in codegen (regexp_extract_all is a Catalyst
+    expression, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenizer — the LLM-billing-shaped
+    counter (punctuation runs and contraction tails count as tokens, unlike
+    ``token_count`` which drops them)."""
+    return F.size(bpe_tokenize(col))
+
+
 def stable_hash64(col: Column, seed: int | None = None) -> Column:
     """Engine-portable deterministic 32-bit-range hash as BIGINT.
 
