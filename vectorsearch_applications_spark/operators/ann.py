@@ -61,18 +61,42 @@ def ivf_build(
         (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
         "centroid",
     )
-    assign = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d", cosine_distance(F.col("_v"), F.col("centroid")))
-    )
-    ww = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    # Nearest-centroid assignment as a MAP-SIDE argmin: broadcast the
+    # centroid table as ONE array-of-structs row, compute all C distances
+    # per vector in a single projection, and take array_min on
+    # (distance, centroid_id) structs (lexicographic struct ordering = the
+    # asc-distance, asc-id tie-break). The windowed alternative shuffles
+    # corpus × C rows — at 100 TB that shuffle IS the index-build cost;
+    # this plan never shuffles the corpus at all.
     assignments = (
-        assign.withColumn("_rn", F.row_number().over(ww))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id")
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "vec_id",
+            F.array_min(
+                F.transform(
+                    "_cents",
+                    lambda c: F.struct(
+                        cosine_distance(F.col("_v"), c["centroid"]).alias("d"),
+                        c["centroid_id"].alias("centroid_id"),
+                    ),
+                )
+            )["centroid_id"].alias("centroid_id"),
+        )
     )
     return centroids, assignments
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """(centroid_id, centroid) rows → one row holding the whole codebook as
+    array<struct<centroid_id,centroid>> (sorted by id for determinism).
+    Broadcast-crossjoined so per-row distance loops run without any join or
+    shuffle."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid"))
+        ).alias("_cents")
+    )
 
 
 def ivf_search(
@@ -91,15 +115,32 @@ def ivf_search(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
-    probe = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("d", cosine_distance(F.col("qv"), F.col("centroid")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    # Probe selection is the same map-side argmin trick as ivf_build's
+    # assignment, generalized to top-nprobe: sort the per-row
+    # (distance, centroid_id) struct array and slice — no window, so a
+    # billion-query batch never shuffles just to pick its buckets.
     probes = (
-        probe.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id", "qv")
+        q.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                cosine_distance(F.col("qv"), c["centroid"]).alias("d"),
+                                c["centroid_id"].alias("centroid_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p.centroid_id").alias("centroid_id"), "qv")
     )
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
