@@ -501,3 +501,27 @@ def test_ann_exhaustive_probe_equals_exact(spark):
     a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
     e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
     assert a == e
+
+
+def test_ivf_append_matches_rebuild(spark):
+    """Appending rows assigns ONLY the new rows against the frozen codebook;
+    the union must equal re-assigning the whole corpus with the same
+    centroids (the foreachBatch incremental-index invariant)."""
+    from vectorsearch_applications_spark.operators.ann import (
+        _assign,
+        ivf_append,
+        ivf_build,
+    )
+
+    full = spark.createDataFrame(
+        [(i, [float((i * 5 + d) % 7 - 3) for d in range(4)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    base = full.filter(F.col("vec_id") < 20)
+    new = full.filter(F.col("vec_id") >= 20)
+    centroids, base_assign = ivf_build(base, n_centroids=3)
+    appended = ivf_append(centroids, base_assign, new)
+    rebuilt = _assign(full, centroids, "vec_id", "embedding")
+    a = {(r["vec_id"], r["centroid_id"]) for r in appended.collect()}
+    b = {(r["vec_id"], r["centroid_id"]) for r in rebuilt.collect()}
+    assert a == b and len(a) == 30

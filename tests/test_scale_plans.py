@@ -111,3 +111,32 @@ def test_global_topk_uses_take_ordered(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     top = o.orderBy(F.desc("o_totalprice")).limit(5)
     assert "TakeOrderedAndProject" in _plan(top)  # no full sort
+
+
+def test_ivf_build_and_probe_never_shuffle_corpus(spark):
+    """The IVF index build and probe selection are map-side argmins over a
+    broadcast codebook — a corpus-wide window here would make the shuffle
+    the index-build cost at 100 TB. Only the final per-query top-k over
+    probed candidates may shuffle."""
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids, assignments = ivf_build(emb, n_centroids=4)
+    aplan = _plan(assignments)
+    assert "BroadcastNestedLoopJoin" in aplan  # codebook array crossjoin
+    assert "Exchange hashpartitioning" not in aplan
+    # exactly one Window: centroid numbering over <= n_centroids rows on
+    # the (broadcast) codebook side — NOT over the corpus
+    assert aplan.count("Window") == 1
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = ivf_search(emb, centroids, assignments, queries, k=5, nprobe=2)
+    hplan = _plan(hits)
+    # exactly one hash shuffle: the final rank over probed candidates
+    assert hplan.count("Exchange hashpartitioning") == 1

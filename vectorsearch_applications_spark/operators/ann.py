@@ -68,8 +68,16 @@ def ivf_build(
     # asc-distance, asc-id tie-break). The windowed alternative shuffles
     # corpus × C rows — at 100 TB that shuffle IS the index-build cost;
     # this plan never shuffles the corpus at all.
-    assignments = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    return centroids, _assign(corpus, centroids, id_col, vec_col)
+
+
+def _assign(
+    rows: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, centroid_id) nearest-centroid map for ``rows`` — the
+    shuffle-free projection shared by the full build and ivf_append."""
+    return (
+        rows.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(
             "vec_id",
@@ -84,7 +92,22 @@ def ivf_build(
             )["centroid_id"].alias("centroid_id"),
         )
     )
-    return centroids, assignments
+
+
+def ivf_append(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign ONLY the appended rows against
+    the frozen codebook and union with the existing assignment table — the
+    foreachBatch-friendly path (same shape as the BM25 incremental stats
+    merge, operators/bm25.py). The append touches new_rows only; the
+    existing corpus is never rescanned. Centroid drift under heavy append
+    is handled by a periodic full ivf_build, not here."""
+    return assignments.unionByName(_assign(new_rows, centroids, id_col, vec_col))
 
 
 def _centroid_array(centroids: DataFrame) -> DataFrame:
