@@ -53,6 +53,10 @@ HEADLINE = [
     "supplier_lineitem_volume",
     "tpch_q5_local_supplier",
     "events_sliding_agg",
+    "ann_ivf_exhaustive",
+    "corpus_bpe_token_stats",
+    "quality_repetition_filter",
+    "decontaminate_benchmark",
 ]
 
 

@@ -114,14 +114,26 @@ def fingerprints(
 def ngrams(toks: Column, n: int) -> Column:
     """Sliding word n-grams of a token array, as space-joined strings.
     Pure Catalyst. Guards the descending-``sequence`` pitfall: fewer than
-    ``n`` tokens → empty array, not ``sequence(0, -1)``'s [0, -1]."""
-    count = F.size(toks) - F.lit(n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    ``n`` tokens → empty array, not ``sequence(0, -1)``'s [0, -1].
+
+    The input expression is let-bound ONCE as a lambda variable
+    (``transform(array(toks), t -> …)[0]``) before the per-position loop:
+    higher-order functions are interpreted (no codegen CSE), so a raw
+    ``toks`` subtree — e.g. a regex tokenize — would otherwise re-evaluate
+    for EVERY n-gram position, turning a linear scan into O(tokens²)
+    regex work per document (measured 4-7× on the repetition /
+    decontamination queries)."""
+
+    def _grams(t: Column) -> Column:
+        count = F.size(t) - F.lit(n - 1)
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
         )
-    )
+
+    return F.transform(F.array(toks), _grams)[0]
 
 
 def repetition_stats(
@@ -136,11 +148,18 @@ def repetition_stats(
     n_distinct); the duplicate fraction is (n_ngrams − n_distinct) /
     n_ngrams downstream. Pure narrow Catalyst pass — no shuffle, no
     Python; at 100 TB it runs at scan speed."""
-    grams = ngrams(tokenize(text_col), n)
+    # let-bind the gram array once; both counts read the same bound value
+    stats = F.transform(
+        F.array(ngrams(tokenize(text_col), n)),
+        lambda g: F.struct(
+            F.size(g).cast("bigint").alias("n_ngrams"),
+            F.size(F.array_distinct(g)).cast("bigint").alias("n_distinct"),
+        ),
+    )[0]
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(grams).cast("bigint").alias("n_ngrams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        stats["n_ngrams"].alias("n_ngrams"),
+        stats["n_distinct"].alias("n_distinct"),
     )
 
 
