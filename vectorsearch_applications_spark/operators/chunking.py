@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -47,24 +47,32 @@ def chunk_tokens(
     stride = chunk_size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_size")
-    toks = tokenize(text_col)
-    # windows needed to cover n tokens: 1 + ceil((n − size)/stride), min 1
-    # for any non-empty doc (equals ceil(n/size) when overlap = 0, which is
-    # the form the SQL oracles use)
-    n_chunks = F.when(F.size(toks) == 0, F.lit(0)).otherwise(
-        F.lit(1)
-        + F.ceil(
-            F.greatest(F.size(toks) - chunk_size, F.lit(0)) / F.lit(stride)
-        ).cast("int")
-    )
-    # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not [] —
-    # zero-token docs must produce zero chunks
-    chunks = F.when(n_chunks <= 0, F.array().cast("array<array<string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.slice(toks, i * stride + 1, chunk_size),
+    # let-bind the token array once (transform(array(...), t -> …)[0]):
+    # higher-order functions are interpreted with no CSE, so a raw tokenize
+    # subtree would re-run its regex for the size() checks AND for every
+    # chunk window
+    def _chunk_windows(t: Column) -> Column:
+        # windows needed to cover n tokens: 1 + ceil((n − size)/stride),
+        # min 1 for any non-empty doc (equals ceil(n/size) when
+        # overlap = 0, which is the form the SQL oracles use)
+        n_chunks = F.when(F.size(t) == 0, F.lit(0)).otherwise(
+            F.lit(1)
+            + F.ceil(
+                F.greatest(F.size(t) - chunk_size, F.lit(0)) / F.lit(stride)
+            ).cast("int")
         )
-    )
+        # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not
+        # [] — zero-token docs must produce zero chunks
+        return F.when(
+            n_chunks <= 0, F.array().cast("array<array<string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(t, i * stride + 1, chunk_size),
+            )
+        )
+
+    chunks = F.transform(F.array(tokenize(text_col)), _chunk_windows)[0]
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_index", "_ct")
     )
