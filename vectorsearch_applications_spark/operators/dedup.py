@@ -54,15 +54,22 @@ def shingles(text_col, n: int = 3):
     Pure Catalyst: sequence + transform + element_at; returns [] for docs
     shorter than n tokens.
     """
-    toks = tokenize(text_col)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
+    # let-bind the token array once (interpreted HOFs have no CSE — a raw
+    # tokenize subtree would re-run its regex for every shingle position ×
+    # every element_at; see operators/textstats.py:ngrams)
+    def _shingles(t):
+        return F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            )
         )
-    )
+
+    return F.transform(F.array(tokenize(text_col)), _shingles)[0]
 
 
 def minhash_signatures_wide(
