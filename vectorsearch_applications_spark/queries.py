@@ -2332,8 +2332,14 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training pipeline runs; every stage is the already-verified
     operator, fused so Catalyst optimizes across stages."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    scored = docs.select(
+    # bind the token array as a real column first: ~7 references below
+    # would each re-run the tokenize regex per row otherwise (multi-ref
+    # aliases are not re-inlined by CollapseProject)
+    toked = docs.select(
+        "doc_id", "lang", "text", tokenize("text").alias("_t")
+    )
+    toks = F.col("_t")
+    scored = toked.select(
         "doc_id",
         "lang",
         F.length("text").cast("bigint").alias("n_chars"),
