@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Driver pre-flight: run EVERY registered query against its DuckDB oracle
+under a VANILLA SparkSession — exactly the environment the driver grades in
+(none of session.py's tuning; default shuffle partitions change float
+summation order vs the test session, which is precisely the class of
+difference the bitwise hash compare exists to catch).
+
+Usage: python preflight.py [sf_dir]   (default /root/testdata/sf0.01)
+Exit code 0 iff every query matches rows + schema + bitwise values.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from oracle_utils import _eq, _normalize, duckdb_con
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb_con(sf_dir)
+    failures: list[str] = []
+    for name, fn in qs.items():
+        try:
+            if name not in oracles:
+                assert fn(spark, sf_dir).count() >= 0
+                continue
+            r = _normalize(fn(spark, sf_dir).toPandas())
+            o = _normalize(con.sql(oracles[name]).fetchdf())
+            ok = (
+                len(r) == len(o)
+                and list(r.columns) == list(o.columns)
+                and list(r.dtypes) == list(o.dtypes)
+                and all(
+                    _eq(a, b)
+                    for c in r.columns
+                    for a, b in zip(r[c].tolist(), o[c].tolist())
+                )
+            )
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            ok = False
+            print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:200]}")
+        if not ok:
+            failures.append(name)
+            print(f"FAIL {name}")
+    print(f"preflight: {len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
