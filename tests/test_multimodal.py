@@ -66,3 +66,28 @@ def test_frame_sample_plan(spark):
     assert sorted(per[2]) == [0, 1000, 2000, 3000, 4000]
     assert sorted(per[3]) == [0, 1000, 2000, 3000]
     assert sorted(per[1]) == [0]  # zero duration → single frame at 0
+
+
+def test_byte_histogram_features_exact(spark):
+    """Known payloads → exact histogram/entropy: 4 equal byte values give
+    probability 0.25 each and entropy 2.0 bits; a uniform run of one value
+    gives entropy 0."""
+    from vectorsearch_applications_spark.multimodal.binary import (
+        byte_histogram_features,
+    )
+
+    rows = [
+        (1, bytes([0, 1, 2, 3])),
+        (2, bytes([7] * 10)),
+        (3, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in byte_histogram_features(df).collect()
+    }
+    assert out[1]["byte_entropy"] == 2.0
+    assert out[1]["byte_hist"][0] == 0.25 and out[1]["byte_hist"][4] == 0.0
+    assert out[2]["byte_entropy"] == 0.0 and out[2]["byte_hist"][7] == 1.0
+    assert out[3]["byte_entropy"] == 0.0 and sum(out[3]["byte_hist"]) == 0.0
+    assert all(len(r["byte_hist"]) == 256 for r in out.values())
