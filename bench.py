@@ -57,6 +57,9 @@ HEADLINE = [
     "corpus_bpe_token_stats",
     "quality_repetition_filter",
     "decontaminate_benchmark",
+    "filtered_hybrid_search",
+    "events_asof_last_signup",
+    "tpch_q7_nation_trade",
 ]
 
 
