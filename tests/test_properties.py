@@ -99,3 +99,63 @@ def test_simhash_order_invariant(spark, tokens):
     fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
     assert fp[1] == fp[2]
     assert 0 <= fp[1] < 2**32
+
+
+@SETTINGS
+@given(texts, st.integers(1, 5))
+def test_ngrams_match_python_model(spark, corpus, n):
+    """textstats.ngrams / dedup.shingles == the naive sliding window (both
+    let-bind their token array — the rewrite must not change semantics)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.dedup import shingles
+    from vectorsearch_applications_spark.operators.textstats import ngrams
+    from vectorsearch_applications_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        ngrams(tokenize("text"), n).alias("g"),
+        shingles("text", n).alias("s"),
+    ).collect()
+    for r in rows:
+        toks = _tok(corpus[r["doc_id"]])
+        expect = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        assert r["g"] == expect
+        assert r["s"] == expect
+
+
+messy_texts = st.lists(
+    st.text(
+        alphabet="abz019 '!.,é\t\n-",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(messy_texts)
+def test_bpe_tokenize_matches_python_re(spark, corpus):
+    """Spark regexp_extract_all (Java regex) == Python re.findall — both
+    leftmost-first — over punctuation / contractions / digits / unicode."""
+    import re as _re
+
+    from vectorsearch_applications_spark.functions.text import (
+        BPE_PATTERN,
+        bpe_tokenize,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    rows = df.select("doc_id", bpe_tokenize("text").alias("t")).collect()
+    for r in rows:
+        expect = _re.findall(BPE_PATTERN, corpus[r["doc_id"]].lower())
+        assert r["t"] == expect
