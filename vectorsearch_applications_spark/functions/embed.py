@@ -79,25 +79,22 @@ def hash_embed_col(text: Column, dim: int = 16) -> Column:
     )
 
 
-def hash_embed_df(
+def hash_embed_ids(
     df,
     id_col: str,
     text_col: str,
     dim: int = 16,
     out_col: str = "embedding",
 ):
-    """DataFrame-level hash embedding — same result as ``hash_embed_col``
-    (up to float summation order), built for corpora.
+    """(id, embedding) for every document with ≥1 token — the narrow
+    corpus-embedding path.
 
-    The md5 hashing runs once per **distinct token** (a broadcast
-    vocabulary table of |vocab| × dim hashes), not once per token
-    occurrence × dim: embedding a corpus costs one explode + one broadcast
-    join + one wide aggregation, all codegen'd. At 100 TB the vocab table
-    is the only hash work and it is proportional to vocabulary, not corpus.
-
-    ``hash_embed_col`` (expression form) stays for single-row/driver-side
-    uses; its higher-order functions are interpreted (CodegenFallback) and
-    cost ~ms per row — fine for query strings, wrong for corpora.
+    Same math as ``hash_embed_df`` but WITHOUT the final join back onto
+    the input frame: callers that only need the id→vector map (kNN
+    indexing, semantic search) skip a corpus-wide join that way — at
+    100 TB that rejoin is a full-corpus shuffle bought for columns the
+    caller immediately drops. Zero-token docs yield no row (they have no
+    exploded tokens); ``hash_embed_df`` is the all-rows/all-columns form.
     """
     assert dim <= 16, "one md5 yields 16 byte-dims"
     toks = df.select(
@@ -121,11 +118,40 @@ def hash_embed_df(
     norm = F.sqrt(
         sum((F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim)), F.lit(0.0))
     )
-    embedded = sums.select(
-        "_eid",
+    return sums.select(
+        F.col("_eid").alias(id_col),
         F.when(norm == 0, raw)
         .otherwise(F.transform(raw, lambda x: x / norm))
         .alias(out_col),
+    )
+
+
+def hash_embed_df(
+    df,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+    out_col: str = "embedding",
+):
+    """DataFrame-level hash embedding — same result as ``hash_embed_col``
+    (up to float summation order), built for corpora.
+
+    The md5 hashing runs once per **distinct token** (a broadcast
+    vocabulary table of |vocab| × dim hashes), not once per token
+    occurrence × dim: embedding a corpus costs one explode + one broadcast
+    join + one wide aggregation, all codegen'd. At 100 TB the vocab table
+    is the only hash work and it is proportional to vocabulary, not corpus.
+
+    Keeps every input row and column (zero-token docs get the zero
+    vector) via a join against ``hash_embed_ids`` — use that narrow form
+    directly when only (id, embedding) is needed.
+
+    ``hash_embed_col`` (expression form) stays for single-row/driver-side
+    uses; its higher-order functions are interpreted (CodegenFallback) and
+    cost ~ms per row — fine for query strings, wrong for corpora.
+    """
+    embedded = hash_embed_ids(df, id_col, text_col, dim, out_col).select(
+        F.col(id_col).alias("_eid"), F.col(out_col)
     )
     return df.join(
         embedded, df[id_col] == embedded["_eid"], "left"

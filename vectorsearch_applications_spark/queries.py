@@ -1479,16 +1479,16 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text → deterministic hash embedding → exact cosine kNN, end to end in
     one declarative plan (the reference's §3.1 steps 2-3 with the
     deterministic encoder; swap model_embed_factory in deployment)."""
-    from .functions.embed import hash_embed_col, hash_embed_df
+    from .functions.embed import hash_embed_col, hash_embed_ids
     from .operators.knn import knn_search
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 1000) & (F.size(tokenize("text")) > 0)
+        F.col("doc_id") < 1000
     )
-    # the token-count filter pins engine semantics to the oracle's: a
-    # token-less doc embeds to the zero vector in hash_embed_df but has no
-    # rows in the SQL embedding CTE — excluded on both sides by contract
-    demb = hash_embed_df(
+    # hash_embed_ids yields rows only for docs with ≥1 token — exactly the
+    # SQL embedding CTE's semantics (token-less docs have no rows there
+    # either), with no rejoin onto the corpus frame
+    demb = hash_embed_ids(
         docs.select("doc_id", "text"), "doc_id", "text", _EMBED_DIM
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
     qemb = _search_queries_df(spark).select(
