@@ -93,3 +93,46 @@ def test_incremental_stats_track_stream(spark):
         g, w = state[2].collect()[0], full[2].collect()[0]
         assert g["n_docs"] == w["n_docs"]
         assert abs(g["avgdl"] - w["avgdl"]) < 1e-9
+
+
+def test_bm25_index_append_matches_rebuild(spark):
+    """Appending a slice through the cached index equals rebuilding over
+    the full corpus: identical search results, no standing-corpus rescan."""
+    import pytest
+
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_cache_clear,
+        bm25_cached_stats,
+        bm25_index_append,
+        bm25_search,
+    )
+
+    docs = [
+        (0, "spark join order and shuffle"),
+        (1, "window agg stream state"),
+        (2, "fast filter merge sort"),
+        (3, "join strategy broadcast shuffle join"),
+        (4, "stream window watermark agg"),
+        (5, "sorted merge of filtered rows"),
+    ]
+    base = spark.createDataFrame(docs[:4], "doc_id long, text string")
+    extra = spark.createDataFrame(docs[4:], "doc_id long, text string")
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "shuffle join"), (1, "window agg")], "query_id long, query string"
+    )
+    bm25_cache_clear()
+    try:
+        with pytest.raises(KeyError):
+            bm25_index_append(extra, "appendtest")
+        bm25_cached_stats(base, "appendtest")
+        bm25_index_append(extra, "appendtest")
+        merged = bm25_search(base, queries, limit=5, cache_key="appendtest")
+        rebuilt = bm25_search(full, queries, limit=5)
+        m = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+             for r in merged.collect()}
+        b = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+             for r in rebuilt.collect()}
+        assert m == b
+    finally:
+        bm25_cache_clear()

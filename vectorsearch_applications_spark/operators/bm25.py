@@ -181,6 +181,50 @@ def bm25_merge_stats(
     return postings, term_stats, merged
 
 
+def bm25_index_append(
+    new_docs: DataFrame,
+    cache_key: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Append a disjoint doc slice into the cached index WITHOUT
+    re-tokenizing the standing corpus: build stats for ``new_docs`` only,
+    ``bm25_merge_stats`` them into the cached tuple, and swap the cache
+    entry (old frames unpersisted, merged frames persisted). Every search
+    using ``cache_key`` sees the merged index from the next action on.
+
+    At 100 TB this is the foreachBatch maintenance path: per-batch stats
+    cost ~|batch|, the merge touches the (tiny) term/corpus tables plus a
+    postings union — never the standing corpus. Requires the key to
+    already be cached (there is nothing to append into otherwise).
+    """
+    key = (
+        new_docs.sparkSession.sparkContext.applicationId,
+        cache_key,
+        id_col,
+        text_col,
+    )
+    if key not in _INDEX_CACHE:
+        raise KeyError(
+            f"no cached index for {cache_key!r}; build via bm25_cached_stats first"
+        )
+    old = _INDEX_CACHE[key]
+    new = bm25_build_stats(new_docs, id_col, text_col)
+    merged = bm25_merge_stats(old, new)
+    # materialize the merged lineage before dropping the old persisted
+    # frames it reads from
+    persisted = tuple(df.persist() for df in merged)
+    for df in persisted:
+        df.count()
+    for df in old:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _INDEX_CACHE[key] = persisted  # type: ignore[assignment]
+    return _INDEX_CACHE[key]
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
