@@ -136,3 +136,61 @@ def test_bm25_index_append_matches_rebuild(spark):
         assert m == b
     finally:
         bm25_cache_clear()
+
+
+def test_streaming_ivf_assignment_append(spark, tmp_path):
+    """ANN index maintenance on a stream: each micro-batch's vectors are
+    assigned against the frozen codebook via ivf_append and written to the
+    assignment table; the final table equals a batch assignment of
+    everything that arrived (the exact invariant ann.ivf_append pins)."""
+    from vectorsearch_applications_spark.operators.ann import (
+        _assign,
+        ivf_build,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 100)
+    centroids, base_assign = ivf_build(base, n_centroids=4)
+    centroids = centroids.persist()
+    centroids.count()
+
+    src = str(tmp_path / "vecs")
+    sink = str(tmp_path / "assign")
+    base_assign.write.parquet(sink)
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)).write.parquet(
+        src + "/b1"
+    )
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)).write.parquet(
+        src + "/b2"
+    )
+
+    def assign_batch(batch_df, epoch_id):
+        _assign(batch_df, centroids, "vec_id", "embedding").write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r["vec_id"], r["centroid_id"])
+        for r in _assign(
+            emb.filter(F.col("vec_id") < 300), centroids, "vec_id", "embedding"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 300
+    centroids.unpersist()
