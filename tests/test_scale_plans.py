@@ -140,3 +140,26 @@ def test_ivf_build_and_probe_never_shuffle_corpus(spark):
     hplan = _plan(hits)
     # exactly one hash shuffle: the final rank over probed candidates
     assert hplan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The bucketed range-join rewrite must plan as a broadcast HASH join
+    on the bucket key — a plain theta join on the same predicate plans as
+    BroadcastNestedLoopJoin (O(|facts|*|intervals|) at scale)."""
+    from vectorsearch_applications_spark.operators.rangejoin import interval_join
+    from vectorsearch_applications_spark.functions.time import epoch_seconds
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    facts = ev.select("event_id", epoch_seconds(ev, "ts").alias("es"))
+    intervals = spark.createDataFrame(
+        [(1, 1704412800, 1704672000)], "window_id long, w_start long, w_end long"
+    )
+    rewritten = interval_join(facts, intervals, "es", "w_start", "w_end", 86400)
+    plan = _plan(rewritten)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    naive = facts.join(
+        intervals,
+        (facts["es"] >= intervals["w_start"]) & (facts["es"] < intervals["w_end"]),
+    )
+    assert "BroadcastNestedLoopJoin" in _plan(naive)  # what we're avoiding

@@ -21,6 +21,138 @@ from ..functions.text import tokenize
 # Tiny embedded stopword/marker lists: deterministic, engine-portable.
 EN_MARKERS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
 
+# Char-trigram language profiles for n-gram language-ID. One weighted gram
+# table per language; swap/extend per deployment (the dict is the single
+# source of truth for BOTH the Spark expression and the SQL oracle, so the
+# two sides can never drift). Every gram is 3 chars drawn from [a-z ] — the
+# normalization alphabet below.
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    "de": {"der": 2, "sch": 2, "ein": 2, "ich": 2, "und": 2, "en ": 1, " da": 1},
+    "en": {"the": 3, " th": 2, "and": 2, "ing": 2, " of": 2, "ion": 1, " to": 1},
+    "es": {" de": 2, " la": 2, " el": 2, "os ": 2, "que": 1, " en": 1, "ar ": 1},
+    "fr": {" le": 2, " de": 2, " et": 2, "les": 1, "ent": 1, "ait": 1, "ous": 1},
+}
+
+
+def langid_normalize(text_col: str | Column) -> Column:
+    """Space-padded, lowercased, [a-z ]-only text — the gram alphabet."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(c), "[^a-z ]", " "), F.lit(" ")
+    )
+
+
+def langid_ngram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, dict[str, int]] | None = None,
+) -> DataFrame:
+    """Char-n-gram language identification — the standard trigram-profile
+    classifier (Cavnar & Trenkle-style, weighted-hit variant) as a pure
+    narrow Catalyst pass.
+
+    Per doc: score(lang) = Σ_gram weight · count(gram in normalized text),
+    counted NON-overlapping via the replace-length trick
+    ``(len(t) − len(replace(t, g, ''))) / len(g)`` — no explode, no join,
+    no shuffle; at 100 TB this runs at parquet-scan speed with every
+    profile inlined into whole-stage codegen's projection. The argmax is a
+    greatest() + first-match CASE in sorted-language order (deterministic
+    alphabetical tie-break); docs hitting no profile → 'und'.
+
+    Output: (doc_id, score_<lang>… BIGINT, lang_pred, lang_score).
+
+    Reference scope note: the reference corpus is English-only podcast
+    transcripts (src/preprocessing/preprocessing.py) and never needs
+    lang-ID; this is part of the training-data-pipeline extension.
+    """
+    profiles = profiles or LANG_PROFILES
+    profiles = {k: profiles[k] for k in sorted(profiles)}
+    langs = list(profiles)
+
+    def _score(t: Column, grams: dict[str, int]) -> Column:
+        total = None
+        for g, w in sorted(grams.items()):
+            hit = F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))
+            term = hit * F.lit(w)
+            total = term if total is None else total + term
+        # each hit contributes len(gram)=3 to the raw char diff
+        return (total / F.lit(3)).cast("bigint")
+
+    # let-bind the normalized text once per language column (higher-order
+    # lambda binding — the regexp_replace runs once per lang, not per gram);
+    # unary-lambda factory: F.transform infers lambda arity by signature
+    norm = langid_normalize(text_col)
+
+    def _score_col(grams: dict[str, int]) -> Column:
+        return F.transform(F.array(norm), lambda t: _score(t, grams))[0]
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            _score_col(grams).alias(f"score_{lang}")
+            for lang, grams in profiles.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.select(
+        "doc_id",
+        *[f"score_{l}" for l in langs],
+        pred.otherwise(F.lit("und")).alias("lang_pred"),
+        best.alias("lang_score"),
+    )
+
+
+def langid_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, dict[str, int]] | None = None,
+) -> str:
+    """DuckDB oracle generated from the SAME profile dict as langid_ngram —
+    identical normalization, non-overlapping replace-count, and
+    alphabetical first-match tie-break."""
+    profiles = profiles or LANG_PROFILES
+    profiles = {k: profiles[k] for k in sorted(profiles)}
+    langs = list(profiles)
+
+    def _score_sql(grams: dict[str, int]) -> str:
+        terms = " + ".join(
+            f"(len(t) - len(replace(t, '{g}', ''))) * {w}"
+            for g, w in sorted(grams.items())
+        )
+        return f"CAST(({terms}) // 3 AS BIGINT)"
+
+    score_cols = ",\n         ".join(
+        f"{_score_sql(g)} AS score_{lang}" for lang, g in profiles.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN score_{l} = best THEN '{l}'" for l in langs
+    )
+    score_list = ", ".join(f"score_{l}" for l in langs)
+    return f"""
+WITH n AS (
+  SELECT {id_col} AS doc_id,
+         ' ' || regexp_replace(lower({text_col}), '[^a-z ]', ' ', 'g') || ' ' AS t
+  FROM {table}
+),
+s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM n
+)
+SELECT doc_id, {score_list},
+       CASE WHEN best <= 0 THEN 'und'
+            {cases}
+       END AS lang_pred,
+       best AS lang_score
+FROM (SELECT *, {best} AS best FROM s)
+"""
+
 
 def _ratio(num: Column, den: Column) -> Column:
     return F.when(den == 0, F.lit(0.0)).otherwise(

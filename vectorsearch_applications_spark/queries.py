@@ -38,6 +38,7 @@ from .operators.dedup import (
 )
 from .operators.textstats import fingerprints, text_profile
 from .operators.textstats import EN_MARKERS
+from .operators.textstats import langid_ngram, langid_oracle_sql
 from .operators.textstats import trunc4
 from .operators.ann import ann_recall_at_k, ivf_build, ivf_search
 from .plans.router import route_queries
@@ -653,6 +654,15 @@ FROM documents
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fingerprints(docs)
+
+
+@register("langid_ngram", langid_oracle_sql())
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-ID over the corpus. Both sides (Spark
+    expression and DuckDB SQL) are generated from the one LANG_PROFILES
+    dict in operators/textstats.py, so profile edits can't desync them."""
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_ngram(docs)
 
 
 @register(
@@ -2065,6 +2075,221 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (EXISTS → left-semi join with a non-equi residual).
+    Adapted: the testdata lineitem has no commit/receipt dates, so "late"
+    is l_shipdate > o_orderdate. Scale shape: the date filter prunes
+    orders before the shuffle; the semi join hashes on l_orderkey with the
+    date comparison as residual — no decorrelated subquery re-scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%SPECIFIED%'
+  GROUP BY c_custkey
+)
+SELECT c_count::BIGINT AS c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (outer-join count distribution; the NOT LIKE exclusion
+    plays Q13's o_comment filter on the o_orderpriority column). Scale
+    shape: the orders-side predicate filters BEFORE the join (outer-join
+    ON-clause semantics), the count aggregation shares the join's
+    c_custkey partitioning (no second shuffle), and the final histogram
+    aggregates a tiny (c_count, custdist) set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%SPECIFIED%")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresh AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM brand_li JOIN thresh USING (l_partkey)
+WHERE l_quantity < qty_thresh
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (correlated scalar subquery → aggregate-then-rejoin).
+    Scale shape: the brand's part keys broadcast to prune lineitem FIRST,
+    so the per-part avg aggregates only the brand's lineitems (~1/|brands|
+    of the table), and the tiny (partkey, threshold) frame broadcasts
+    back — the 100 TB lineitem is scanned once and never shuffled.
+    Determinism: l_quantity is integral-valued, so its sum — and hence
+    avg and the 0.2·avg threshold — is exact and order-independent."""
+    keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(keys), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive mixed-side predicate). The OR spans both
+    join sides, so Catalyst cannot push it down whole; the implied
+    single-side envelopes — the brand/size disjunction on part, the
+    quantity range on lineitem — are applied by hand BEFORE the join so
+    the parquet scans prune (the full disjunction still runs as the
+    residual). At 100 TB the lineitem scan drops ~40% of rows before the
+    broadcast join instead of after."""
+    brand_size = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    p = load_table(spark, sf_dir, "part").filter(brand_size)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    full = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_balance_opportunity",
+    """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-avg scalar subquery + NOT EXISTS anti-join).
+    Adapted: no c_phone in the testdata, so the country-code grouping
+    becomes c_nationkey and the "no orders" test is "no URGENT orders".
+    Scale shape: the 1-row average cross-joins as a broadcast, the
+    anti-join hashes on o_custkey over pre-filtered orders, and the final
+    aggregation is per-nation (25 groups)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "search_with_properties",
     f"""
 WITH {_BM25_PREFIX},
@@ -2511,6 +2736,54 @@ def q_events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Campaign windows for the range join, epoch seconds UTC (half-open):
+# Jan 5–8, Jan 15–16T12:00, Jan 20T06:00–27 of the events table's Jan 2024.
+RANGE_WINDOWS: list[tuple[int, int, int]] = [
+    (1, 1704412800, 1704672000),
+    (2, 1705276800, 1705406400),
+    (3, 1705730400, 1706313600),
+]
+_RW_VALUES = ", ".join(
+    f"({i}::BIGINT, {s}::BIGINT, {e}::BIGINT)" for i, s, e in RANGE_WINDOWS
+)
+
+
+@register(
+    "events_range_join",
+    f"""
+WITH w(window_id, w_start, w_end) AS (VALUES {_RW_VALUES}),
+e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS es FROM events)
+SELECT window_id, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM e JOIN w ON e.es >= w.w_start AND e.es < w.w_end
+GROUP BY window_id, event_type
+""",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): events vs
+    campaign windows, aggregated per (window, event_type). The bucketed
+    rewrite turns Spark's BroadcastNestedLoopJoin plan into a broadcast
+    HASH join on day buckets — the fact scan never shuffles, and the plan
+    survives 10⁵ intervals where the nested loop would be quadratic."""
+    from .operators.rangejoin import interval_join
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_type", "value", epoch_seconds(ev, "ts").alias("es")
+    )
+    windows = spark.createDataFrame(
+        RANGE_WINDOWS, "window_id long, w_start long, w_end long"
+    )
+    joined = interval_join(
+        facts, windows, "es", "w_start", "w_end", bucket_width=86400
+    )
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @register(
     "filtered_hybrid_search",
     f"""
@@ -2929,6 +3202,13 @@ def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets, dedup_simhash covers dedup_simhash_pairs). All remain registered,
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
+    "langid_ngram",
+    "events_range_join",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_balance_opportunity",
     "ann_ivf_exhaustive",
     "corpus_bpe_token_stats",
     "router_fit",
@@ -2953,6 +3233,13 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "events_tumbling_agg",  # tumbling = sliding with step==width; events_sliding_agg graded
+    "customers_with_big_orders",  # range/membership graded via tpch_q19 + q18
+    "part_like_filter",  # P4 LIKE graded via tpch_q13's NOT LIKE exclusion
+    "customers_without_orders",  # anti-join graded via tpch_q22_balance_opportunity
+    "semantic_text_search",  # Q2/Q7 kNN graded via knn_search + filtered_vector_search
+    "hybrid_search",  # Q3 fusion graded via filtered_hybrid_search
+    "eval_retrieval_metrics",  # A2/A3 graded via rag_pipeline_eval + generation_eval_polling
     "dedup_exact",  # exact-dedup stage graded in-window via corpus_curation_pipeline
     "corpus_token_stats",  # both token counters graded via corpus_bpe_token_stats
     "text2sql_guarded",  # subsumed by text2sql_generated (generation + guard + execute)
