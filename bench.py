@@ -60,6 +60,14 @@ HEADLINE = [
     "filtered_hybrid_search",
     "events_asof_last_signup",
     "tpch_q7_nation_trade",
+    "langid_ngram",
+    "events_range_join",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_balance_opportunity",
+    "stratified_sample_mix",
 ]
 
 

@@ -589,3 +589,38 @@ def test_interval_join_matches_naive_theta(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
     # a fact inside two windows appears once per window
     assert got.filter(F.col("es") == 5).count() == 2
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from vectorsearch_applications_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ids_20 = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 0.2}).select("doc_id").collect()
+    }
+    # deterministic: same call, same set — even after a repartition
+    ids_20_again = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), "lang", {"en": 0.2})
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_20 == ids_20_again and len(ids_20) > 0
+    # monotone: raising the rate only ADDS rows
+    ids_50 = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 0.5}).select("doc_id").collect()
+    }
+    assert ids_20 <= ids_50
+    # strata without a fraction are dropped entirely (default=0)
+    langs = {
+        r["lang"]
+        for r in stratified_sample(docs, "lang", {"en": 0.5}).select("lang").distinct().collect()
+    }
+    assert langs == {"en"}
+    # rate is approximately honored (md5 uniformity; 218 en docs at smoke SF)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0.3 * n_en <= len(ids_50) <= 0.7 * n_en

@@ -159,3 +159,55 @@ def test_bpe_tokenize_matches_python_re(spark, corpus):
     for r in rows:
         expect = _re.findall(BPE_PATTERN, corpus[r["doc_id"]].lower())
         assert r["t"] == expect
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="theingscoundr .,!X", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_langid_scores_match_python_model(spark, corpus):
+    """Spark replace-length trigram counting == Python str.count (both are
+    left-to-right non-overlapping) on adversarial near-gram text."""
+    from vectorsearch_applications_spark.operators.textstats import (
+        LANG_PROFILES,
+        langid_ngram,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in langid_ngram(df).collect()}
+    for i, text in enumerate(corpus):
+        t = " " + re.sub(r"[^a-z ]", " ", text.lower()) + " "
+        for lang, grams in LANG_PROFILES.items():
+            expected = sum(w * t.count(g) for g, w in grams.items())
+            assert rows[i][f"score_{lang}"] == expected, (text, lang)
+
+
+@SETTINGS
+@given(st.integers(0, 10_000), st.floats(0.0, 1.0))
+def test_stratified_sample_matches_python_md5_model(spark, base, frac):
+    import hashlib
+
+    from vectorsearch_applications_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    ids = list(range(base, base + 50))
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"en": frac}).select("doc_id").collect()
+    }
+    thresh = round(frac * 10_000)
+    expected = {
+        i
+        for i in ids
+        if int(hashlib.md5(f"{i}#sample".encode()).hexdigest()[:8], 16) % 10_000
+        < thresh
+    }
+    assert got == expected

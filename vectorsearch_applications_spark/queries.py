@@ -1712,6 +1712,50 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture for corpus rebalancing: downsample the dominant language,
+# keep the rest near-full. One dict drives Spark filter AND oracle WHERE.
+SAMPLE_MIX: dict[str, float] = {
+    "en": 0.25,
+    "de": 0.8,
+    "es": 0.8,
+    "fr": 0.8,
+    "zh": 0.5,
+}
+
+
+def _sample_oracle() -> str:
+    from .operators.sampling import stratified_sample_oracle_where
+
+    return f"""
+WITH s AS (
+  SELECT lang, doc_id FROM documents
+  WHERE {stratified_sample_oracle_where("lang", SAMPLE_MIX)}
+)
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM s GROUP BY lang
+"""
+
+
+@register("stratified_sample_mix", _sample_oracle())
+def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling to a target language mixture
+    (operators/sampling.py) — the pre-training corpus-rebalancing move as
+    a pure narrow filter (no shuffle, no RNG; stable under repartition and
+    task retry, unlike seeded sampleBy). id_sum pins the exact kept SET,
+    not just its size."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", SAMPLE_MIX)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
 @register(
     "event_scalar_functions",
     """
@@ -2126,9 +2170,11 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (outer-join count distribution; the NOT LIKE exclusion
     plays Q13's o_comment filter on the o_orderpriority column). Scale
     shape: the orders-side predicate filters BEFORE the join (outer-join
-    ON-clause semantics), the count aggregation shares the join's
-    c_custkey partitioning (no second shuffle), and the final histogram
-    aggregates a tiny (c_count, custdist) set."""
+    ON-clause semantics). Catalyst picks the join by size: at test scale
+    orders broadcasts and the per-customer count shuffles map-combined
+    (custkey, count) partials; at 100 TB the join shuffles on custkey and
+    the count aggregation reuses that partitioning instead. The final
+    histogram aggregates a tiny (c_count, custdist) set either way."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         ~F.col("o_orderpriority").like("%SPECIFIED%")
@@ -3203,6 +3249,7 @@ def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
     "langid_ngram",
+    "stratified_sample_mix",
     "events_range_join",
     "tpch_q4_order_priority",
     "tpch_q13_customer_distribution",
@@ -3233,6 +3280,7 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "train_val_split",  # same md5-threshold split machinery graded via stratified_sample_mix
     "events_tumbling_agg",  # tumbling = sliding with step==width; events_sliding_agg graded
     "customers_with_big_orders",  # range/membership graded via tpch_q19 + q18
     "part_like_filter",  # P4 LIKE graded via tpch_q13's NOT LIKE exclusion
