@@ -163,3 +163,25 @@ def test_interval_join_is_hash_not_nested_loop(spark):
         (facts["es"] >= intervals["w_start"]) & (facts["es"] < intervals["w_end"]),
     )
     assert "BroadcastNestedLoopJoin" in _plan(naive)  # what we're avoiding
+
+
+def test_q19_zero_hash_shuffles_and_scan_pushdown(spark):
+    """Q19's hand-derived single-side envelopes must reach the scans: the
+    quantity range prunes lineitem at the parquet reader, the part side
+    broadcasts, and no hash shuffle remains in the whole plan."""
+    from vectorsearch_applications_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "(l_quantity" in plan and ">= 1.0" in plan and "<= 30.0" in plan
+
+
+def test_q17_lineitem_shuffles_only_tiny_thresholds(spark):
+    """Q17's only hash Exchange is the per-part threshold aggregation over
+    the brand slice; the lineitem passes themselves join by broadcast."""
+    from vectorsearch_applications_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q17_small_qty_revenue"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") >= 2  # brand keys + thresholds

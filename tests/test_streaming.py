@@ -140,3 +140,42 @@ def test_sessionize_matches_session_window(spark):
     sw_sizes = {(r["user_id"], r["count"]) for r in sw.collect()}
     assert batch_sizes == sw_sizes
     assert batch.count() == sw.count()
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """interval_join is streaming-composable as-is: the bucketed rewrite is
+    a stream-static equi join + narrow filter (both append-safe), so the
+    same operator drives batch backfill and the live stream."""
+    from vectorsearch_applications_spark.operators.rangejoin import interval_join
+
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(i, 1704412800 + i * 7200) for i in range(60)], "fact_id long, es long"
+    ).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    intervals = spark.createDataFrame(
+        [(1, 1704412800, 1704672000), (2, 1704499200, 1704585600)],
+        "window_id long, w_start long, w_end long",
+    )
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    joined = interval_join(stream, intervals, "es", "w_start", "w_end", 86400)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["fact_id"], r["window_id"])
+        for r in spark.sql("SELECT * FROM rj_out").collect()
+    }
+    want = {
+        (r["fact_id"], r["window_id"])
+        for r in interval_join(
+            static, intervals, "es", "w_start", "w_end", 86400
+        ).collect()
+    }
+    assert got == want and len(want) > 0

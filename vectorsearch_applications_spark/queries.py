@@ -2211,7 +2211,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the brand's part keys broadcast to prune lineitem FIRST,
     so the per-part avg aggregates only the brand's lineitems (~1/|brands|
     of the table), and the tiny (partkey, threshold) frame broadcasts
-    back — the 100 TB lineitem is scanned once and never shuffled.
+    back — the 100 TB lineitem is scanned twice (threshold pass, filter
+    pass), both scans pruned by the broadcast keys, and never shuffled.
     Determinism: l_quantity is integral-valued, so its sum — and hence
     avg and the 0.2·avg threshold — is exact and order-independent."""
     keys = (
