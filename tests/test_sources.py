@@ -74,3 +74,26 @@ def test_register_views_sql_surface(spark):
         """
     ).collect()
     assert len(joined) == 3
+
+
+def test_compact_collection_preserves_rows_reduces_files(spark, tmp_path):
+    from vectorsearch_applications_spark.sources.collections import (
+        compact_collection,
+        create_collection,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # simulate an incremental sink: many tiny appends
+    create_collection(spark, root, "tiny", df.repartition(64))
+    import glob
+
+    n_before = len(glob.glob(f"{root}/tiny/*.parquet"))
+    assert n_before >= 32
+    stats = compact_collection(spark, root, "tiny")
+    assert stats["rows"] == 10_000
+    assert stats["files_after"] < n_before
+    assert stats["files_after"] == 1  # tiny table → one right-sized file
+    out = spark.read.parquet(f"{root}/tiny")
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))

@@ -132,3 +132,60 @@ def update_collection(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def compact_collection(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction (the 100 TB ops chore batch_index/streaming
+    appends eventually force): rewrite the collection into
+    ceil(total_bytes / target) files of ~HDFS-block size.
+
+    Incremental sinks (foreachBatch appends, micro-batch writers) leave a
+    file per task per trigger; at scale that becomes millions of tiny
+    files — a scheduler task per file, a parquet footer fetch per file,
+    and row groups too small for effective column-chunk compression and
+    min/max skipping. Compaction restores scan efficiency without
+    changing a single row.
+
+    Uses the same stage → swap promotion as update_collection, so a crash
+    mid-compaction leaves either the old or the new generation readable.
+    Returns {"files_before": ..., "files_after": ..., "rows": ...}.
+    """
+    path = os.path.join(root, name)
+
+    def _parquet_files(p: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+        return out
+
+    before = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // target_bytes_per_file))
+    df = spark.read.parquet(path)
+    rows = df.count()
+
+    tmp, old = path + "__staging", path + "__old"
+    # coalesce, not repartition: narrowing the file count must not buy a
+    # full shuffle of the collection
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parquet_files(path)),
+        "rows": rows,
+    }
