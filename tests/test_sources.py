@@ -97,3 +97,50 @@ def test_compact_collection_preserves_rows_reduces_files(spark, tmp_path):
     out = spark.read.parquet(f"{root}/tiny")
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_cluster_collection_gives_disjoint_file_ranges(spark, tmp_path):
+    """After clustering, parquet footer min/max on the cluster key must be
+    narrow and non-overlapping across files — the property min/max row-group
+    skipping needs (a random layout makes every file span the full range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectorsearch_applications_spark.sources.collections import (
+        cluster_collection,
+        create_collection,
+    )
+
+    root = str(tmp_path)
+    # adversarial layout: round-robin shuffles ids across files
+    df = spark.range(0, 20_000).withColumn("k", F.col("id"))
+    create_collection(spark, root, "tbl", df.repartition(8))
+
+    def _ranges() -> list[tuple[int, int]]:
+        out = []
+        for f in glob.glob(f"{root}/tbl/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "k"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    before = _ranges()
+    # pre-clustering: files overlap (each spans nearly the whole id range)
+    assert any(a_max > b_min for (_, a_max), (b_min, _) in zip(before, before[1:]))
+
+    cluster_collection(spark, root, "tbl", ["k"], n_files=8)
+    after = _ranges()
+    assert len(after) == 8
+    # disjoint, ordered ranges: every file ends before the next begins
+    assert all(a_max < b_min for (_, a_max), (b_min, _) in zip(after, after[1:]))
+    # nothing lost
+    out = spark.read.parquet(f"{root}/tbl")
+    assert out.count() == 20_000 and out.agg(F.sum("k")).collect()[0][0] == sum(range(20_000))

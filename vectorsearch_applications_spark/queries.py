@@ -2297,6 +2297,67 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q21_waiting_supplier",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate)
+GROUP BY s_name
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (multi-correlated EXISTS + NOT EXISTS; "late" adapted to
+    l_shipdate > o_orderdate as in q4). The oracle keeps the correlated
+    form; the Spark side decorrelates it SET-BASED: one pass computes
+    per-order supplier counts — countDistinct(suppkey) and
+    countDistinct(suppkey | late) — and the pair of subqueries collapses
+    to ``n_supp > 1 AND n_late_supp == 1`` on late rows (the late row's
+    own supplier is the single late one). Scale shape: lineitem⋈orders
+    shuffles once on orderkey; the stats aggregation and the
+    candidate-stats join both REUSE that partitioning (no second fact
+    shuffle); supplier names broadcast at the end. The hash-match against
+    the correlated oracle is the proof the decorrelation is semantics-
+    preserving, per-row multiplicity included."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        l["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
     "tpch_q22_balance_opportunity",
     """
 WITH avg_bal AS (
@@ -3256,6 +3317,7 @@ _GRADE_FIRST = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
     "ann_ivf_exhaustive",
     "corpus_bpe_token_stats",
@@ -3281,6 +3343,7 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "qa_generation",  # F4 oversample→validate→dedup plan graded via qa_triplets (same pipeline + pairing)
     "train_val_split",  # same md5-threshold split machinery graded via stratified_sample_mix
     "events_tumbling_agg",  # tumbling = sliding with step==width; events_sliding_agg graded
     "customers_with_big_orders",  # range/membership graded via tpch_q19 + q18

@@ -189,3 +189,45 @@ def compact_collection(
         "files_after": len(_parquet_files(path)),
         "rows": rows,
     }
+
+
+def cluster_collection(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Cluster a collection for data skipping: range-partition by the
+    given columns and sort within each partition, so every parquet file
+    (and row group) covers a narrow, non-overlapping min/max range of the
+    cluster key.
+
+    Parquet readers prune row groups by footer min/max statistics, but
+    statistics only help when values are clustered — a randomly-laid-out
+    100 TB table has every file spanning the whole key range, so a point
+    or range predicate still touches every file. After clustering, a
+    range predicate touches O(selectivity) files. This is the layout
+    complement to predicate pushdown (SCALE.md): pushdown decides WHAT to
+    skip, clustering makes skipping POSSIBLE.
+
+    One range shuffle, then a partition-local sort — the minimum work
+    that buys the layout. Stage-and-swap like update/compact.
+    """
+    path = os.path.join(root, name)
+    df = spark.read.parquet(path)
+    if n_files:
+        clustered = df.repartitionByRange(n_files, *cluster_cols)
+    else:
+        clustered = df.repartitionByRange(*cluster_cols)
+    clustered = clustered.sortWithinPartitions(*cluster_cols)
+
+    tmp, old = path + "__staging", path + "__old"
+    clustered.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
