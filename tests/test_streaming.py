@@ -179,3 +179,83 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_event_stream_drops_retried_events(spark, tmp_path):
+    """At-least-once input (each event retried 1-3x) → exactly one output
+    row per event_id, equal to the batch distinct-by-key result."""
+    from vectorsearch_applications_spark.streaming.events import (
+        dedup_event_stream,
+    )
+
+    rows = []
+    base = 1_700_000_000
+    for i in range(40):
+        for dup in range(1 + (i % 3)):  # 1-3 deliveries per event
+            rows.append((i, i % 5, float(i), base + i * 60))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, es long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("es"))).drop("es")
+    src = str(tmp_path / "dup_events")
+    df.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    deduped = dedup_event_stream(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, value FROM dedup_out").collect()
+    assert len(got) == 40  # one per event, retries dropped
+    assert {(r["event_id"], r["value"]) for r in got} == {
+        (i, float(i)) for i in range(40)
+    }
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    from vectorsearch_applications_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    base = 1_700_000_000
+    clicks_rows = [(u, base + u * 3600 + k * 300) for u in range(4) for k in range(3)]
+    buys_rows = [(u, base + u * 3600 + 700, 9.99) for u in range(4)]
+    clicks = spark.createDataFrame(clicks_rows, "user_id long, es long").withColumn(
+        "ts", F.timestamp_seconds(F.col("es"))
+    ).drop("es")
+    buys = spark.createDataFrame(
+        buys_rows, "user_id long, es long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("es"))).drop("es")
+    csrc, bsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.mode("overwrite").parquet(csrc)
+    buys.write.mode("overwrite").parquet(bsrc)
+    cstat, bstat = spark.read.parquet(csrc), spark.read.parquet(bsrc)
+
+    out = stream_stream_attribution(
+        spark.readStream.schema(cstat.schema).parquet(csrc),
+        spark.readStream.schema(bstat.schema).parquet(bsrc),
+        horizon="30 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    want = {
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in stream_stream_attribution(cstat, buys, horizon="30 minutes").collect()
+    }
+    # purchase at +700s: clicks at +0/+300/+600 all within 30 min -> 3 each
+    assert got == want and len(want) == 12

@@ -183,3 +183,69 @@ def stream_static_search_join(
     Plain stream-static inner join; Spark broadcasts the static side per
     micro-batch when small."""
     return query_stream.join(static_hits, "query_id")
+
+
+def dedup_event_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once repair for at-least-once event ingestion: drop
+    duplicate events by key within a watermark horizon.
+
+    At-least-once producers (retrying collectors, replayed Kafka offsets,
+    task re-execution upstream) emit the same event id more than once;
+    every downstream count/sum silently inflates. Unbounded
+    ``dropDuplicates`` would grow its dedup state forever on an infinite
+    stream — ``dropDuplicatesWithinWatermark`` bounds state to the
+    watermark window, which is the only version that survives at 100 TB/
+    day: state is O(events per horizon), evicted as the watermark
+    advances, and duplicates arriving later than the horizon are by
+    definition outside the producer's retry window.
+
+    The input must carry a real timestamp column; BIGINT-ns sources go
+    through functions.time.to_timestamp_col first.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to every click by the
+    same user within the preceding ``horizon`` (last-touch attribution's
+    candidate set, the canonical two-stream correlation).
+
+    Both sides carry watermarks and the join condition carries an explicit
+    event-time range (click ≤ purchase ≤ click + horizon) — exactly what
+    Structured Streaming needs to bound the buffered state on BOTH sides:
+    each side's rows are held only until the other side's watermark passes
+    the range, so state is O(events per horizon) regardless of stream
+    length. Without the time bound the join would be rejected (unbounded
+    state). Output columns: (user_id, click_ts, purchase_ts, plus the
+    purchase's ``value`` if present).
+    """
+    c = clicks.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("click_ts")
+    ).withWatermark("click_ts", horizon)
+    p_cols = [
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+    ]
+    if "value" in purchases.columns:
+        p_cols.append(F.col("value"))
+    p = purchases.select(*p_cols).withWatermark("purchase_ts", horizon)
+    return p.join(
+        c,
+        F.expr(
+            "user_id = p_user AND click_ts <= purchase_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    ).drop("p_user")
