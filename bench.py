@@ -66,6 +66,7 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q10_returned_items",
     "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
     "stratified_sample_mix",

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sources.io import load_table
@@ -2200,7 +2200,7 @@ thresh AS (
   SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
   FROM brand_li GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly,
        count(*) AS n_items
 FROM brand_li JOIN thresh USING (l_partkey)
 WHERE l_quantity < qty_thresh
@@ -2230,7 +2230,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(thresh), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -2239,7 +2245,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_revenue",
     """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -2288,11 +2294,76 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(full)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(_rev_decimal()), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+def _rev_decimal() -> Column:
+    """l_extendedprice·(1−l_discount) in exact DECIMAL arithmetic.
+
+    Double summation is partial-aggregation-order dependent; when a
+    group's sum lands within an ulp of a 2dp rounding boundary, Spark and
+    DuckDB round to different cents (observed on tpch_q10 at sf0.01).
+    Decimal sums are exact → order-independent → bitwise identical."""
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)")
+        - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item customer ranking): 4-way star join with
+    both single-side predicates pushed to their scans (returnflag →
+    lineitem, date window → orders), one fact-fact shuffle on orderkey,
+    customer⋈nation broadcast, and a TakeOrderedAndProject top-N (no full
+    sort of the aggregate).
+
+    Determinism: revenue is summed in DECIMAL, not DOUBLE — a double sum
+    is partial-aggregation-order dependent, and at sf0.01 one group's sum
+    landed within an ulp of a 2dp rounding boundary (Spark .60 vs DuckDB
+    .59). Decimal summation is exact, hence order-independent, hence
+    bitwise identical across engines; the rounded result casts back to
+    DOUBLE for the output dtype."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_rev_decimal()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 
@@ -2361,11 +2432,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_balance_opportunity",
     """
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+  SELECT sum(c_acctbal::DECIMAL(18,2)) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
 )
-SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
 FROM customer, avg_bal
-WHERE c_acctbal > ab
+WHERE c_acctbal::DECIMAL(18,2) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
@@ -2377,22 +2450,27 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes c_nationkey and the "no orders" test is "no URGENT orders".
     Scale shape: the 1-row average cross-joins as a broadcast, the
     anti-join hashes on o_custkey over pre-filtered orders, and the final
-    aggregation is per-nation (25 groups)."""
+    aggregation is per-nation (25 groups).
+    Determinism: the "above average" test is cross-multiplied in exact
+    DECIMAL (bal·n > Σbal) instead of comparing against a double average
+    whose low bits depend on summation order; the output sum is decimal
+    for the same reason (see _rev_decimal)."""
     c = load_table(spark, sf_dir, "customer")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        F.sum(bal_dec).alias("s"), F.count("*").alias("n")
     )
     urgent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        .filter(bal_dec * F.col("n") > F.col("s"))
         .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(bal_dec), 2).cast("double").alias("totacctbal"),
         )
     )
 
@@ -3316,6 +3394,7 @@ _GRADE_FIRST = [
     "tpch_q4_order_priority",
     "tpch_q13_customer_distribution",
     "tpch_q17_small_qty_revenue",
+    "tpch_q10_returned_items",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
@@ -3343,6 +3422,7 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "quality_length_filter",  # P7 corpus-stat gate graded inside corpus_curation_pipeline
     "qa_generation",  # F4 oversample→validate→dedup plan graded via qa_triplets (same pipeline + pairing)
     "train_val_split",  # same md5-threshold split machinery graded via stratified_sample_mix
     "events_tumbling_agg",  # tumbling = sliding with step==width; events_sliding_agg graded
