@@ -185,3 +185,16 @@ def test_q17_lineitem_shuffles_only_tiny_thresholds(spark):
     plan = _plan(QUERIES["tpch_q17_small_qty_revenue"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("BroadcastExchange") >= 2  # brand keys + thresholds
+
+
+def test_langid_is_pure_projection_no_shuffle(spark):
+    """Language-ID must ride the scan: no Exchange, no join — one
+    projection over the parquet read (the textbook explode→join→argmax
+    plan would shuffle |corpus|·|doc_len| gram rows)."""
+    from vectorsearch_applications_spark.operators.textstats import langid_ngram
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(langid_ngram(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan  # pruned
