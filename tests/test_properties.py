@@ -211,3 +211,40 @@ def test_stratified_sample_matches_python_md5_model(spark, base, frac):
         < thresh
     }
     assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 500_000), min_size=1, max_size=40, unique=True),
+    st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(0, 200_000)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([1, 7, 100, 86_400, 1_000_000]),
+)
+def test_interval_join_matches_python_model(spark, ts_list, iv_specs, width):
+    """Bucketed rewrite == brute-force containment for arbitrary interval
+    layouts (empty, sub-bucket, boundary-straddling, nested, huge-width)."""
+    from vectorsearch_applications_spark.operators.rangejoin import interval_join
+
+    facts = spark.createDataFrame(
+        list(enumerate(ts_list)), "fact_id long, es long"
+    )
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(iv_specs)],
+        "window_id long, w_start long, w_end long",
+    )
+    got = {
+        (r["fact_id"], r["window_id"])
+        for r in interval_join(
+            facts, intervals, "es", "w_start", "w_end", width
+        ).collect()
+    }
+    want = {
+        (fi, wi)
+        for fi, t in enumerate(ts_list)
+        for wi, (s, ln) in enumerate(iv_specs)
+        if s <= t < s + ln
+    }
+    assert got == want
