@@ -5,6 +5,9 @@ from .rerank import rerank_overlap
 from .windows import expanded_content
 from .topk import topk_per_group, token_budget_truncate
 from .evaluation import retrieval_metrics
+from .rangejoin import interval_join
+from .sampling import stratified_sample
+from .textstats import langid_ngram, text_profile
 
 __all__ = [
     "bm25_build_stats",
@@ -18,4 +21,8 @@ __all__ = [
     "topk_per_group",
     "token_budget_truncate",
     "retrieval_metrics",
+    "interval_join",
+    "stratified_sample",
+    "langid_ngram",
+    "text_profile",
 ]
