@@ -70,6 +70,7 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
     "stratified_sample_mix",
+    "ann_quantized_search",
 ]
 
 

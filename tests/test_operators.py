@@ -624,3 +624,38 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     # rate is approximately honored (md5 uniformity; 218 en docs at smoke SF)
     n_en = docs.filter(F.col("lang") == "en").count()
     assert 0.3 * n_en <= len(ids_50) <= 0.7 * n_en
+
+
+def test_quantize_embeddings_codes_and_zero_vector(spark):
+    from vectorsearch_applications_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.0, 0.125]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = 0.5/127; codes = round(x*127/0.5): [127, -63, 0, 32]
+    # (-0.25 -> -63.5 -> floor(-63.5+0.5) = -63; 0.125 -> 31.75 -> 32)
+    assert rows[0]["codes"] == [127, -63, 0, 32]
+    assert abs(rows[0]["scale"] - 0.5 / 127) < 1e-12
+    # zero vector: no division blowup, all-zero codes, scale 0
+    assert rows[1]["codes"] == [0, 0, 0, 0] and rows[1]["scale"] == 0.0
+
+
+def test_quantized_search_recall_vs_exact(spark):
+    """Int8 quantization must preserve cosine ranking almost perfectly:
+    top-10 overlap with exact float kNN >= 0.8 averaged over queries."""
+    from vectorsearch_applications_spark.queries import QUERIES
+
+    exact = {}
+    for r in QUERIES["knn_search"](spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in QUERIES["ann_quantized_search"](spark, SF_SMOKE).collect():
+        quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qids = set(exact) & set(quant)  # knn uses vec_id<5, quantized <3
+    assert qids == {0, 1, 2}
+    recalls = [len(exact[q] & quant[q]) / 10 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

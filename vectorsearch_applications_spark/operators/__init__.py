@@ -7,6 +7,7 @@ from .topk import topk_per_group, token_budget_truncate
 from .evaluation import retrieval_metrics
 from .rangejoin import interval_join
 from .sampling import stratified_sample
+from .quantize import quantize_embeddings, quantized_dot
 from .textstats import langid_ngram, text_profile
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "retrieval_metrics",
     "interval_join",
     "stratified_sample",
+    "quantize_embeddings",
+    "quantized_dot",
     "langid_ngram",
     "text_profile",
 ]

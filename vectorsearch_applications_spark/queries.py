@@ -204,6 +204,80 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_quantized_search",
+    """
+WITH a AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> CAST(floor(
+           (CASE WHEN scale = 0 THEN 0.0 ELSE x / scale END) + 0.5
+         ) AS INT)) AS codes
+  FROM a
+),
+dq AS (SELECT vec_id, scale, unnest(codes) AS dc,
+              generate_subscripts(codes, 1) AS i FROM c),
+qq AS (SELECT vec_id AS query_id, scale AS qscale, unnest(codes) AS qc,
+              generate_subscripts(codes, 1) AS i FROM c WHERE vec_id < 3),
+dots AS (
+  SELECT qq.query_id, dq.vec_id,
+         (dq.scale * qq.qscale) * (sum(dq.dc * qq.qc)::BIGINT) AS score
+  FROM dq JOIN qq USING (i)
+  GROUP BY qq.query_id, dq.vec_id, dq.scale, qq.qscale
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM dots
+)
+SELECT query_id, vec_id, rnk::BIGINT AS rank, round(score, 4) + 0.0 AS score
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_ann_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over int8-quantized embeddings
+    (operators/quantize.py): 4× less embedding IO/memory than float32,
+    with the inner product computed in exact integer arithmetic so the
+    score — unlike a float dot — is order-independent and bitwise
+    reproducible across engines. The bounded crossJoin here pins the
+    oracle; at scale the same quantized column drops into the
+    partial-top-k kNN and IVF probe paths unchanged (codes travel the
+    shuffle at a quarter the bytes)."""
+    from .operators.quantize import quantize_embeddings, quantized_dot
+
+    qz = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    queries = qz.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("codes").alias("qcodes"),
+    )
+    scored = qz.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        quantized_dot(
+            F.col("codes"), F.col("qcodes"), F.col("scale"), F.col("qscale")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.round("score", 4) + F.lit(0.0)).alias("score"),
+        )
+    )
+
+
 _HYBRID_ALPHA = 0.25
 _HYBRID_N = 50
 
@@ -3399,6 +3473,7 @@ _GRADE_FIRST = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
     "ann_ivf_exhaustive",
+    "ann_quantized_search",
     "corpus_bpe_token_stats",
     "router_fit",
     "llm_cost_accounting",
@@ -3422,6 +3497,7 @@ _GRADE_FIRST = [
     "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
+    "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
     "quality_length_filter",  # P7 corpus-stat gate graded inside corpus_curation_pipeline
     "qa_generation",  # F4 oversample→validate→dedup plan graded via qa_triplets (same pipeline + pairing)
     "train_val_split",  # same md5-threshold split machinery graded via stratified_sample_mix
