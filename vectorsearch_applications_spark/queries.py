@@ -3453,6 +3453,538 @@ def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 4: the remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q12/Q15/Q16/Q20).
+# The synthetic schema has no partsupp table and no
+# shipmode/commitdate/receiptdate columns, so Q2/Q9/Q11/Q12/Q16/Q20 are
+# honest adaptations that preserve each query's OPERATOR pattern
+# (groupwise-min + rejoin, global-share HAVING, conditional agg,
+# anti-join + count-distinct, nested semi-join chains) on the columns
+# that exist; Q8 and Q15 are faithful.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH supply AS (
+  -- lineitem stands in for partsupp: unit cost per (part, supplier) is the
+  -- cheapest observed unit price (min => exact, no float summation).
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+  SELECT p_partkey, s_suppkey, n_name, s_acctbal, cost
+  FROM supply
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_size IN (5, 15, 25) AND r_name = 'ASIA'
+),
+best AS (
+  SELECT p_partkey, min(cost) AS min_cost FROM eligible GROUP BY p_partkey
+)
+SELECT p_partkey, s_suppkey, n_name,
+       round(s_acctbal, 2) + 0.0 AS s_acctbal,
+       round(cost, 4) + 0.0 AS cost
+FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY e.p_partkey
+                                 ORDER BY e.s_suppkey ASC) AS rn
+  FROM eligible e JOIN best b
+    ON e.p_partkey = b.p_partkey AND e.cost = b.min_cost
+) WHERE rn = 1
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier per part — groupwise-min + rejoin),
+    adapted: lineitem's cheapest observed unit price stands in for
+    ps_supplycost. Scale shape: the filtered part list and the
+    region-restricted supplier⋈nation frame are both tiny → broadcast;
+    the only wide work is one (partkey, suppkey) aggregation over
+    lineitem pre-pruned by the broadcast part keys. The groupwise min
+    rebroadcasts (|parts of one size∧type| rows), so 100 TB lineitem is
+    scanned once and shuffled once on the already-pruned subset.
+    Determinism: min() picks an exact value (no summation); ties on cost
+    break by s_suppkey via row_number."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(5, 15, 25))
+        .select("p_partkey")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "n_name")
+    )
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eligible = supply.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("s_suppkey").asc())
+    return (
+        eligible.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "n_name",
+            (F.round("s_acctbal", 2) + F.lit(0.0)).alias("s_acctbal"),
+            (F.round("cost", 4) + F.lit(0.0)).alias("cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+WITH all_nations AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       floor(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                      ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum(volume)::DOUBLE * 10000) / 10000 AS mkt_share,
+       count(*) AS n_items
+FROM all_nations GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share — conditional share of a grouped
+    sum across a 7-table snowflake). Scale shape: every dimension
+    (part-filtered, customer⋈nation⋈region, supplier⋈nation) broadcasts;
+    lineitem and orders are the only big tables and meet in ONE shuffle
+    hash join on orderkey — at 100 TB that is the floor for this query.
+    Both sums aggregate exact DECIMAL, so the share is a division of two
+    bitwise-identical numbers; trunc4 (floor) avoids cross-engine
+    half-rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cnat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "semi")
+        .select("c_custkey")
+    )
+    snat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    vol = _rev_decimal()
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "semi"
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy("o_year").agg(
+        trunc4(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            )
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
+                 - 0.6::DECIMAL(18,4) * p_retailprice::DECIMAL(18,4)
+                   * l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year), adapted: with
+    no partsupp.ps_supplycost, cost is 0.6·p_retailprice·l_quantity —
+    same expression shape (revenue minus a part-priced cost term), exact
+    DECIMAL throughout. Scale shape: part (name-filtered) and
+    supplier⋈nation broadcast; lineitem⋈orders is the one big shuffle
+    join on orderkey; the final (nation, year) aggregation is ~175 groups
+    — map-side combine collapses it before the shuffle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    profit = _rev_decimal() - (
+        F.lit(0.6).cast("decimal(18,4)") * d("p_retailprice") * d("l_quantity")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+WITH nat_supply AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(18,4)) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(value, 2)::DOUBLE AS value
+FROM nat_supply
+WHERE value > (SELECT sum(value) * 0.001 FROM nat_supply)
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock — group aggregate filtered by a global
+    scalar share), adapted: supplied VALUE per part is the extendedprice
+    sum of one nation's suppliers' lineitems (no partsupp.availqty).
+    Scale shape: the nation's supplier keys broadcast-prune lineitem
+    before the one (partkey) shuffle aggregation; the global threshold is
+    a second aggregation over the per-part frame (NOT the raw table) and
+    rejoins as a broadcast scalar. Exact DECIMAL sums make the HAVING
+    comparison engine-portable."""
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "semi")
+        .select("s_suppkey")
+    )
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
+    )
+    thresh = per_part.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(18,4)")).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    """
+SELECT l_returnflag AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_linestatus = 'F'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping classes × order priority — conditional
+    aggregation over a fact⋈fact join), adapted: l_returnflag stands in
+    for the absent l_shipmode, l_linestatus='F' for the commit/receipt
+    date predicates. Scale shape: the shipdate range prunes the lineitem
+    scan (pushed filter); lineitem⋈orders shuffles on orderkey; the CASE
+    sums partial-aggregate to 3 groups map-side. Counts only — no float
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linestatus") == "F")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, one).otherwise(zero))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, one).otherwise(zero))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2)::DOUBLE AS total_revenue
+FROM revenue JOIN supplier ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier — a reused view aggregated twice: once per
+    supplier, once for the global max). Scale shape: the date-pruned
+    lineitem scan feeds ONE (suppkey) shuffle aggregation; the global max
+    is an aggregation over that per-supplier frame (|suppliers| rows, not
+    the fact table) and broadcasts back as a one-row scalar. Exact
+    DECIMAL revenue makes the equality join engine-portable — matching on
+    a double max would be ulp-fragile."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_decimal()).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship — NOT-IN exclusion +
+    count-distinct per part attribute), adapted: lineitem's distinct
+    (partkey, suppkey) pairs stand in for partsupp; negative account
+    balance stands in for the complaints LIKE. Scale shape: the NOT IN
+    is a broadcast anti-join against the (tiny) excluded-supplier list —
+    never a shuffle; part attributes broadcast; the distinct-pairs
+    aggregation and the count-distinct share the same (partkey-ish)
+    shuffle key so AQE coalesces them. All outputs integer."""
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    """
+WITH small_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN small_parts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+part_avg AS (
+  SELECT l_partkey, 0.5 * sum(qty) / count(*) AS half_avg
+  FROM shipped GROUP BY l_partkey
+),
+heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM shipped JOIN part_avg USING (l_partkey)
+  WHERE qty > half_avg
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion — a chain of nested semi-joins
+    feeding a supplier filter), adapted: "shipped more than half the
+    average shipped quantity of that part" stands in for the availqty >
+    half-of-shipped predicate (no partsupp). Scale shape: the name-
+    filtered part keys broadcast-prune the date-pruned lineitem scan; one
+    (suppkey, partkey) shuffle aggregation; the per-part average is an
+    aggregation of THAT frame rebroadcast as a tiny join; both IN
+    subqueries become broadcast semi-joins. l_quantity is
+    integral-valued, so sums and the half-average are exact."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.5) * F.sum("qty") / F.count("*")).alias("half_avg")
+    )
+    heavy = (
+        shipped.join(
+            F.broadcast(part_avg), F.col("l_partkey") == F.col("pa_partkey")
+        )
+        .filter(F.col("qty") > F.col("half_avg"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "semi")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -3462,6 +3994,16 @@ def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets, dedup_simhash covers dedup_simhash_pairs). All remain registered,
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
+    # round 4 additions (never driver-graded):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_shippers",
+    # round 3 additions / rotations:
     "langid_ngram",
     "stratified_sample_mix",
     "events_range_join",
