@@ -1,0 +1,62 @@
+"""Connected components (operators/graph.py): hash-min fixpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.operators.graph import (
+    connected_components,
+    keep_canonical,
+)
+
+
+def _cc_dict(edges_df):
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df, "src", "dst").collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # Path graph 1-2-3-4-5: diameter 4 — exercises multiple hash-min rounds.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert _cc_dict(e) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_multiple_components_and_noise_edges(spark):
+    # Two components; duplicate edges, reversed orientation, and self-loops
+    # must not change the labeling.
+    e = spark.createDataFrame(
+        [(10, 20), (20, 10), (20, 30), (7, 8), (8, 8), (8, 7), (7, 7)],
+        "src long, dst long",
+    )
+    assert _cc_dict(e) == {10: 10, 20: 10, 30: 10, 7: 7, 8: 7}
+
+
+def test_star_converges_in_one_round(spark):
+    e = spark.createDataFrame(
+        [(100, i) for i in range(101, 108)], "src long, dst long"
+    )
+    got = _cc_dict(e)
+    assert set(got.values()) == {100} and len(got) == 8
+
+
+def test_keep_canonical_drops_non_representatives(spark):
+    items = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    e = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    cc = connected_components(e)
+    kept = {r["doc_id"] for r in keep_canonical(items, cc).collect()}
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 unclustered -> kept
+    assert kept == {1, 4, 5}
+
+
+def test_no_driver_collect_in_labels(spark):
+    # The result is a DataFrame (distributed), not a driver-side structure.
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = connected_components(e)
+    assert out.columns == ["id", "component"]
+    assert out.filter(F.col("component") > F.col("id")).count() == 0

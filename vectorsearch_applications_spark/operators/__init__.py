@@ -29,3 +29,4 @@ __all__ = [
     "langid_ngram",
     "text_profile",
 ]
+from .graph import connected_components, keep_canonical

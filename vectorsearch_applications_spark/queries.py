@@ -673,6 +673,65 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
 
+# Near-dup pairs → connected components → canonical clusters. The oracle
+# re-derives the same MinHash-LSH pairs in SQL, then computes each node's
+# min reachable id with a recursive CTE — exactly the hash-min fixpoint the
+# Spark operator (operators/graph.py) iterates.
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(id, root) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTER_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group labeling: LSH candidate pairs clustered into
+    components so each near-dup group gets one canonical id (reference
+    dedups first-occurrence in a Python set — preprocessor-level; the
+    graph formulation is the 100 TB version)."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+WITH cc AS ({_CLUSTER_SQL})
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d
+LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.doc_id <> cc.cluster_id
+WHERE d.doc_id < 300 AND cc.doc_id IS NULL
+""",
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-duplicate-group curation: anti-join the corpus against
+    non-canonical cluster members."""
+    from .operators.graph import connected_components, keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    kept = keep_canonical(docs, cc, id_col="doc_id")
+    return kept.select("doc_id", F.length("text").alias("n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline extension)
 # ---------------------------------------------------------------------------
@@ -3995,6 +4054,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
     # round 4 additions (never driver-graded):
+    "dedup_clusters",
+    "dedup_keep_canonical",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
