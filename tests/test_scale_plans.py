@@ -198,3 +198,33 @@ def test_langid_is_pure_projection_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan  # pruned
+
+
+def test_boilerplate_topk_is_take_ordered_and_ratio_broadcasts(spark):
+    from vectorsearch_applications_spark.operators.textstats import (
+        boilerplate_ngrams,
+        boilerplate_ratio,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # global top-N must be TakeOrdered (partial per-partition top-N), not a
+    # full sort of the gram-count table
+    assert "TakeOrderedAndProject" in _plan(boilerplate_ngrams(docs, n=5, top=20))
+    # the frequent list (<= top rows by construction) must broadcast back
+    # against the exploded gram frame — never shuffle the corpus side
+    assert "BroadcastHashJoin" in _plan(boilerplate_ratio(docs, n=5, top=100))
+
+
+def test_connected_components_no_growing_lineage(spark):
+    # localCheckpoint per round: the returned plan must not contain the
+    # iterated join tower (a few nodes only), or 20 rounds would build an
+    # exponentially nested plan.
+    from vectorsearch_applications_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    plan = _plan(connected_components(e))
+    assert plan.count("Join") <= 2, plan

@@ -334,3 +334,77 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_contaminated_ngrams"))
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    top: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: the ``top`` most frequent word
+    n-grams with their occurrence counts (the C4/Dolma-style frequent-
+    n-gram pass that surfaces headers, footers, license blurbs, memes).
+
+    Output: (gram, n_occurrences), count desc / gram asc — the tie-break
+    makes the cut line deterministic.
+
+    Scale shape: n-grams are built inside codegen (functions on the token
+    array, no Python), exploded, and partially aggregated map-side before
+    the one shuffle on gram; the global top-N is TakeOrdered (per-partition
+    partial top-N, no full sort).
+    """
+    grams = docs.select(
+        F.explode(ngrams(tokenize(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(top)
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    n: int = 5,
+    top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate score: the fraction of a document's n-gram
+    occurrences that fall in the corpus's ``top`` most frequent n-grams —
+    a quality-filter signal (high ratio = template/boilerplate page).
+
+    Output: (doc_id, n_grams, boilerplate_ratio) for documents with at
+    least one n-gram; ratio is raw double (caller truncates for
+    engine-portable output).
+
+    Scale shape: the exploded n-gram frame is the only wide input; the
+    frequent list is ``top`` rows by construction → broadcast back against
+    it. Two shuffles total (gram counts, per-doc ratio), both map-side
+    combined.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(tokenize(text_col), n)).alias("gram"),
+    )
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(top)
+        .select("gram")
+    )
+    hits = F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+    return (
+        grams.join(
+            F.broadcast(frequent.withColumn("is_boiler", F.lit(True))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            (hits / F.count("*")).alias("boilerplate_ratio"),
+        )
+    )

@@ -3401,6 +3401,70 @@ def q_quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_ngrams", "n_distinct")
 
 
+# Shared 5-gram CTE over the full documents table (DuckDB side of
+# operators/textstats.py ngrams(n=5)).
+_GRAMS5_SQL = f"""
+d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                               i -> array_to_string(toks[i : i + 4], ' '))) AS gram
+  FROM d
+)
+"""
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+WITH {_GRAMS5_SQL}
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT 20
+""",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-5-gram pass (C4/Dolma boilerplate detection)."""
+    from .operators.textstats import boilerplate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, n=5, top=20)
+
+
+@register(
+    "boilerplate_doc_ratio",
+    f"""
+WITH {_GRAMS5_SQL},
+freq AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+    ORDER BY cnt DESC, gram ASC LIMIT 100
+  )
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       floor(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 10000) / 10000 AS boilerplate_ratio
+FROM grams g LEFT JOIN freq f ON f.gram = g.gram
+GROUP BY g.doc_id
+""",
+)
+def q_boilerplate_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction against the corpus's top-100 frequent
+    5-grams — a quality-filter score column."""
+    from .operators.textstats import boilerplate_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = boilerplate_ratio(docs, n=5, top=100)
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        trunc4(F.col("boilerplate_ratio")).alias("boilerplate_ratio"),
+    )
+
+
 @register(
     "decontaminate_benchmark",
     f"""
@@ -4056,6 +4120,8 @@ _GRADE_FIRST = [
     # round 4 additions (never driver-graded):
     "dedup_clusters",
     "dedup_keep_canonical",
+    "boilerplate_ngrams",
+    "boilerplate_doc_ratio",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
