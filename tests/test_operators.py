@@ -659,3 +659,44 @@ def test_quantized_search_recall_vs_exact(spark):
     assert qids == {0, 1, 2}
     recalls = [len(exact[q] & quant[q]) / 10 for q in qids]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_refine_objective_monotone_and_exhaustive_still_exact(spark):
+    """Lloyd rounds never increase the k-means objective, and an
+    exhaustive probe over the refined codebook is still exactly kNN
+    (bucketing never changes scored distances)."""
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_build,
+        ivf_refine,
+        ivf_search,
+        kmeans_objective,
+        _assign,
+    )
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_search_crossjoin,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(6)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).selectExpr(
+        "vec_id",
+        "transform(embedding, x -> x / sqrt(aggregate(transform(embedding, y -> y*y), 0D, (a,y) -> a+y))) AS embedding",
+    )
+    centroids, _ = ivf_build(corpus, n_centroids=5)
+    obj0 = kmeans_objective(corpus, centroids)
+    c1 = ivf_refine(corpus, centroids, iterations=1)
+    obj1 = kmeans_objective(corpus, c1)
+    c2 = ivf_refine(corpus, c1, iterations=1)
+    obj2 = kmeans_objective(corpus, c2)
+    assert obj1 <= obj0 + 1e-9 and obj2 <= obj1 + 1e-9
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    refined_assign = _assign(corpus, c2, "vec_id", "embedding")
+    approx = ivf_search(corpus, c2, refined_assign, queries, k=5, nprobe=5)
+    exact = knn_search_crossjoin(corpus, queries, k=5)
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    assert a == e

@@ -30,3 +30,5 @@ __all__ = [
     "text_profile",
 ]
 from .graph import connected_components, keep_canonical
+from .ann import ivf_build, ivf_refine, ivf_search, ivf_append, kmeans_objective
+from .textstats import boilerplate_ngrams, boilerplate_ratio
