@@ -71,6 +71,9 @@ HEADLINE = [
     "tpch_q22_balance_opportunity",
     "stratified_sample_mix",
     "ann_quantized_search",
+    "dedup_clusters",
+    "boilerplate_ngrams",
+    "boilerplate_doc_ratio",
 ]
 
 

@@ -79,3 +79,65 @@ def stratified_sample_oracle_where(
     case = f"CASE {stratum_col} {whens} ELSE {int(round(default * _DENOM))} END"
     h = f"('0x' || substr(md5({id_col}::VARCHAR || '{salt}'), 1, 8))::BIGINT"
     return f"{h} % {_DENOM} < {case}"
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "#temp",
+) -> DataFrame:
+    """Square-root temperature downsampling of dominant strata (the
+    multilingual-pretraining mixture trick, T = 1/2): stratum s keeps rows
+    with probability sqrt(n_s / n_max), flattening the source distribution
+    toward the smaller strata while never *up*-sampling anyone.
+
+    The keep-fraction is computed IN the plan (one map-side-combined count
+    per stratum, broadcast back) — no driver collect, so the operator
+    composes into a single declarative pipeline at any scale. The per-row
+    decision reuses the md5-threshold machinery of ``stratified_sample``
+    (repartition/retry-stable, engine-portable). sqrt and the int64→double
+    division are correctly-rounded IEEE ops in any engine, so the
+    thresholds — unlike a general pow(n, T), whose libm rounding varies —
+    reproduce bitwise in the SQL oracle.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    nmax = counts.agg(F.max("_n").alias("_nmax"))
+    thresholds = counts.crossJoin(F.broadcast(nmax)).select(
+        stratum_col,
+        F.floor(
+            F.sqrt(F.col("_n") / F.col("_nmax")) * _DENOM
+        ).alias("_th"),
+    )
+    bucket = (
+        stable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        % _DENOM
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(bucket < F.col("_th"))
+        .drop("_th")
+    )
+
+
+def temperature_resample_oracle_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "#temp",
+    select: str = "*",
+) -> str:
+    """DuckDB query making the identical keep decision (same md5 bucket,
+    same sqrt threshold) — generated from the same parameters."""
+    h = f"('0x' || substr(md5(t.{id_col}::VARCHAR || '{salt}'), 1, 8))::BIGINT"
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col} AS s, count(*) AS n FROM {table} GROUP BY {stratum_col}
+),
+th AS (
+  SELECT s, floor(sqrt(n::DOUBLE / (SELECT max(n) FROM counts)) * {_DENOM}) AS th
+  FROM counts
+)
+SELECT {select} FROM {table} t JOIN th ON th.s = t.{stratum_col}
+WHERE {h} % {_DENOM} < th.th
+"""

@@ -408,3 +408,50 @@ def boilerplate_ratio(
             (hits / F.count("*")).alias("boilerplate_ratio"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-bigram-LM fluency scoring (the CCNet/KenLM-style perplexity
+    filter, reduced to the corpus's own MLE bigram model): each document's
+    bigrams are scored p(w2|w1) = c(w1 w2) / c(w1 ·) against corpus-wide
+    counts, and the doc aggregates (sum, n) of the per-bigram score.
+
+    Numerics: the per-bigram score is the INTEGER micro-probability
+    c12 * 1_000_000 DIV c1 — int64 end to end, so per-doc aggregation is
+    order-free and reproduces bitwise in any engine (a float log-prob sum
+    would depend on both summation order and libm log rounding). The
+    emitted columns are (sum, count), never a rounded division.
+
+    Scale shape: one exploded bigram frame feeds (a) the c12 count, (b) the
+    prefix count c1 (both map-side combined), and (c) the per-doc rows;
+    the count tables join back on their keys as plain shuffle hash joins —
+    vocabulary-sized tables are NEVER broadcast (the BM25-vocab lesson).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(tokenize(text_col), 2)).alias("gram"),
+    )
+    c12 = grams.groupBy("gram").agg(F.count("*").alias("c12"))
+    prefix = F.substring_index(F.col("gram"), " ", 1)
+    c1 = (
+        grams.select(prefix.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        grams.join(c12, "gram")
+        .withColumn("w1", prefix)
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.expr("c12 * 1000000 DIV c1").alias("microprob"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("microprob").cast("bigint").alias("microprob_sum"),
+    )

@@ -1890,6 +1890,71 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_bigram_score",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM d
+),
+c12 AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY gram),
+c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1
+  FROM grams GROUP BY split_part(gram, ' ', 1)
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((c12.c12 * 1000000) // c1.c1) AS BIGINT) AS microprob_sum
+FROM grams g
+JOIN c12 ON c12.gram = g.gram
+JOIN c1 ON c1.w1 = split_part(g.gram, ' ', 1)
+GROUP BY g.doc_id
+""",
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency under the corpus's own MLE bigram LM — integer
+    micro-probabilities, so the score is engine-exact (see
+    operators/textstats.py:bigram_lm_scores)."""
+    from .operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+from .operators.sampling import temperature_resample_oracle_sql as _temp_oracle
+
+
+@register(
+    "temperature_resample_sources",
+    f"""
+WITH sampled AS ({_temp_oracle('documents', 'source', select='t.doc_id, t.source')})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM sampled GROUP BY source
+""",
+)
+def q_temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature rebalancing over the `source` stratum — the
+    data-driven cousin of stratified_sample_mix: keep fractions come from
+    the corpus's own stratum counts (computed in-plan, broadcast back),
+    not a static dict. id_sum pins the exact kept set."""
+    from .operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_resample(docs, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+@register(
     "event_scalar_functions",
     """
 SELECT event_id,
@@ -4169,6 +4234,8 @@ _GRADE_FIRST = [
     "boilerplate_ngrams",
     "boilerplate_doc_ratio",
     "ann_ivf_kmeans_exhaustive",
+    "temperature_resample_sources",
+    "lm_bigram_score",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
