@@ -32,3 +32,6 @@ __all__ = [
 from .graph import connected_components, keep_canonical
 from .ann import ivf_build, ivf_refine, ivf_search, ivf_append, kmeans_objective
 from .textstats import boilerplate_ngrams, boilerplate_ratio
+from .sampling import temperature_resample
+from .textstats import bigram_lm_scores
+from .funnel import funnel_counts

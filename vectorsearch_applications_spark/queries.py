@@ -1890,6 +1890,52 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS es FROM events
+),
+s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+s2 AS (
+  SELECT DISTINCT c.user_id FROM e c
+  JOIN e v ON v.user_id = c.user_id AND v.event_type = 'view' AND v.es < c.es
+  WHERE c.event_type = 'click'
+),
+s3 AS (
+  SELECT DISTINCT p.user_id FROM e p
+  JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.es < p.es
+  JOIN e v ON v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.es < c.es AND p.es - v.es <= 86400
+  WHERE p.event_type = 'purchase'
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with a 24 h conversion window
+    anchored at the view. The operator is pure window algebra on one
+    user-partitioned sort (operators/funnel.py); the oracle is the
+    brute-force EXISTS triple join — equivalent semantics, quadratic
+    plan, which is exactly why the window formulation is the 100 TB
+    path."""
+    from .functions.time import epoch_seconds
+    from .operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_seconds(ev, "ts").alias("es")
+    )
+    return funnel_counts(
+        e, ["view", "click", "purchase"], window_seconds=86400
+    )
+
+
+@register(
     "lm_bigram_score",
     f"""
 WITH d AS (
@@ -4236,6 +4282,7 @@ _GRADE_FIRST = [
     "ann_ivf_kmeans_exhaustive",
     "temperature_resample_sources",
     "lm_bigram_score",
+    "events_funnel",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
