@@ -1890,6 +1890,60 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 // 604800 AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week, e.week - c.cohort_week AS week_offset
+  FROM e JOIN cohort c ON c.user_id = e.user_id
+  WHERE e.week >= c.cohort_week
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY cohort_week, week_offset
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-signup week, counted
+    distinct per (cohort, week offset). Integer epoch-week arithmetic end
+    to end; the cohort map is one min-aggregation joined back on user_id
+    (both sides shuffle on the same key — AQE broadcasts the cohort side
+    when it is small)."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_seconds(ev, "ts").alias("es")
+    ).select(
+        "user_id", "event_type", F.expr("es DIV 604800").alias("week")
+    )
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active_users")
+    )
+
+
+@register(
     "events_funnel",
     """
 WITH e AS (
@@ -4283,6 +4337,9 @@ _GRADE_FIRST = [
     "temperature_resample_sources",
     "lm_bigram_score",
     "events_funnel",
+    "events_retention",
+    # red in r3 (TIMESTAMP_NTZ cast), fixed this round — must re-grade:
+    "events_sessionize",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
