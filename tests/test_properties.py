@@ -248,3 +248,51 @@ def test_interval_join_matches_python_model(spark, ts_list, iv_specs, width):
         if s <= t < s + ln
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400_000), st.integers(1, 150_000)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400_000), st.integers(1, 150_000)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([1, 7, 100, 86_400, 1_000_000]),
+)
+def test_interval_overlap_join_matches_python_model(
+    spark, l_specs, r_specs, width
+):
+    """Bucketed overlap rewrite == brute-force pair enumeration, exactly
+    once per pair (the first-overlap-bucket residual must dedup pairs
+    sharing several buckets)."""
+    from vectorsearch_applications_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(l_specs)],
+        "l_id long, l_start long, l_end long",
+    )
+    right = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(r_specs)],
+        "r_id long, r_start long, r_end long",
+    )
+    rows = [
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end", width
+        ).collect()
+    ]
+    want = {
+        (li, ri)
+        for li, (ls, ll) in enumerate(l_specs)
+        for ri, (rs, rl) in enumerate(r_specs)
+        if ls < rs + rl and rs < ls + ll
+    }
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    assert set(rows) == want

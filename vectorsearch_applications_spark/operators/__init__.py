@@ -35,3 +35,4 @@ from .textstats import boilerplate_ngrams, boilerplate_ratio
 from .sampling import temperature_resample
 from .textstats import bigram_lm_scores
 from .funnel import funnel_counts
+from .rangejoin import interval_overlap_join

@@ -78,3 +78,53 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair with
+    ``l_start < r_end AND r_start < l_end`` (half-open intervals).
+
+    Same bucketed rewrite as ``interval_join`` generalized to two interval
+    sides: both explode into covered buckets and equi-join on bucket id
+    with the overlap predicate as residual. A pair overlapping across
+    several shared buckets would match once per bucket; instead of a
+    distinct (an extra full shuffle of the join output), each pair is kept
+    only in the FIRST bucket of its overlap —
+    ``_bucket == greatest(l_start, r_start) DIV width`` — which is shared
+    by construction, making the join output exactly-once with zero
+    post-processing. Long intervals explode into len/width bucket rows;
+    choose ``bucket_width`` near the typical interval length.
+    """
+    def _explode(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(e) > F.col(s)).withColumn(
+            "_bucket",
+            F.explode(
+                F.expr(f"sequence({s} DIV {bucket_width}, ({e} - 1) DIV {bucket_width})")
+            ),
+        )
+
+    r = _explode(right, r_start, r_end)
+    if broadcast_right:
+        r = F.broadcast(r)
+    return (
+        _explode(left, l_start, l_end)
+        .join(r, "_bucket")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (
+                F.col("_bucket")
+                == F.expr(f"greatest({l_start}, {r_start}) DIV {bucket_width}")
+            )
+        )
+        .drop("_bucket")
+    )

@@ -3269,6 +3269,65 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_campaign_overlap",
+    f"""
+WITH w(window_id, w_start, w_end) AS (VALUES {_RW_VALUES}),
+o AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS es FROM events
+),
+m AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, es,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM m
+),
+iv AS (
+  SELECT user_id, session_id, min(es) AS s_start, max(es) + 1 AS s_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT iv.user_id) AS BIGINT) AS n_users
+FROM iv JOIN w ON iv.s_start < w.w_end AND w.w_start < iv.s_end
+GROUP BY w.window_id
+""",
+)
+def q_events_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: user sessions (sessionize output
+    as half-open [first_event, last_event+1) intervals) against campaign
+    windows, counting overlapping sessions and distinct users per window.
+    The bucketed rewrite (operators/rangejoin.py interval_overlap_join)
+    emits each overlapping pair exactly once via the first-overlap-bucket
+    residual — no distinct pass over the join output; the oracle is the
+    plain theta join."""
+    from .functions.time import epoch_seconds
+    from .operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev.select("user_id", "event_id", "ts"), gap_seconds=1800
+    ).withColumn("es", epoch_seconds(ev, "ts"))
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("es").alias("s_start"), (F.max("es") + 1).alias("s_end")
+    )
+    w = spark.createDataFrame(
+        RANGE_WINDOWS, "window_id long, w_start long, w_end long"
+    )
+    joined = interval_overlap_join(
+        iv, w, "s_start", "s_end", "w_start", "w_end", bucket_width=86400
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
     "filtered_hybrid_search",
     f"""
 WITH docs AS (
@@ -4338,6 +4397,7 @@ _GRADE_FIRST = [
     "lm_bigram_score",
     "events_funnel",
     "events_retention",
+    "events_session_campaign_overlap",
     # red in r3 (TIMESTAMP_NTZ cast), fixed this round — must re-grade:
     "events_sessionize",
     "tpch_q2_min_cost_supplier",
