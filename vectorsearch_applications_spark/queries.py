@@ -4400,6 +4400,7 @@ _GRADE_FIRST = [
     "events_session_campaign_overlap",
     # red in r3 (TIMESTAMP_NTZ cast), fixed this round — must re-grade:
     "events_sessionize",
+    "events_sliding_agg",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -4440,8 +4441,6 @@ _GRADE_FIRST = [
     "filtered_hybrid_search",
     "multimodal_frame_plan",
     "tpch_q5_local_supplier",
-    "events_sliding_agg",
-    "tpch_q7_nation_trade",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
