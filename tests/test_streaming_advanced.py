@@ -78,3 +78,64 @@ def test_stateful_running_totals(spark, tmp_path):
     for u in want:
         assert final[u][0] == want[u][0]
         assert abs(final[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel state machine == batch window-algebra funnel on the
+    real events table, including multi-micro-batch state carry-over (events
+    split time-ordered across 3 files, one per trigger)."""
+    import glob
+
+    from vectorsearch_applications_spark.functions.time import epoch_seconds
+    from vectorsearch_applications_spark.operators.funnel import funnel_counts
+    from vectorsearch_applications_spark.streaming.funnel import stream_funnel
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_seconds(ev, "ts").alias("es")
+    )
+    # time-ordered file per micro-batch: split on es terciles
+    lo, hi = e.selectExpr(
+        "percentile(es, 0.33) p1", "percentile(es, 0.66) p2"
+    ).collect()[0]
+    src = str(tmp_path / "funnel_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter(F.col("es") <= lo),
+        e.filter((F.col("es") > lo) & (F.col("es") <= hi)),
+        e.filter(F.col("es") > hi),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_stage{i}"))
+        f = glob.glob(str(tmp_path / f"_stage{i}" / "part-*.parquet"))[0]
+        os.rename(f, os.path.join(src, f"{i:03d}.parquet"))
+
+    static = spark.read.parquet(src)
+    out = stream_funnel(
+        spark, src, static.schema, ("view", "click", "purchase"), 86400
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: keep each user's LAST emitted row (final state)
+    import pandas as pd
+
+    rows = spark.sql("SELECT * FROM funnel_out").toPandas()
+    final = rows.groupby("user_id").last()
+    got = {
+        "view": int(final["done_1"].sum()),
+        "click": int(final["done_2"].sum()),
+        "purchase": int(final["done_3"].sum()),
+    }
+    want = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(e, ["view", "click", "purchase"], 86400).collect()
+    }
+    assert got == want
