@@ -1890,6 +1890,36 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_price_quartiles",
+    """
+SELECT p_brand,
+       quantile_cont(p_retailprice::DOUBLE, 0.25) AS q1,
+       quantile_cont(p_retailprice::DOUBLE, 0.50) AS median,
+       quantile_cont(p_retailprice::DOUBLE, 0.75) AS q3,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part GROUP BY p_brand
+""",
+)
+def q_brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles (A5 descriptive stats, exact-quantile
+    tier): Spark's `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, and interpolating between two doubles
+    is the same two IEEE ops in both engines — verified bitwise over every
+    (brand × quartile) at sf0.01. Exact percentile sorts within each hash
+    partition; for the billion-row tier use approx_percentile (sketch,
+    engine-specific — tolerance-tested in tests/test_approx.py, not
+    oracle-graded)."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice").cast("double")
+    return part.groupBy("p_brand").agg(
+        F.percentile(p, F.lit(0.25)).alias("q1"),
+        F.percentile(p, F.lit(0.50)).alias("median"),
+        F.percentile(p, F.lit(0.75)).alias("q3"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+
+
+@register(
     "events_retention",
     """
 WITH e AS (
@@ -4398,6 +4428,7 @@ _GRADE_FIRST = [
     "events_funnel",
     "events_retention",
     "events_session_campaign_overlap",
+    "brand_price_quartiles",
     # red in r3 (TIMESTAMP_NTZ cast), fixed this round — must re-grade:
     "events_sessionize",
     "events_sliding_agg",
