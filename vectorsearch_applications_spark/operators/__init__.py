@@ -36,3 +36,4 @@ from .sampling import temperature_resample
 from .textstats import bigram_lm_scores
 from .funnel import funnel_counts
 from .rangejoin import interval_overlap_join
+from .topk import pack_sequences

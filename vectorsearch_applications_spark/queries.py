@@ -1890,6 +1890,42 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_training_sequences",
+    f"""
+WITH d AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         doc_id, len({_toks('text')}) AS toks
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, toks,
+         COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM d WHERE toks > 0
+),
+starts AS (
+  SELECT shard, CAST(cum0 // 512 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM c GROUP BY shard, cum0 // 512
+),
+totals AS (SELECT shard, sum(toks) AS total FROM c GROUP BY shard)
+SELECT s.shard, s.bin_id, s.n_docs,
+       CAST(least(512, t.total - s.bin_id * 512) AS BIGINT) AS bin_tokens
+FROM starts s JOIN totals t ON t.shard = s.shard
+""",
+)
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training sequences
+    across 8 shard streams (operators/topk.py pack_sequences)."""
+    from .operators.topk import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
+@register(
     "brand_price_quartiles",
     """
 SELECT p_brand,
@@ -4429,6 +4465,7 @@ _GRADE_FIRST = [
     "events_retention",
     "events_session_campaign_overlap",
     "brand_price_quartiles",
+    "pack_training_sequences",
     # red in r3 (TIMESTAMP_NTZ cast), fixed this round — must re-grade:
     "events_sessionize",
     "events_sliding_agg",
