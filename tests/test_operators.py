@@ -700,3 +700,23 @@ def test_ivf_refine_objective_monotone_and_exhaustive_still_exact(spark):
     a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
     e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
     assert a == e
+
+
+def test_pack_sequences_oversized_doc_and_partial_tail(spark):
+    from vectorsearch_applications_spark.operators.topk import pack_sequences
+
+    # one shard (n_shards=1): docs in id order with budget 10
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 25), (3, 3)], "doc_id long, n_tokens long"
+    )
+    out = {
+        (r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in pack_sequences(docs, budget=10, n_shards=1).collect()
+    }
+    # concat stream: doc1 [0,4), doc2 [4,29), doc3 [29,32); cuts at 10,20,30
+    # bin 0: doc1+doc2 start; bins 1,2 all-middle of doc2 (no row);
+    # bin 2 starts doc3? doc3 starts at 29 -> bin 2; bin 3 tail 32-30=2
+    assert out[0] == (2, 10)
+    assert 1 not in out
+    assert out[2] == (1, 10)
+    assert len(out) == 2  # total=32 -> last bin is 3, but no doc starts there
