@@ -22,6 +22,12 @@ truncated with localCheckpoint every round so the plan does not grow
 exponentially across iterations; convergence is detected with a count of
 changed labels (one extra action per round, unavoidable for any iterative
 fixpoint on Spark).
+
+localCheckpoint trades fault-tolerance for speed: blocks live on executor
+storage, so losing an executor mid-computation fails the job (acceptable —
+the fixpoint is deterministic and idempotent, a retry recomputes the same
+labels). A deployment with strict SLAs swaps in reliable ``checkpoint()``
+against the cluster checkpoint dir; the algorithm is unchanged.
 """
 
 from __future__ import annotations
