@@ -1,0 +1,84 @@
+"""SparkSearchClient facade: the reference's WeaviateWCS call surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.client import SparkSearchClient
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    c = SparkSearchClient(spark, root)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    c.create_collection("docs", docs)
+    return c
+
+
+def test_lifecycle_and_count(client, spark):
+    assert "docs" in client.show_all_collections()
+    assert client.get_doc_count("docs") == load_table(
+        spark, SF_SMOKE, "documents"
+    ).count()
+
+
+def test_keyword_search_shape_and_properties(client):
+    hits = client.keyword_search(
+        "docs", "spark join order", limit=5, return_properties=["lang", "source"]
+    )
+    rows = hits.collect()
+    assert 0 < len(rows) <= 5
+    assert {"doc_id", "rank", "score", "lang", "source"} <= set(hits.columns)
+    # ranks are 1..n and scores descend
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_vector_search_distances_ascend(client):
+    hits = client.vector_search("docs", "fast filter merge sort", limit=5)
+    rows = sorted(hits.collect(), key=lambda r: r["rank"])
+    ds = [r["distance"] for r in rows]
+    assert len(ds) == 5 and ds == sorted(ds)
+
+
+def test_filters_prefilter_before_ranking(client):
+    unfiltered = client.keyword_search("docs", "spark join order", limit=5)
+    filtered = client.keyword_search(
+        "docs",
+        "spark join order",
+        limit=5,
+        filters=F.col("doc_id") >= 100,
+    )
+    assert all(r["doc_id"] >= 100 for r in filtered.collect())
+    # pre-filter semantics: filtered result is NOT just the unfiltered list
+    # minus low ids — it backfills to the limit from the filtered corpus
+    assert filtered.count() == 5 or filtered.count() == unfiltered.count()
+
+
+def test_hybrid_alpha_extremes_match_pure_methods(client):
+    kw = client.keyword_search("docs", "window agg stream", limit=5)
+    vec = client.vector_search("docs", "window agg stream", limit=5)
+    h0 = client.hybrid_search("docs", "window agg stream", alpha=0.0, limit=5)
+    h1 = client.hybrid_search("docs", "window agg stream", alpha=1.0, limit=5)
+
+    def ranked_ids(df):
+        return [r["doc_id"] for r in sorted(df.collect(), key=lambda r: r["rank"])]
+
+    # alpha=0 ranks by (normalized) keyword score; the top keyword doc wins
+    assert ranked_ids(h0)[0] == ranked_ids(kw)[0]
+    # alpha=1 ranks by vector similarity; the nearest vector doc wins
+    assert ranked_ids(h1)[0] == ranked_ids(vec)[0]
+
+
+def test_batch_index_error_budget(client, spark):
+    bad = spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception):
+        client.batch_index_data("docs_bad", bad, not_null_cols=["text"])

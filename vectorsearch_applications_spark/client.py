@@ -1,0 +1,210 @@
+"""User-facing client facade — the reference's ``WeaviateWCS`` surface
+(``/root/reference/src/database/weaviate_interface_v4.py``) re-expressed
+over the Spark operators, so a reference user can switch with their call
+sites intact:
+
+    reference                      here
+    ---------                      ----
+    create_collection(:77-110)  →  SparkSearchClient.create_collection
+    batch_index_data(:409-492)  →  SparkSearchClient.batch_index_data
+    get_doc_count(:170-182)     →  SparkSearchClient.get_doc_count
+    keyword_search(:201-244)    →  SparkSearchClient.keyword_search
+    vector_search(:246-287)     →  SparkSearchClient.vector_search
+    hybrid_search(:308-361)     →  SparkSearchClient.hybrid_search
+    format_response(:184-199)   →  hits joined back to return_properties
+
+Differences by design: searches return DataFrames (lazily composable into
+bigger plans) rather than list[dict] — ``.collect()``/``.toPandas()`` at
+the edge gives the reference's flattened rows. ``filters`` is any Column
+predicate and is applied BEFORE ranking (the reference's filtered-ANN
+pre-filter semantics, SURVEY §2.2 P6). The default embedder is the
+deterministic hash embedding; pass ``embed_query_fn`` /an embedding
+column built with functions/embed.model_embed_factory for a real model.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.embed import hash_embed_col, hash_embed_ids
+from .operators.bm25 import bm25_search_multifield
+from .operators.hybrid import hybrid_search as _fuse
+from .operators.knn import knn_search
+from .sources import collections as _coll
+
+_EMBED_DIM = 16
+
+
+class SparkSearchClient:
+    """Collection lifecycle + the three searches over parquet collections.
+
+    ``root`` is the warehouse directory holding one subdirectory per
+    collection (sources/collections.py machinery underneath).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embed_query_fn: Callable[[Column], Column] | None = None,
+        embed_dim: int = _EMBED_DIM,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self._embed_query = embed_query_fn or (
+            lambda c: hash_embed_col(c, embed_dim)
+        )
+        self._embed_dim = embed_dim
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def create_collection(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        return _coll.create_collection(self.spark, self.root, name, df, partition_by)
+
+    def delete_collection(self, name: str) -> None:
+        _coll.drop_collection(self.root, name)
+
+    def show_all_collections(self) -> list[str]:
+        return _coll.list_collections(self.root)
+
+    def batch_index_data(
+        self,
+        name: str,
+        df: DataFrame,
+        not_null_cols: list[str],
+        error_threshold: float = 0.01,
+    ) -> dict[str, int]:
+        return _coll.batch_index(
+            self.spark, self.root, name, df, not_null_cols, error_threshold
+        )
+
+    def get_doc_count(self, name: str) -> int:
+        return self._load(name).count()
+
+    def _load(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, name))
+
+    # -- searches ----------------------------------------------------------
+
+    def keyword_search(
+        self,
+        collection: str,
+        query: str,
+        limit: int = 10,
+        query_properties: Sequence[str] = ("text",),
+        return_properties: Sequence[str] | None = None,
+        filters: Column | None = None,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """BM25 over ``query_properties`` (multi-field Lucene semantics).
+        Output: (doc_id, rank, score, *return_properties)."""
+        docs = self._docs(collection, filters)
+        hits = bm25_search_multifield(
+            docs,
+            self._query_df(query),
+            id_col=id_col,
+            text_cols=list(query_properties),
+            limit=limit,
+        )
+        return self._format(hits, collection, return_properties, id_col)
+
+    def vector_search(
+        self,
+        collection: str,
+        query: str,
+        limit: int = 10,
+        return_properties: Sequence[str] | None = None,
+        filters: Column | None = None,
+        id_col: str = "doc_id",
+        vector_col: str = "embedding",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Cosine-distance kNN. Uses the collection's ``vector_col`` if
+        present, else embeds ``text_col`` on the fly with the client's
+        embedder. Output: (doc_id, rank, distance, *return_properties)."""
+        docs = self._docs(collection, filters)
+        if vector_col in docs.columns:
+            corpus = docs.select(
+                F.col(id_col).alias("vec_id"), F.col(vector_col).alias("embedding")
+            )
+        else:
+            corpus = hash_embed_ids(
+                docs.select(id_col, text_col), id_col, text_col, self._embed_dim
+            ).select(F.col(id_col).alias("vec_id"), "embedding")
+        q = self._query_df(query).select(
+            "query_id", self._embed_query(F.col("query")).alias("query_vec")
+        )
+        hits = knn_search(corpus, q, k=limit).withColumnRenamed("vec_id", id_col)
+        return self._format(hits, collection, return_properties, id_col)
+
+    def hybrid_search(
+        self,
+        collection: str,
+        query: str,
+        alpha: float = 0.5,
+        limit: int = 10,
+        query_properties: Sequence[str] = ("text",),
+        return_properties: Sequence[str] | None = None,
+        filters: Column | None = None,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Fused search: alpha=0 → pure keyword, alpha=1 → pure vector
+        (the reference's convention, weaviate_interface_v4.py:330-335).
+        Output: (doc_id, rank, score, *return_properties)."""
+        docs = self._docs(collection, filters)
+        kw = bm25_search_multifield(
+            docs,
+            self._query_df(query),
+            id_col=id_col,
+            text_cols=list(query_properties),
+            limit=limit,
+        ).withColumnRenamed(id_col, "doc_id")
+        if "embedding" in docs.columns:
+            corpus = docs.select(
+                F.col(id_col).alias("vec_id"), F.col("embedding").alias("embedding")
+            )
+        else:
+            corpus = hash_embed_ids(
+                docs.select(id_col, "text"), id_col, "text", self._embed_dim
+            ).select(F.col(id_col).alias("vec_id"), "embedding")
+        q = self._query_df(query).select(
+            "query_id", self._embed_query(F.col("query")).alias("query_vec")
+        )
+        vec = knn_search(corpus, q, k=limit).withColumnRenamed("vec_id", "doc_id")
+        hits = _fuse(kw, vec, alpha=alpha, limit=limit).withColumnRenamed(
+            "doc_id", id_col
+        )
+        return self._format(hits, collection, return_properties, id_col)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _docs(self, collection: str, filters: Column | None) -> DataFrame:
+        docs = self._load(collection)
+        return docs.filter(filters) if filters is not None else docs
+
+    def _query_df(self, query: str) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(0, query)], "query_id long, query string"
+        )
+
+    def _format(
+        self,
+        hits: DataFrame,
+        collection: str,
+        return_properties: Sequence[str] | None,
+        id_col: str,
+    ) -> DataFrame:
+        hits = hits.drop("query_id")
+        if not return_properties:
+            return hits
+        props = self._load(collection).select(id_col, *return_properties)
+        return hits.join(props, id_col)
