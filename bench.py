@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_clusters",
     "boilerplate_ngrams",
     "boilerplate_doc_ratio",
+    "lm_bigram_score",
+    "events_funnel",
+    "events_retention",
+    "events_session_campaign_overlap",
+    "pack_training_sequences",
+    "temperature_resample_sources",
 ]
 
 
