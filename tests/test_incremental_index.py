@@ -194,3 +194,32 @@ def test_streaming_ivf_assignment_append(spark, tmp_path):
     }
     assert streamed == batch and len(streamed) == 300
     centroids.unpersist()
+
+
+def test_persisted_bm25_index_matches_direct_search(spark, tmp_path):
+    """save → load → search from disk == direct in-session search, and the
+    indexed search plan reads the saved tables instead of the corpus."""
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_save_index,
+        bm25_search,
+        bm25_search_indexed,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = spark.createDataFrame(
+        [(0, "spark join order"), (1, "window agg stream")],
+        "query_id long, query string",
+    )
+    root = str(tmp_path)
+    bm25_save_index(docs, root, "docs")
+    indexed = bm25_search_indexed(spark, root, "docs", queries, limit=10)
+    direct = bm25_search(docs, queries, limit=10)
+    a = {(r["query_id"], r["doc_id"], r["rank"]) for r in indexed.collect()}
+    b = {(r["query_id"], r["doc_id"], r["rank"]) for r in direct.collect()}
+    assert a == b and len(a) == 20
+    # the indexed plan must scan the saved index tables, not the corpus
+    files = indexed.inputFiles()
+    assert files and all("__bm25/" in f for f in files)

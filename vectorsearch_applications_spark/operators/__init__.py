@@ -37,3 +37,4 @@ from .textstats import bigram_lm_scores
 from .funnel import funnel_counts
 from .rangejoin import interval_overlap_join
 from .topk import pack_sequences
+from .bm25 import bm25_save_index, bm25_load_index, bm25_search_indexed

@@ -251,7 +251,30 @@ def bm25_scores(
         postings, term_stats, corpus_stats = bm25_build_stats(
             docs, id_col, text_col
         )
+    return bm25_scores_from_stats(
+        postings,
+        term_stats,
+        corpus_stats,
+        queries,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+    )
 
+
+def bm25_scores_from_stats(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Scoring core over prebuilt index tables — shared by the in-session
+    cache path and the persisted-index path (bm25_search_indexed)."""
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
@@ -330,6 +353,73 @@ def bm25_search(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def bm25_save_index(
+    docs: DataFrame,
+    root: str,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the BM25 index tables as parquet next to the collection —
+    the deployment shape the session cache (`bm25_cached_stats`) stands in
+    for locally: build once (the expensive full-corpus job), query many
+    across sessions/clusters.
+
+    Layout: <root>/<name>__bm25/{postings,term_stats,corpus_stats}. At
+    100 TB, repartition postings by term (or bucket via saveAsTable) so
+    query-time term lookups prune files; the plain layout here still only
+    *flows* matching rows through the broadcast semi-join — the scan reads
+    but never shuffles non-matching postings.
+    """
+    import os
+
+    base = os.path.join(root, f"{name}__bm25")
+    postings, term_stats, corpus_stats = bm25_build_stats(docs, id_col, text_col)
+    postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+    term_stats.write.mode("overwrite").parquet(os.path.join(base, "term_stats"))
+    corpus_stats.write.mode("overwrite").parquet(
+        os.path.join(base, "corpus_stats")
+    )
+    return base
+
+
+def bm25_load_index(
+    spark, root: str, name: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    import os
+
+    base = os.path.join(root, f"{name}__bm25")
+    return (
+        spark.read.parquet(os.path.join(base, "postings")),
+        spark.read.parquet(os.path.join(base, "term_stats")),
+        spark.read.parquet(os.path.join(base, "corpus_stats")),
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    root: str,
+    name: str,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Top-``limit`` BM25 hits per query against a PERSISTED index — no
+    corpus scan, no stats rebuild: the only inputs are the saved postings /
+    stats tables and the query batch."""
+    postings, term_stats, corpus_stats = bm25_load_index(spark, root, name)
+    scores = bm25_scores_from_stats(
+        postings, term_stats, corpus_stats, queries, k1=k1, b=b
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
