@@ -223,3 +223,31 @@ def test_persisted_bm25_index_matches_direct_search(spark, tmp_path):
     # the indexed plan must scan the saved index tables, not the corpus
     files = indexed.inputFiles()
     assert files and all("__bm25/" in f for f in files)
+
+
+def test_persisted_ivf_index_exhaustive_matches_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_save_index,
+        ivf_search_indexed,
+    )
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_search_crossjoin,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf_save_index(emb, str(tmp_path), "emb", n_centroids=8, refine_iterations=1)
+    approx = ivf_search_indexed(
+        spark, str(tmp_path), "emb", emb, queries, k=5, nprobe=8
+    )
+    exact = knn_search_crossjoin(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    assert a == e

@@ -317,3 +317,59 @@ def ann_recall_at_k(
             "recall_at_k"
         )
     )
+
+
+def ivf_save_index(
+    corpus: DataFrame,
+    root: str,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iterations: int = 0,
+) -> str:
+    """Persist the IVF index (codebook + assignments) as parquet next to
+    the collection — the cross-session twin of the in-plan build, mirroring
+    bm25_save_index. ``refine_iterations`` > 0 runs spherical k-means
+    before assigning. At scale, partition the assignment table by
+    centroid_id so query-time probes prune files to the probed buckets.
+    """
+    import os
+
+    base = os.path.join(root, f"{name}__ivf")
+    centroids, _ = ivf_build(corpus, id_col, vec_col, n_centroids)
+    if refine_iterations > 0:
+        centroids = ivf_refine(
+            corpus, centroids, id_col, vec_col, refine_iterations
+        )
+    assignments = _assign(corpus, centroids, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(base, "assignments")
+    )
+    return base
+
+
+def ivf_search_indexed(
+    spark,
+    root: str,
+    name: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    **cols,
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: centroids and the (bucket-partitioned)
+    assignment table load from disk; only the probed buckets' vectors are
+    scored. The corpus frame supplies the vectors (joined by id) — at
+    deployment, store vectors in the assignment table itself to skip the
+    join entirely."""
+    import os
+
+    base = os.path.join(root, f"{name}__ivf")
+    centroids = spark.read.parquet(os.path.join(base, "centroids"))
+    assignments = spark.read.parquet(os.path.join(base, "assignments"))
+    return ivf_search(
+        corpus, centroids, assignments, queries, k=k, nprobe=nprobe, **cols
+    )
