@@ -82,3 +82,13 @@ def test_batch_index_error_budget(client, spark):
     )
     with pytest.raises(Exception):
         client.batch_index_data("docs_bad", bad, not_null_cols=["text"])
+
+
+def test_rag_answer_end_to_end(client):
+    out = client.rag_answer("docs", "spark join order", limit=3)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_context"] == 3
+    assert isinstance(r["prompt"], str) and len(r["prompt"]) > 0
+    assert isinstance(r["completion"], str) and len(r["completion"]) > 0

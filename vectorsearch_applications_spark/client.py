@@ -185,6 +185,42 @@ class SparkSearchClient:
         )
         return self._format(hits, collection, return_properties, id_col)
 
+    def rag_answer(
+        self,
+        collection: str,
+        query: str,
+        alpha: float = 0.5,
+        limit: int = 5,
+        system_message: str = "Answer from the provided context only.",
+        acomplete_fn=None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """The reference's app loop (retrieve → assemble context prompt →
+        generate, ``src/app.py`` / SURVEY §3.1) as ONE DataFrame plan:
+        hybrid retrieval, rank-ordered context assembly, async-batched
+        completion (deterministic stub unless ``acomplete_fn`` supplies a
+        real egress). Output: (query_id, n_context, prompt, completion).
+        """
+        from .operators.llm import llm_complete
+        from .operators.prompts import assemble_prompts
+
+        hits = self.hybrid_search(
+            collection, query, alpha=alpha, limit=limit, id_col=id_col
+        ).withColumn("query_id", F.lit(0).cast("long"))
+        prompts = assemble_prompts(
+            hits,
+            self._load(collection),
+            self._query_df(query),
+            id_col=id_col,
+            text_col=text_col,
+        )
+        return llm_complete(
+            prompts.withColumn("system_message", F.lit(system_message))
+            .withColumnRenamed("prompt", "user_message"),
+            acomplete_fn=acomplete_fn,
+        ).withColumnRenamed("user_message", "prompt")
+
     # -- helpers -----------------------------------------------------------
 
     def _docs(self, collection: str, filters: Column | None) -> DataFrame:
