@@ -296,3 +296,122 @@ def test_interval_overlap_join_matches_python_model(
     }
     assert len(rows) == len(set(rows)), "pair emitted more than once"
     assert set(rows) == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Hash-min fixpoint == classic union-find on random small graphs
+    (self-loops, duplicates, arbitrary topology)."""
+    from vectorsearch_applications_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    verts = set()
+    for a, b in edge_list:
+        if a != b:
+            union(a, b)
+            verts |= {a, b}
+    want = {v: find(v) for v in verts}
+    # path-compress to the true min representative
+    want = {v: find(v) for v in verts}
+
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(5, 60),
+)
+def test_funnel_matches_python_model(spark, types, times, window):
+    """Window-algebra funnel == brute-force chain search per user."""
+    from vectorsearch_applications_spark.operators.funnel import funnel_counts
+
+    n = min(len(types), len(times))
+    rows = [(1, types[i], times[i]) for i in range(n)]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, es long")
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(e, ["view", "click", "purchase"], window).collect()
+    }
+
+    evs = rows
+    s1 = any(t == "view" for _, t, _ in evs)
+    s2 = any(
+        tc == "click" and any(tv == "view" and ev < ec for _, tv, ev in evs)
+        for _, tc, ec in evs
+    )
+    s3 = any(
+        tp == "purchase"
+        and any(
+            tc == "click"
+            and ec < ep
+            and any(
+                tv == "view" and ev < ec and ep - ev <= window
+                for _, tv, ev in evs
+            )
+            for _, tc, ec in evs
+        )
+        for _, tp, ep in evs
+    )
+    want = {"view": int(s1), "click": int(s2), "purchase": int(s3)}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=20),
+    st.integers(5, 50),
+)
+def test_pack_sequences_matches_python_model(spark, tok_counts, budget):
+    """Sharded concat-and-chunk == python cumulative model (single shard)."""
+    from vectorsearch_applications_spark.operators.topk import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(tok_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+        for r in pack_sequences(docs, budget=budget, n_shards=1).collect()
+    }
+
+    cum = 0
+    starts: dict[int, int] = {}
+    for _, t in rows:
+        b = cum // budget
+        starts[b] = starts.get(b, 0) + 1
+        cum += t
+    want = {
+        b: (n, min(budget, cum - b * budget)) for b, n in starts.items()
+    }
+    assert got == want
