@@ -80,6 +80,11 @@ HEADLINE = [
     "events_session_campaign_overlap",
     "pack_training_sequences",
     "temperature_resample_sources",
+    "mmr_diversify",
+    "hard_negative_mining",
+    "ann_lsh_cosine",
+    "events_user_rolling_stats",
+    "pii_scrub_stats",
 ]
 
 

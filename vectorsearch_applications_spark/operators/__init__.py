@@ -38,3 +38,5 @@ from .funnel import funnel_counts
 from .rangejoin import interval_overlap_join
 from .topk import pack_sequences
 from .bm25 import bm25_save_index, bm25_load_index, bm25_search_indexed
+from .mmr import mmr_diversify
+from .lsh import lsh_planes, lsh_bucket, lsh_search
