@@ -85,6 +85,8 @@ HEADLINE = [
     "ann_lsh_cosine",
     "events_user_rolling_stats",
     "pii_scrub_stats",
+    "hybrid_rrf_search",
+    "search_snippets",
 ]
 
 

@@ -189,3 +189,33 @@ def test_rolling_stats_short_history(spark):
         .collect()
     )
     assert [r["avg"] for r in got] == [1.0, 2.0, 3.0]
+
+
+def test_rrf_scores_and_nlists(spark):
+    from vectorsearch_applications_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60, limit=10).collect()}
+    # doc 11 appears in both lists: 1/62 + 1/61
+    assert out[11]["score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[11]["n_lists"] == 2
+    assert out[10]["score"] == pytest.approx(1 / 61)
+    assert out[10]["n_lists"] == 1
+    # both-lists doc outranks single-list docs
+    assert out[11]["rank"] == 1
+
+
+def test_rrf_rank_ties_break_on_doc_id(spark):
+    from vectorsearch_applications_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 5, 1), (0, 3, 1)], "query_id long, doc_id long, rank int"
+    )
+    # same rank → same score → doc_id asc wins
+    rows = rrf_fuse([a], k=60, limit=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [3, 5]

@@ -228,3 +228,47 @@ def test_connected_components_no_growing_lineage(spark):
     )
     plan = _plan(connected_components(e))
     assert plan.count("Join") <= 2, plan
+
+
+def test_pii_scrub_is_pure_projection_no_shuffle(spark):
+    """Scrubbing must stay a scan-speed projection: no Exchange, no Python."""
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["pii_scrub_stats"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # regexp chain stays JVM-side
+
+
+def test_lsh_candidates_join_on_bucket_broadcast(spark):
+    """LSH candidate generation must be a broadcast hash join on the bucket
+    id — not a nested-loop crossjoin over the corpus."""
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["ann_lsh_cosine"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "[bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_stats_single_shuffle_shared_sort(spark):
+    """All three rolling windows share one (user_id) partitioning and one
+    sort — exactly one Exchange in the whole plan."""
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["events_user_rolling_stats"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mmr_shuffles_only_bounded_candidates(spark):
+    """The applyInPandas group shuffle must be on query_id over the top-20
+    candidate rows, not the corpus: the corpus-side scan feeds the partial
+    top-k kNN, and FlatMapGroupsInPandas sees only its output."""
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["mmr_diversify"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1

@@ -84,3 +84,44 @@ def hybrid_search(
         .filter(F.col("rank") <= limit)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def rrf_fuse(
+    hit_lists: list[DataFrame],
+    k: int = 60,
+    limit: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR '09 —
+    public): ``score(d) = Σ_m 1 / (k + rank_m(d))``. The other standard
+    fusion next to weighted min-max — score-scale-free, so it needs no
+    normalization pass and composes any number of retrieval arms.
+
+    Each input: (query_id, doc_id, rank). Output: (query_id, doc_id, rank,
+    score, n_lists) — fused rank 1-based, n_lists = how many arms returned
+    the doc.
+
+    Scale: inputs are top-N-per-query (bounded); one union + one
+    aggregation on (query_id, doc_id), partial-aggregated map-side. With
+    two arms the score sum is a single commutative IEEE add, so fused
+    scores are bitwise deterministic regardless of aggregation order.
+    """
+    from functools import reduce
+
+    contribs = [
+        h.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("c"),
+        )
+        for h in hit_lists
+    ]
+    allc = reduce(DataFrame.unionByName, contribs)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "rank", "score", "n_lists")
+    )

@@ -4624,22 +4624,25 @@ WITH e AS (SELECT event_id, user_id, value,
            FROM events WHERE user_id < 100)
 SELECT user_id, event_id,
        CAST(row_number() OVER w AS BIGINT) AS seq,
-       round(CAST(sum(dv) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-                  AS DOUBLE)
-             / count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-             4) + 0.0 AS rolling_avg,
-       round(max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-         + 0.0 AS rolling_max
+       CAST(sum(dv) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_sum,
+       CAST(count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_window,
+       max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS rolling_max
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY es ASC, event_id ASC)
 """,
 )
 def q_events_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling statistics over the event stream: 5-event trailing
-    mean and max plus the event sequence number — one shuffle on user_id,
-    all three windows share the same sort. The trailing sum runs in
-    DECIMAL(18,6) so it is exact and order-independent, then converts to
-    DOUBLE once for the division (identical IEEE ops in both engines)."""
+    sum/count/max plus the event sequence number — one shuffle on user_id,
+    all windows share the same sort. The trailing sum runs in
+    DECIMAL(18,6) so it is exact and order-independent; outputs are the
+    exact sum + window count (not a rounded average — Spark rounds
+    HALF_UP, DuckDB half-even, so a rounded division of terminating
+    decimals would flap on exact halves) and the raw max (an input value,
+    bit-identical in both engines, no rounding needed)."""
     from .functions.time import epoch_seconds
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
@@ -4656,15 +4659,9 @@ def q_events_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.row_number().over(order).cast("bigint").alias("seq"),
-        (
-            F.round(
-                F.sum("dv").over(trail).cast("double")
-                / F.count(F.lit(1)).over(trail),
-                4,
-            )
-            + F.lit(0.0)
-        ).alias("rolling_avg"),
-        (F.round(F.max("value").over(trail), 4) + F.lit(0.0)).alias("rolling_max"),
+        F.sum("dv").over(trail).cast("double").alias("rolling_sum"),
+        F.count(F.lit(1)).over(trail).cast("bigint").alias("n_window"),
+        F.max("value").over(trail).alias("rolling_max"),
     )
 
 
@@ -4723,6 +4720,124 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_N = 20
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+kw AS (SELECT query_id, doc_id, 1.0 / ({_RRF_K}.0 + rnk) AS c
+       FROM kw_ranked WHERE rnk <= {_RRF_N}),
+qv AS (SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+       FROM queries q JOIN embeddings e ON e.vec_id = q.query_id),
+vec_scored AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                      1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+               FROM embeddings e CROSS JOIN qv),
+vec_ranked AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                      ORDER BY distance ASC, doc_id ASC) AS rnk
+               FROM vec_scored),
+vec AS (SELECT query_id, doc_id, 1.0 / ({_RRF_K}.0 + rnk) AS c
+        FROM vec_ranked WHERE rnk <= {_RRF_N}),
+allc AS (SELECT * FROM kw UNION ALL SELECT * FROM vec),
+fused AS (SELECT query_id, doc_id, sum(c) AS score,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM allc GROUP BY query_id, doc_id),
+final_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS rnk FROM fused)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, score, n_lists
+FROM final_ranked WHERE rnk <= 10
+""",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and vector arms
+    (operators/hybrid.py rrf_fuse) — the scale-free alternative to the
+    reference's weighted min-max fusion. Fused scores are raw doubles:
+    with two arms the sum is one commutative IEEE add, bitwise identical
+    across engines, so no rounding is needed."""
+    from .operators.hybrid import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = bm25_search(
+        docs, _search_queries_df(spark), limit=_RRF_N, cache_key=sf_dir
+    ).select("query_id", "doc_id", "rank")
+    qv = emb.join(
+        F.broadcast(_search_queries_df(spark).select("query_id")),
+        F.col("vec_id") == F.col("query_id"),
+        "semi",
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    vec = knn_search(emb, qv, k=_RRF_N).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([kw, vec], k=_RRF_K, limit=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "score",
+        F.col("n_lists").cast("bigint").alias("n_lists"),
+    )
+
+
+@register(
+    "search_snippets",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+hits AS (SELECT query_id, doc_id, rnk FROM kw_ranked WHERE rnk <= 5),
+j AS (SELECT h.query_id, h.doc_id, h.rnk, d.text,
+             split_part(q.query, ' ', 1) AS term
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+                  JOIN queries q ON q.query_id = h.query_id),
+p AS (SELECT query_id, doc_id, rnk, text, term,
+             strpos(text, term) AS pos FROM j)
+SELECT query_id, doc_id, rnk::BIGINT AS rank,
+       pos > 0 AS term_found,
+       substr(text, CAST(greatest(pos - 30, 1) AS BIGINT), 80) AS snippet
+FROM p
+""",
+)
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result presentation: a snippet window around the first
+    occurrence of the query's leading term for each BM25 top-5 hit
+    (the reference UI's content preview, src/rag_ui.py result cards).
+    Pure scalar functions over the bounded hit list after one equi-join
+    back to the doc text — instr/substr stay in codegen; the text join is
+    the only reason this touches the corpus table twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _search_queries_df(spark)
+    hits = bm25_search(docs, q, limit=5, cache_key=sf_dir).select(
+        "query_id", "doc_id", "rank"
+    )
+    j = (
+        hits.join(docs.select("doc_id", "text"), "doc_id")
+        .join(
+            F.broadcast(
+                q.select(
+                    "query_id", F.split(F.col("query"), " ")[0].alias("term")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("pos", F.instr(F.col("text"), F.col("term")))
+    )
+    return j.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.col("pos") > 0).alias("term_found"),
+        F.substring(
+            F.col("text"), F.greatest(F.col("pos") - 30, F.lit(1)), 80
+        ).alias("snippet"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -4738,6 +4853,8 @@ _GRADE_FIRST = [
     "ann_lsh_cosine",
     "events_user_rolling_stats",
     "pii_scrub_stats",
+    "hybrid_rrf_search",
+    "search_snippets",
     "dedup_clusters",
     "dedup_keep_canonical",
     "boilerplate_ngrams",
@@ -4761,8 +4878,7 @@ _GRADE_FIRST = [
     "stratified_sample_mix",
     "events_range_join",
     "tpch_q4_order_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_qty_revenue",
+    # (q13, q17 graded green in r3; rotated to mid for window room)
     "tpch_q10_returned_items",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
