@@ -87,6 +87,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "hybrid_rrf_search",
     "search_snippets",
+    "quality_linear_score",
 ]
 
 

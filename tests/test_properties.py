@@ -415,3 +415,105 @@ def test_pack_sequences_matches_python_model(spark, tok_counts, budget):
         b: (n, min(budget, cum - b * budget)) for b, n in starts.items()
     }
     assert got == want
+
+
+# --- round 4: MMR greedy selection vs a pure-Python model ------------------
+
+# Dyadic component values make every dot product exact in IEEE double, so
+# the numpy implementation and the Python model agree bitwise and the
+# property is deterministic (no float-tie ambiguity).
+_dyadic = st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0])
+_vecs = st.lists(
+    st.tuples(
+        st.lists(_dyadic, min_size=3, max_size=3),
+        st.sampled_from([0.0, 0.125, 0.25, 0.5, 0.75, 1.0]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _mmr_model(cands, k, lam):
+    """cands: list of (vid, vec, rel). Greedy argmax, id tie-break."""
+    selected, out = [], []
+    remaining = sorted(cands, key=lambda c: c[0])
+    for _ in range(min(k, len(remaining))):
+        best = None
+        for vid, vec, rel in remaining:
+            if any(vid == s[0] for s in selected):
+                continue
+            if not selected:
+                score = rel
+            else:
+                score = lam * rel - (1 - lam) * max(
+                    sum(a * b for a, b in zip(vec, s[1])) for s in selected
+                )
+            if best is None or score > best[1]:
+                best = ((vid, vec, rel), score)
+        selected.append(best[0])
+        out.append((best[0][0], score_round(best[1])))
+    return out
+
+
+def score_round(x):
+    return round(x, 9)
+
+
+@SETTINGS
+@given(_vecs, st.integers(1, 4), st.sampled_from([0.25, 0.5, 0.75]))
+def test_mmr_matches_python_model(spark, vecs, k, lam):
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.mmr import mmr_diversify
+
+    cands = [(i, list(v), rel) for i, (v, rel) in enumerate(vecs)]
+    df = spark.createDataFrame(
+        cands, "vec_id long, embedding array<double>, relevance double"
+    ).withColumn("query_id", F.lit(0))
+    got = [
+        (r["vec_id"], score_round(r["mmr_score"]))
+        for r in mmr_diversify(df, rel_col="relevance", k=k, lam=lam)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == _mmr_model(cands, k, lam)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=6, unique=True),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(1, 90),
+)
+def test_rrf_matches_python_model(spark, lists, k):
+    """RRF re-ranking equals the brute-force model on doc sets; scores
+    compared with tolerance (3+-list sums are order-dependent in the last
+    ulp), ranks compared exactly with the doc-id tie-break."""
+    from vectorsearch_applications_spark.operators.hybrid import rrf_fuse
+
+    dfs = [
+        spark.createDataFrame(
+            [(0, d, i + 1) for i, d in enumerate(docs)],
+            "query_id long, doc_id long, rank int",
+        )
+        for docs in lists
+    ]
+    scores: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for docs in lists:
+        for i, d in enumerate(docs):
+            scores[d] = scores.get(d, 0.0) + 1.0 / (k + i + 1)
+            counts[d] = counts.get(d, 0) + 1
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = (
+        rrf_fuse(dfs, k=k, limit=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r in got:
+        assert abs(r["score"] - scores[r["doc_id"]]) < 1e-12
+        assert r["n_lists"] == counts[r["doc_id"]]
