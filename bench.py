@@ -88,6 +88,7 @@ HEADLINE = [
     "hybrid_rrf_search",
     "search_snippets",
     "quality_linear_score",
+    "ann_lsh_multiprobe",
 ]
 
 

@@ -219,3 +219,33 @@ def test_rrf_rank_ties_break_on_doc_id(spark):
     # same rank → same score → doc_id asc wins
     rows = rrf_fuse([a], k=60, limit=10).orderBy("rank").collect()
     assert [r["doc_id"] for r in rows] == [3, 5]
+
+
+def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_search_crossjoin,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    planes = lsh_planes(n_planes=4, dim=64)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_search_crossjoin(emb, queries, k=10).collect()
+    }
+
+    def recall(multiprobe):
+        hits = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_search(
+                emb, queries, planes, k=10, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(hits & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 > 0.3  # hamming-1 probing must find a meaningful share
