@@ -92,3 +92,28 @@ def test_rag_answer_end_to_end(client):
     assert r["n_context"] == 3
     assert isinstance(r["prompt"], str) and len(r["prompt"]) > 0
     assert isinstance(r["completion"], str) and len(r["completion"]) > 0
+
+
+def test_hybrid_rrf_fusion_surface(client):
+    out = client.hybrid_search("docs", "spark join order", fusion="rrf", limit=5)
+    rows = out.orderBy("rank").collect()
+    assert 0 < len(rows) <= 5
+    assert {"rank", "score", "n_lists"} <= set(out.columns)
+    # rrf scores descend with rank
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError):
+        client.hybrid_search("docs", "x", fusion="bogus")
+
+
+def test_vector_search_mmr_diversify_surface(client):
+    plain = client.vector_search("docs", "spark join order", limit=5)
+    mmr = client.vector_search(
+        "docs", "spark join order", limit=5, mmr_lambda=0.5
+    )
+    assert mmr.count() == 5
+    assert "mmr_score" in mmr.columns
+    # the top-1 is relevance-ranked in both modes
+    top_plain = plain.orderBy("rank").first()["doc_id"]
+    top_mmr = mmr.orderBy("rank").first()["doc_id"]
+    assert top_plain == top_mmr

@@ -127,10 +127,17 @@ class SparkSearchClient:
         id_col: str = "doc_id",
         vector_col: str = "embedding",
         text_col: str = "text",
+        mmr_lambda: float | None = None,
+        candidates: int | None = None,
     ) -> DataFrame:
         """Cosine-distance kNN. Uses the collection's ``vector_col`` if
         present, else embeds ``text_col`` on the fly with the client's
-        embedder. Output: (doc_id, rank, distance, *return_properties)."""
+        embedder. Output: (doc_id, rank, distance, *return_properties).
+
+        ``mmr_lambda`` switches on MMR diversification: the top
+        ``candidates`` (default 4×limit) hits are re-ranked by greedy
+        maximal-marginal-relevance and the output becomes
+        (doc_id, rank, mmr_score, *return_properties)."""
         docs = self._docs(collection, filters)
         if vector_col in docs.columns:
             corpus = docs.select(
@@ -143,7 +150,29 @@ class SparkSearchClient:
         q = self._query_df(query).select(
             "query_id", self._embed_query(F.col("query")).alias("query_vec")
         )
-        hits = knn_search(corpus, q, k=limit).withColumnRenamed("vec_id", id_col)
+        if mmr_lambda is None:
+            hits = knn_search(corpus, q, k=limit).withColumnRenamed(
+                "vec_id", id_col
+            )
+            return self._format(hits, collection, return_properties, id_col)
+        from .operators.mmr import mmr_diversify
+
+        n_cand = candidates or 4 * limit
+        cand = (
+            knn_search(corpus, q, k=n_cand)
+            .join(corpus, "vec_id")
+            .select(
+                "query_id",
+                "vec_id",
+                (F.lit(1.0) - F.col("distance")).alias("relevance"),
+                "embedding",
+            )
+        )
+        hits = (
+            mmr_diversify(cand, rel_col="relevance", k=limit, lam=mmr_lambda)
+            .withColumnRenamed("vec_id", id_col)
+            .withColumnRenamed("mmr_rank", "rank")
+        )
         return self._format(hits, collection, return_properties, id_col)
 
     def hybrid_search(
@@ -156,10 +185,13 @@ class SparkSearchClient:
         return_properties: Sequence[str] | None = None,
         filters: Column | None = None,
         id_col: str = "doc_id",
+        fusion: str = "alpha",
     ) -> DataFrame:
         """Fused search: alpha=0 → pure keyword, alpha=1 → pure vector
         (the reference's convention, weaviate_interface_v4.py:330-335).
-        Output: (doc_id, rank, score, *return_properties)."""
+        ``fusion="rrf"`` switches to reciprocal-rank fusion (rank-based,
+        ignores ``alpha``). Output: (doc_id, rank, score,
+        *return_properties) — plus n_lists under rrf."""
         docs = self._docs(collection, filters)
         kw = bm25_search_multifield(
             docs,
@@ -180,9 +212,21 @@ class SparkSearchClient:
             "query_id", self._embed_query(F.col("query")).alias("query_vec")
         )
         vec = knn_search(corpus, q, k=limit).withColumnRenamed("vec_id", "doc_id")
-        hits = _fuse(kw, vec, alpha=alpha, limit=limit).withColumnRenamed(
-            "doc_id", id_col
-        )
+        if fusion == "rrf":
+            from .operators.hybrid import rrf_fuse
+
+            hits = rrf_fuse(
+                [
+                    kw.select("query_id", "doc_id", "rank"),
+                    vec.select("query_id", "doc_id", "rank"),
+                ],
+                limit=limit,
+            )
+        elif fusion == "alpha":
+            hits = _fuse(kw, vec, alpha=alpha, limit=limit)
+        else:
+            raise ValueError(f"unknown fusion {fusion!r} (use 'alpha' or 'rrf')")
+        hits = hits.withColumnRenamed("doc_id", id_col)
         return self._format(hits, collection, return_properties, id_col)
 
     def rag_answer(
