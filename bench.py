@@ -89,6 +89,7 @@ HEADLINE = [
     "search_snippets",
     "quality_linear_score",
     "ann_lsh_multiprobe",
+    "dedup_substring_spans",
 ]
 
 

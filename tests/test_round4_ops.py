@@ -249,3 +249,29 @@ def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert r1 > 0.3  # hamming-1 probing must find a meaningful share
+
+
+def test_kgram_spans_detect_shared_span(spark):
+    from vectorsearch_applications_spark.operators.dedup import (
+        duplicated_kgram_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " unique tail one alpha beta"),
+            (2, "other head words here " + span),
+            (3, "completely different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r for r in duplicated_kgram_spans(docs, k=20).collect()
+    }
+    # docs 1 and 2 share the full 20-token span => its k-gram duplicates
+    assert out[1]["n_dup_kgrams"] >= 1
+    assert out[2]["n_dup_kgrams"] >= 1
+    assert out[3]["n_dup_kgrams"] == 0
+    # doc 3 is shorter than... it has 9 tokens < 20 => zero k-grams
+    assert out[3]["n_kgrams"] == 0
+    assert out[3]["dup_ratio"] == 0.0

@@ -396,3 +396,74 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def duplicated_kgram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication audit (the k-gram variant of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al., ACL '22 — public): a token k-gram that occurs in more than one
+    place across the corpus marks a duplicated span.
+
+    Returns per-doc (id, n_kgrams, n_dup_kgrams, dup_ratio): how much of
+    the document lies on corpus-duplicated k-gram spans — the signal the
+    suffix-array method thresholds; k-grams trade its exact maximal spans
+    for a two-shuffle plan with no global sort.
+
+    Plan shape: tokenize → per-doc k-gram fingerprints built inside one
+    Catalyst ``transform`` over an index ``sequence`` (no UDF, no
+    row explosion until the single explode) → count per fingerprint (one
+    shuffle, map-side combined) → duplicated set back onto docs (second
+    shuffle). Fingerprints are md5 of the joined token slice — exact
+    (collision-free in practice) and engine-portable, unlike a rolling
+    hash mod 2^64 which DuckDB cannot reproduce with identical overflow.
+
+    ``dup_ratio`` = n_dup_kgrams / n_kgrams as DOUBLE (exact integer
+    inputs; identical IEEE division in both engines). Docs shorter than k
+    tokens have zero k-grams and ratio 0.
+    """
+    from ..functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    exploded = grams.select("id", F.explode("grams").alias("g"))
+    counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    dup = counts.filter(F.col("n") > 1).select("g")
+    per_doc = (
+        exploded.join(dup, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_kgrams"))
+    )
+    base = grams.select("id", F.size("grams").alias("n_kgrams"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+            F.coalesce("n_dup_kgrams", F.lit(0)).cast("bigint").alias(
+                "n_dup_kgrams"
+            ),
+            F.when(F.col("n_kgrams") > 0,
+                   F.coalesce("n_dup_kgrams", F.lit(0))
+                   / F.col("n_kgrams").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )
