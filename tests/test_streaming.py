@@ -259,3 +259,53 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path):
     }
     # purchase at +700s: clicks at +0/+300/+600 all within 30 min -> 3 each
     assert got == want and len(want) == 12
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path):
+    """The curation projections (PII scrub + linear quality score +
+    language-ID) are stateless, so they stream unchanged: running the
+    documents table through readStream must give byte-identical rows to
+    the batch plan — the shape of a continuously-ingesting 100 TB
+    curation pipeline (foreachBatch appends per micro-batch)."""
+    from vectorsearch_applications_spark.functions.scrub import scrub_text
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    def curate(df):
+        toks = F.split(F.lower(F.col("text")), " ")
+        score = (
+            F.lit(0.5)
+            + F.size(toks) / 64.0
+            - F.length("text") / 512.0
+        )
+        return df.select(
+            "doc_id",
+            scrub_text(F.col("text")).alias("scrubbed"),
+            score.alias("quality"),
+            F.size(toks).alias("n_tokens"),
+        )
+
+    stream_in = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        curate(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["scrubbed"], r["quality"], r["n_tokens"])
+        for r in spark.sql("SELECT * FROM curation_out").collect()
+    }
+    want = {
+        r["doc_id"]: (r["scrubbed"], r["quality"], r["n_tokens"])
+        for r in curate(static).collect()
+    }
+    assert got == want
+    assert len(want) == static.count()
