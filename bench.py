@@ -90,6 +90,9 @@ HEADLINE = [
     "quality_linear_score",
     "ann_lsh_multiprobe",
     "dedup_substring_spans",
+    "tfidf_top_terms",
+    "ngram_collocations",
+    "vocab_oov_coverage",
 ]
 
 
