@@ -93,6 +93,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_collocations",
     "vocab_oov_coverage",
+    "events_gap_fill",
 ]
 
 
