@@ -94,6 +94,7 @@ HEADLINE = [
     "ngram_collocations",
     "vocab_oov_coverage",
     "events_gap_fill",
+    "dedup_semantic",
 ]
 
 

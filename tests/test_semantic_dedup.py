@@ -1,0 +1,46 @@
+"""Unit tests for operators/dedup.py semantic_dedup (SemDeDup). Driver
+parity is covered by test_oracle_parity on dedup_semantic."""
+
+from __future__ import annotations
+
+from vectorsearch_applications_spark.operators.dedup import semantic_dedup
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cents(spark, rows):
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    # Clusters along two orthogonal axes; 10 and 11 are near-identical to
+    # 1 (same cluster -> dropped); 20 is near e_y (other cluster, kept
+    # even though it is similar to nothing there).
+    corpus = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (10, [0.999, 0.0447]),
+            (11, [0.998, 0.0632]),
+            (20, [0.0, 1.0]),
+            (21, [0.0447, 0.999]),
+        ],
+    )
+    cents = _cents(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    out = {r["vec_id"]: r for r in semantic_dedup(corpus, cents, 0.95).collect()}
+    assert out[1]["is_kept"] == 1  # lowest id is canonical
+    assert out[10]["is_kept"] == 0 and out[10]["n_dup_lower"] == 1
+    assert out[11]["is_kept"] == 0 and out[11]["n_dup_lower"] == 2
+    assert out[20]["is_kept"] == 1 and out[20]["centroid_id"] == 1
+    assert out[21]["is_kept"] == 0  # dup of 20 within cluster 1
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # Two identical vectors forced into DIFFERENT clusters by centroids
+    # equal to themselves: cluster-local dedup must keep both.
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.436])])
+    cents = _cents(spark, [(0, [1.0, 0.0]), (1, [0.9, 0.436])])
+    out = semantic_dedup(corpus, cents, threshold=0.5).collect()
+    assert all(r["is_kept"] == 1 for r in out)

@@ -94,6 +94,17 @@ def _assign(
     )
 
 
+def assign_nearest_centroid(
+    rows: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public alias of the broadcast-argmin assignment — shared by IVF and
+    the SemDeDup clustering step (operators/dedup.py semantic_dedup)."""
+    return _assign(rows, centroids, id_col, vec_col)
+
+
 def ivf_refine(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -467,3 +467,76 @@ def duplicated_kgram_spans(
             .alias("dup_ratio"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public): cluster the
+    embedding space, then deduplicate WITHIN each cluster — a vector is
+    dropped when a lower-id vector in the same cluster has cosine
+    similarity >= threshold. Clustering makes the quadratic pair search
+    local: |cluster|^2 instead of n^2, and each cluster's pair join is an
+    equi-join on the cluster id (co-partitioned, no global shuffle of the
+    pair space).
+
+    ``centroids`` is a (centroid_id, centroid) frame — any deterministic
+    codebook works (ivf_build's hash-mod sample, ivf_refine's k-means, or
+    a fixed id-prefix rule when cross-engine reproducibility matters).
+    Assignment reuses the IVF broadcast-argmin projection (the corpus is
+    never shuffled to find its cluster).
+
+    Returns one row per vector: (vec_id, centroid_id, n_dup_lower,
+    is_kept) — all BIGINT, no float outputs; the only float comparisons
+    are the assignment argmin and the threshold test, both computed as
+    identical left-to-right folds in any engine.
+
+    At 100 TB: raise the centroid count so clusters stay bounded (the
+    SemDeDup paper uses ~100k clusters for web corpora); the pair join's
+    skew ceiling is the largest cluster, which k-means refinement
+    (ivf_refine) actively balances.
+    """
+    from .ann import assign_nearest_centroid
+
+    asg = assign_nearest_centroid(corpus, centroids, id_col, vec_col)
+    b = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(asg, "vec_id")
+    x = b.select(
+        F.col("vec_id").alias("lo_id"),
+        F.col("_v").alias("lo_v"),
+        "centroid_id",
+    )
+    y = b.select(
+        F.col("vec_id").alias("hi_id"),
+        F.col("_v").alias("hi_v"),
+        "centroid_id",
+    )
+    dups = (
+        x.join(y, "centroid_id")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(
+            cosine_similarity(F.col("lo_v"), F.col("hi_v")) >= F.lit(threshold)
+        )
+        .groupBy(F.col("hi_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_lower"))
+    )
+    return (
+        b.select("vec_id", "centroid_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.coalesce("n_dup_lower", F.lit(0)).cast("bigint").alias(
+                "n_dup_lower"
+            ),
+            (F.coalesce("n_dup_lower", F.lit(0)) == 0)
+            .cast("bigint")
+            .alias("is_kept"),
+        )
+    )

@@ -5104,6 +5104,48 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(ev, bucket_seconds=3600)
 
 
+@register(
+    "dedup_semantic",
+    """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+ad AS (SELECT e.vec_id, c.cid,
+              1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv) AS d
+       FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid ASC) AS rn FROM ad)
+        WHERE rn = 1),
+b AS (SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS v
+      FROM asg a JOIN embeddings e USING (vec_id)),
+dups AS (SELECT y.vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower
+         FROM b x JOIN b y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         WHERE list_dot_product(x.v, y.v) >= 0.4
+         GROUP BY y.vec_id)
+SELECT b.vec_id, CAST(b.cid AS BIGINT) AS centroid_id,
+       coalesce(d.n_dup_lower, 0)::BIGINT AS n_dup_lower,
+       CAST(coalesce(d.n_dup_lower, 0) = 0 AS BIGINT) AS is_kept
+FROM b LEFT JOIN dups d USING (vec_id)
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/dedup.py semantic_dedup):
+    cluster embeddings to 8 deterministic centroids (id-prefix codebook so
+    the oracle can restate it), then drop vectors with a lower-id
+    same-cluster neighbor at cosine >= 0.4. Output is all-BIGINT (keep
+    decision + duplicate count) — the only cross-engine float surface is
+    the assignment argmin and the threshold test, both identical
+    left-to-right folds."""
+    from .operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return semantic_dedup(emb, centroids, threshold=0.4)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5118,6 +5160,7 @@ _GRADE_FIRST = [
     "ngram_collocations",
     "vocab_oov_coverage",
     "events_gap_fill",
+    "dedup_semantic",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5154,7 +5197,7 @@ _GRADE_FIRST = [
     # (q13, q17, q19 graded green in r3; rotated to mid for window room —
     # q18/q21/q22 keep the heavy-predicate TPC-H family in-window)
     # (q10 graded green in r3; rotated to mid for window room)
-    "tpch_q21_waiting_supplier",
+    # (q21 green in r3 → mid; q22 keeps the NOT-EXISTS anti-join family)
     "tpch_q22_balance_opportunity",
     # (ann_ivf_exhaustive green in r3; its exhaustive==exact invariant is
     # re-graded via ann_ivf_kmeans_exhaustive — rotated to mid)
