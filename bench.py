@@ -95,6 +95,7 @@ HEADLINE = [
     "vocab_oov_coverage",
     "events_gap_fill",
     "dedup_semantic",
+    "ann_pq_adc",
 ]
 
 

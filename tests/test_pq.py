@@ -1,0 +1,57 @@
+"""Unit tests for operators/pq.py product quantization (driver parity is
+covered by test_oracle_parity on ann_pq_adc)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vectorsearch_applications_spark.operators.knn import knn_search_crossjoin
+from vectorsearch_applications_spark.operators.pq import (
+    pq_adc_search,
+    pq_codebook,
+    pq_encode,
+)
+from vectorsearch_applications_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_codebook_vectors_encode_to_their_own_codes(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb.filter(F.col("vec_id") < 8), cb, n_sub=8, dim=64)
+    for r in codes.collect():
+        # vector c IS code c in every subspace -> d = -<c,c>*1e6, minimal
+        assert r["codes"] == [r["vec_id"]] * 8, r
+
+
+def test_adc_self_query_ranks_query_first_for_codebook_vectors(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = pq_adc_search(codes, cb, q, n_codes=8, n_sub=8, dim=64, k=1)
+    for r in hits.collect():
+        # a codebook vector reconstructs exactly, so ADC(q,q) is the true
+        # minimal -<q,q>; no other code combo can be closer to q than q
+        assert r["vec_id"] == r["query_id"]
+
+
+def test_adc_recall_beats_random_floor(spark):
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = pq_adc_search(codes, cb, q, n_codes=8, n_sub=8, dim=64, k=10)
+    exact = knn_search_crossjoin(emb, q, k=10)
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "inner"
+    ).count()
+    recall = hits / exact.count()
+    # 10 random picks from n would land ~10/n of the true top-10
+    assert recall > max(0.2, 20.0 / n), recall

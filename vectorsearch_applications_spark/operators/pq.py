@@ -1,0 +1,174 @@
+"""Product quantization (PQ) with asymmetric distance computation (ADC) —
+the memory-bound ANN path (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public).
+
+Next to IVF (operators/ann.py) and hyperplane LSH (operators/lsh.py), PQ is
+the third classic ANN family and the one that attacks MEMORY: each vector
+is stored as M small codes (here M=8 codes over a 64-dim embedding — an
+8-byte row instead of 256+ bytes of floats), a 32×+ compression that lets
+a 100 TB embedding corpus's index fit the executors' page cache. Scoring
+never touches the original vectors: a per-query lookup table (LUT) of
+sub-distances is broadcast and each row's score is M table lookups.
+
+Determinism (the cross-engine contract): every stored sub-distance is
+``floor((<c,c> - 2<x,c>) * 1e6)`` — rank-equivalent to L2 over the
+subspace (the dropped ``<x,x>`` term is constant per row/query). The two
+dot products are identical left-to-right folds in both engines, the
+subtraction/scale/floor are single IEEE ops, so the integers match
+bitwise; the ADC score is then an M-term INTEGER sum — order-free, exact.
+
+Plan shapes:
+- ``pq_encode`` is a PURE PROJECTION: the codebook (M·K tiny rows) is
+  collapsed to one array-of-structs row and broadcast; each vector's M
+  argmins run inside one Catalyst ``transform`` — the corpus is never
+  shuffled or exploded to be encoded.
+- ``pq_adc_search`` broadcasts per-query LUTs (Q·M·K integers) against
+  the codes table; scoring is a fold of M ``get`` lookups per
+  (query, vector) — shuffle-free until the final top-k ranking window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot
+
+DIST_SCALE = 1_000_000
+
+
+def _sub(vec, m, sub_dim: int):
+    """1-based slice of subvector m (length sub_dim)."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def _d_int(xs, cs):
+    """floor((<c,c> - 2<x,c>) * 1e6) — the exact-integer L2 surrogate."""
+    return F.floor(
+        (dot(cs, cs) - F.lit(2.0) * dot(xs, cs)) * F.lit(float(DIST_SCALE))
+    ).cast("long")
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cvec): codebook from the id-prefix rule — code c of
+    every subspace is vector c's sub-slice. Deterministic and restatable
+    in SQL; swap in k-means sub-codebooks (ivf_refine per subspace) when
+    cross-engine reproducibility is not required."""
+    sub_dim = dim // n_sub
+    base = corpus.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).cast("int").alias("code"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    subs = base.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        "_v",
+    )
+    return subs.select(
+        "sub", "code", _sub(F.col("_v"), F.col("sub"), sub_dim).alias("cvec")
+    )
+
+
+def _codebook_array(codebook: DataFrame) -> DataFrame:
+    return codebook.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "cvec"))).alias(
+            "_cb"
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): nearest sub-code per subspace, computed
+    as M broadcast argmins inside one projection — no shuffle, no explode.
+    ``codes`` is the persisted PQ index row (M bytes per vector at real
+    code widths)."""
+    sub_dim = dim // n_sub
+    v = F.transform(F.col("_raw"), lambda x: x.cast("double"))
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_raw")
+        )
+        .crossJoin(F.broadcast(_codebook_array(codebook)))
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.array_min(
+                    F.transform(
+                        F.filter(F.col("_cb"), lambda s: s["sub"] == m),
+                        lambda s: F.struct(
+                            _d_int(_sub(v, m, sub_dim), s["cvec"]).alias("d"),
+                            s["code"].alias("code"),
+                        ),
+                    )
+                )["code"],
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by ADC score: per-query LUT (M·K integer sub-distances,
+    flattened sub-major) broadcast against the codes table; each row's
+    score is an integer fold of M lookups. Returns (query_id, vec_id,
+    rank, adc_score) — adc_score BIGINT, ties broken on vec_id."""
+    sub_dim = dim // n_sub
+    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+    luts = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qraw"),
+        )
+        .crossJoin(F.broadcast(_codebook_array(codebook)))
+        .select(
+            "query_id",
+            # _cb is sorted by (sub, code) == sub-major flat order, so
+            # lut[m*K + code] is d_int(query_sub_m, codebook[m][code])
+            F.transform(
+                F.col("_cb"),
+                lambda s: _d_int(_sub(qv, s["sub"], sub_dim), s["cvec"]),
+            ).alias("lut"),
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc
+            + F.get("lut", m * n_codes + F.get("codes", m)),
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adc_score")
+    )

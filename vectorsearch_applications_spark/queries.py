@@ -5146,6 +5146,64 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids, threshold=0.4)
 
 
+@register(
+    "ann_pq_adc",
+    """
+WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+cbase AS (SELECT vec_id AS code, embedding::DOUBLE[] AS emb
+          FROM embeddings WHERE vec_id < 8),
+cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv FROM cbase CROSS JOIN ms),
+vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         CROSS JOIN ms),
+ed AS (SELECT v.vec_id, v.m, cb.code,
+              CAST(floor((list_dot_product(cb.cv, cb.cv)
+                          - 2 * list_dot_product(v.vs, cb.cv)) * 1000000)
+                   AS BIGINT) AS d
+       FROM vsub v JOIN cb ON v.m = cb.m),
+enc AS (SELECT vec_id, m, code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d ASC, code ASC) AS rn FROM ed)
+        WHERE rn = 1),
+qsub AS (SELECT vec_id AS query_id, m, emb[m*8+1 : m*8+8] AS qs
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings WHERE vec_id < 5) CROSS JOIN ms),
+lut AS (SELECT q.query_id, cb.m, cb.code,
+               CAST(floor((list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(q.qs, cb.cv)) * 1000000)
+                    AS BIGINT) AS d
+        FROM qsub q JOIN cb ON q.m = cb.m),
+score AS (SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_score
+          FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+          GROUP BY l.query_id, e.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_score ASC, vec_id ASC) AS rnk FROM score)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, adc_score
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/pq.py): 8 sub-codebooks × 8 codes from the id-prefix rule,
+    corpus encoded to 8 codes/vector in one shuffle-free projection,
+    queries scored by integer LUT lookups (floor((<c,c>-2<x,c>)*1e6) —
+    order-free BIGINT sums, bitwise identical across engines). The
+    memory-bound ANN family next to IVF and LSH: the persisted index is
+    M code bytes per vector, ~32× smaller than the float embeddings."""
+    from .operators.pq import pq_adc_search, pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_adc_search(
+        codes, cb, queries, n_codes=8, n_sub=8, dim=64, k=10
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5161,6 +5219,7 @@ _GRADE_FIRST = [
     "vocab_oov_coverage",
     "events_gap_fill",
     "dedup_semantic",
+    "ann_pq_adc",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5201,7 +5260,8 @@ _GRADE_FIRST = [
     "tpch_q22_balance_opportunity",
     # (ann_ivf_exhaustive green in r3; its exhaustive==exact invariant is
     # re-graded via ann_ivf_kmeans_exhaustive — rotated to mid)
-    "ann_quantized_search",
+    # (ann_quantized_search green in r3 → mid; ann_pq_adc keeps the
+    # quantized-scoring family in-window)
     "corpus_bpe_token_stats",
     "router_fit",
     "llm_cost_accounting",
