@@ -96,6 +96,7 @@ HEADLINE = [
     "events_gap_fill",
     "dedup_semantic",
     "ann_pq_adc",
+    "graph_pagerank",
 ]
 
 

@@ -60,3 +60,48 @@ def test_no_driver_collect_in_labels(spark):
     out = connected_components(e)
     assert out.columns == ["id", "component"]
     assert out.filter(F.col("component") > F.col("id")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pagerank_int
+# ---------------------------------------------------------------------------
+
+from vectorsearch_applications_spark.operators.graph import pagerank_int
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _model_pagerank(edges, iterations=3):
+    """Python mirror of the integer semantics."""
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        incoming = {n: 0 for n in nodes}
+        for s, d in edges:
+            incoming[d] += rank[s] // out[s]
+        rank = {n: 150_000 + (850 * incoming[n]) // 1000 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_model_and_orders_hub_first(spark):
+    edges = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"),  # everyone points at hub
+        ("hub", "a"), ("c", "b"),
+    ]
+    got = {r["node"]: r["rank"] for r in pagerank_int(_edges(spark, edges)).collect()}
+    assert got == _model_pagerank(edges)
+    assert got["hub"] == max(got.values())
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the same edge listed twice must not double its contribution
+    once = {r["node"]: r["rank"]
+            for r in pagerank_int(_edges(spark, [("a", "b")])).collect()}
+    twice = {r["node"]: r["rank"]
+             for r in pagerank_int(_edges(spark, [("a", "b"), ("a", "b")])).collect()}
+    assert once == twice

@@ -113,3 +113,67 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return items.join(drop, id_col, "left_anti")
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units — the graph
+    centrality pass over entity graphs a curation pipeline derives (here:
+    who supplies whom; for web corpora: the host link graph used for
+    quality priors à la Common Crawl harmonic/PageRank centrality).
+
+    Semantics (deterministic in any engine, no floats anywhere):
+      rank_0(v)   = 1_000_000
+      contrib(u→v) = rank_i(u) DIV out_degree(u)
+      rank_{i+1}(v) = 150_000 + (850 * Σ contrib(in-edges)) DIV 1000
+
+    i.e. damping 0.85 with floor rounding at each step; dangling-node mass
+    leaks (documented classic simplification) — ranks remain a centrality
+    ORDER, absolute mass is not conserved. Integer sums are order-free, so
+    results are bitwise reproducible under any partitioning.
+
+    Plan per iteration: ranks ⋈ edges on src (the edge relation is the big
+    side — shuffle keyed src), re-aggregate on dst (second keyed shuffle),
+    left-join onto the node set. At 100 TB pre-partition edges by src once
+    and the per-iteration src join becomes Exchange-free; lineage is cut
+    per round with localCheckpoint like connected_components.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV odeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150_000)
+                    + F.expr("(850 * coalesce(incoming, 0)) DIV 1000")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))

@@ -5204,6 +5204,54 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    step = """
+r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (850 * CAST(coalesce(s.incoming, 0) AS BIGINT)) // 1000
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // o.odeg) AS incoming
+    FROM edges e JOIN r{p} r ON r.node = e.src
+                 JOIN outd o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+         FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+{chain}
+SELECT node, rank FROM r3
+"""
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py pagerank_int), 3
+    iterations at damping 0.85 over the who-supplies-whom graph
+    (supplier→customer edges from lineitem⋈orders). Micro-unit integer
+    arithmetic end to end — order-free sums, bitwise identical across
+    engines; the oracle unrolls the same three iterations as chained
+    CTEs. The centrality pass for graph-derived quality priors over a
+    pretraining corpus (host link graphs)."""
+    from .operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    )
+    return pagerank_int(edges, iterations=3)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5220,6 +5268,7 @@ _GRADE_FIRST = [
     "events_gap_fill",
     "dedup_semantic",
     "ann_pq_adc",
+    "graph_pagerank",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5262,7 +5311,8 @@ _GRADE_FIRST = [
     # re-graded via ann_ivf_kmeans_exhaustive — rotated to mid)
     # (ann_quantized_search green in r3 → mid; ann_pq_adc keeps the
     # quantized-scoring family in-window)
-    "corpus_bpe_token_stats",
+    # (corpus_bpe_token_stats green in r3 → mid; both token models stay
+    # registered and pytest-gated)
     "router_fit",
     "llm_cost_accounting",
     "text2sql_generated",
