@@ -144,3 +144,65 @@ def test_cluster_collection_gives_disjoint_file_ranges(spark, tmp_path):
     # nothing lost
     out = spark.read.parquet(f"{root}/tbl")
     assert out.count() == 20_000 and out.agg(F.sum("k")).collect()[0][0] == sum(range(20_000))
+
+
+# ---------------------------------------------------------------------------
+# merge_collection (CDC upsert/delete) and export_jsonl_shards
+# ---------------------------------------------------------------------------
+
+def test_merge_collection_upsert_delete_lww(spark, tmp_path):
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        merge_collection,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    create_collection(spark, root, "m", base)
+    changes = spark.createDataFrame(
+        [
+            (2, "TWO-v1", "upsert", 1),
+            (2, "TWO-v2", "upsert", 2),   # later seq wins
+            (3, None, "delete", 1),
+            (4, "four", "upsert", 1),     # insert
+            (5, "ghost", "upsert", 1),
+            (5, None, "delete", 1),       # tie on seq -> delete wins
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    stats = merge_collection(spark, root, "m", changes)
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{root}/m").collect()
+    }
+    assert rows == {1: "one", 2: "TWO-v2", 4: "four"}
+    assert stats["rows"] == 3
+
+
+def test_export_jsonl_shards_deterministic_and_lossless(spark, tmp_path):
+    import os
+
+    from vectorsearch_applications_spark.sources.io import export_jsonl_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_jsonl_shards(df, p1, "doc_id", 4)
+    # a re-export (even from a differently-partitioned frame) must land
+    # every row in the same shard
+    export_jsonl_shards(df.repartition(13), p2, "doc_id", 4)
+
+    got1 = spark.read.json(p1)
+    assert sorted(r["shard"] for r in got1.select("shard").distinct().collect()) == [0, 1, 2, 3]
+    assert got1.count() == 200
+    a = {(r["doc_id"], r["shard"]) for r in got1.collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.json(p2).collect()}
+    assert a == b
+    # one data file per shard (repartitioned by shard before the write)
+    for d in os.listdir(p1):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(p1, d)) if f.endswith(".json")]
+            assert len(files) == 1, (d, files)

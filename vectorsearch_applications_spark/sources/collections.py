@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -231,3 +231,59 @@ def cluster_collection(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def merge_collection(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> dict[str, int]:
+    """CDC MERGE (upsert + delete) applied in ONE declarative pass — the
+    batch analog of MERGE INTO for plain-parquet collections.
+
+    ``changes`` carries the change set: the target's columns plus ``op``
+    ('upsert' | 'delete') and a monotonically increasing ``seq`` used for
+    last-writer-wins when one key changes several times in the batch
+    (ties on seq break toward the delete so replays cannot resurrect a
+    deleted row).
+
+    Plan: reduce changes to one winner per key (window on the CHANGE SET,
+    which is micro-batch-sized — never the target), then
+    target ⟕anti changed-keys ∪ upsert-winners. The target is touched by
+    exactly one anti-join keyed on the merge key; no per-row RPCs
+    (the reference backfills properties per-uuid over HTTP,
+    notebooks/7-…ipynb cell 22 — that loop is this one plan here).
+    Promotion uses the same staged atomic swap as update_collection.
+    Returns {"upserted": n, "deleted": n, "rows": final_count}.
+    """
+    path = os.path.join(root, name)
+    target = spark.read.parquet(path)
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(seq_col), F.desc((F.col(op_col) == "delete").cast("int"))
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) == "upsert").select(*target.columns)
+    keys = latest.select(key_col)
+    merged = target.join(keys, key_col, "left_anti").unionByName(upserts)
+
+    n_up, n_keys = upserts.count(), keys.count()
+    tmp, old = path + "__staging", path + "__old"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    rows = spark.read.parquet(path).count()
+    return {"upserted": n_up, "deleted": n_keys - n_up, "rows": rows}

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-generated test tables (TESTDATA.md).
 TABLE_NAMES = [
@@ -75,3 +76,32 @@ def load_collection(spark: SparkSession, path: str) -> DataFrame:
     """Reference S4 ``load_parquet`` — arrays stay native ArrayType, no
     ndarray→list coercion needed."""
     return spark.read.parquet(path)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+) -> dict[str, int]:
+    """Training-data export: write the frame as ``n_shards`` JSONL shard
+    directories (``shard=K/``), rows assigned by a DETERMINISTIC key hash
+    (pmod(xxhash64(key), n)) — not round-robin — so a re-export after a
+    retry, a repartition, or an engine upgrade lands every row in the
+    same shard (resumable downstream consumers depend on that; Spark's
+    own round-robin repartition(n) is retry-UNstable by design).
+
+    One shuffle keyed on the shard id; JSONL because every training
+    stack's loader reads it. Returns {"shards": n, "rows": count}.
+    At 100 TB pick n_shards ≈ total_bytes / 256 MB and the write
+    parallelism is the shard count.
+    """
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+    # repartition BY the shard column so each shard directory is written
+    # by the task that owns it — one file per shard, not per (task, shard)
+    out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).json(path)
+    return {"shards": n_shards, "rows": df.count()}
