@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_semantic",
     "ann_pq_adc",
     "graph_pagerank",
+    "html_markup_strip",
 ]
 
 

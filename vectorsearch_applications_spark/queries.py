@@ -5252,6 +5252,59 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iterations=3)
 
 
+_HTML_RAW_SQL = (
+    "'<html><head><script>var x=' || doc_id::VARCHAR || ';</script>"
+    "<style>.c Y </style></head><body><h1>Doc ' || doc_id::VARCHAR || "
+    "'</h1><p>' || text || '</p><!-- id ' || doc_id::VARCHAR || "
+    "' --><br/>&amp;amp; &lt;tag&gt; done</body></html>'"
+)
+
+
+def _html_strip_oracle() -> str:
+    from .functions.markup import strip_markup_sql
+
+    return f"""
+WITH r AS (SELECT doc_id, {_HTML_RAW_SQL} AS raw FROM documents),
+s AS (SELECT doc_id, raw, {strip_markup_sql('raw')} AS clean FROM r)
+SELECT doc_id, md5(clean) AS clean_fp,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(length(raw) - length(clean) AS BIGINT) AS removed_chars
+FROM s
+"""
+
+
+@register("html_markup_strip", _html_strip_oracle())
+def q_html_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal for web-crawl curation (functions/markup.py
+    strip_markup): script/style/comment blocks die content-and-all, tags
+    become word-boundary spaces, entities decode after tag removal,
+    whitespace collapses. Pure projection in whole-stage codegen — the
+    same chained-regexp-in-scan shape as pii_scrub_stats. Synthetic
+    markup is injected deterministically from doc_id so both engines
+    strip the identical input."""
+    from .functions.markup import strip_markup
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><head><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.c Y </style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><br/>&amp;amp; &lt;tag&gt; done</body></html>"),
+    )
+    clean = strip_markup(raw)
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_fp"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (F.length(raw) - F.length(clean)).cast("bigint").alias("removed_chars"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5269,6 +5322,7 @@ _GRADE_FIRST = [
     "dedup_semantic",
     "ann_pq_adc",
     "graph_pagerank",
+    "html_markup_strip",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5314,7 +5368,8 @@ _GRADE_FIRST = [
     # (corpus_bpe_token_stats green in r3 → mid; both token models stay
     # registered and pytest-gated)
     "router_fit",
-    "llm_cost_accounting",
+    # (llm_cost_accounting green in r3 → mid; the F3 egress + integer
+    # pricing stays graded via text2sql_generated / llm_field_extraction)
     "text2sql_generated",
     "llm_field_extraction",
     "quality_repetition_filter",
