@@ -98,6 +98,7 @@ HEADLINE = [
     "ann_pq_adc",
     "graph_pagerank",
     "html_markup_strip",
+    "bpe_learn_merges",
 ]
 
 

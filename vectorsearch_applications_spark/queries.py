@@ -5305,6 +5305,73 @@ def q_html_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Chained-CTE restatement of learn_bpe_merges: each iteration counts
+    weighted overlapping pairs, argmaxes with the (c DESC, l, r) total
+    order, and rewrites symbols with the same greedy string fold (DuckDB
+    list_reduce's accumulator must share the element type — VARCHAR does,
+    which is why the fold runs on the space-joined symbol string)."""
+    parts = [
+        f"""wf AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_toks('text')}) AS term FROM documents) GROUP BY term
+),
+w0 AS (
+  SELECT array_to_string(
+           list_transform(range(1, length(word) + 1), j -> word[j]), ' ')
+         AS syms, cnt
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p, c = i - 1, i
+        parts.append(
+            f"""p{c} AS (
+  SELECT t.l AS l, t.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(string_split(syms, ' '))),
+               j -> {{'l': string_split(syms, ' ')[j],
+                      'r': string_split(syms, ' ')[j + 1]}})) AS t, cnt
+        FROM w{p}) GROUP BY t.l, t.r
+),
+m{c} AS (SELECT l, r, c FROM p{c} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{c} AS (
+  SELECT list_reduce(string_split(w.syms, ' '),
+           (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l))
+                             AND x = m.r
+                       THEN substr(acc, 1, length(acc) - length(m.l))
+                            || m.l || m.r
+                       ELSE acc || ' ' || x END) AS syms, w.cnt
+  FROM w{p} w CROSS JOIN m{c} m
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym,"
+        f" right_sym, pair_count FROM ({selects})"
+    )
+
+
+@register("bpe_learn_merges", _bpe_oracle(5))
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first 5
+    learned merges over the documents corpus. One corpus pass builds the
+    word-frequency table; every merge iteration then runs on that
+    vocabulary-sized table (weighted overlapping pair counts → total-order
+    argmax → greedy fold rewrite) — a 100 TB corpus is scanned exactly
+    once. The oracle unrolls the same 5 iterations as chained CTEs with
+    an identical VARCHAR-accumulator fold."""
+    from .operators.bpe import learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(spark, d, n_merges=5)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5323,6 +5390,7 @@ _GRADE_FIRST = [
     "ann_pq_adc",
     "graph_pagerank",
     "html_markup_strip",
+    "bpe_learn_merges",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5373,7 +5441,8 @@ _GRADE_FIRST = [
     "text2sql_generated",
     "llm_field_extraction",
     "quality_repetition_filter",
-    "decontaminate_benchmark",
+    # (decontaminate_benchmark green in r3 → mid; the n-gram-overlap
+    # machinery stays graded via dedup_substring_spans/boilerplate rows)
     "qa_triplets",
     "bm25_multifield",
     "filtered_vector_search",
