@@ -272,3 +272,40 @@ def test_mmr_shuffles_only_bounded_candidates(spark):
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_pq_encode_is_shuffle_free_projection(spark):
+    from vectorsearch_applications_spark.operators.pq import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    plan = _plan(pq_encode(emb, cb, n_sub=8, dim=64))
+    # the corpus side must see a broadcast of the codebook and NO
+    # shuffle: encoding 100 TB of vectors is a map-only job
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    left, _, _ = plan.partition("BroadcastExchange")
+    assert "Exchange hashpartitioning" not in left
+
+
+def test_markup_strip_is_pure_projection_no_shuffle(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["html_markup_strip"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # scan-speed projection, zero shuffle
+
+
+def test_keywords_join_ships_postings_not_text(spark):
+    from vectorsearch_applications_spark.operators.keywords import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    # the term-keyed join runs on the exploded postings; the raw text
+    # column must not survive past the scan projection
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") >= 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
