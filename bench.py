@@ -99,6 +99,7 @@ HEADLINE = [
     "graph_pagerank",
     "html_markup_strip",
     "bpe_learn_merges",
+    "snapshot_diff_docs",
 ]
 
 

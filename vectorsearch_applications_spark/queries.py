@@ -5372,6 +5372,71 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(spark, d, n_merges=5)
 
 
+_DIFF_FP = (
+    "md5(concat_ws(chr(31),"
+    " coalesce(text, chr(0) || 'null'),"
+    " coalesce(lang, chr(0) || 'null'),"
+    " coalesce(source, chr(0) || 'null'),"
+    " coalesce(n_chars::VARCHAR, chr(0) || 'null')))"
+)
+
+
+@register(
+    "snapshot_diff_docs",
+    f"""
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 10
+),
+o AS (SELECT doc_id AS key, {_DIFF_FP} AS old_fp FROM documents),
+n AS (SELECT doc_id AS key, {_DIFF_FP} AS new_fp FROM newt)
+SELECT coalesce(o.key, n.key) AS key,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.key = n.key
+""",
+)
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): classify every key across two
+    collection generations as added/removed/changed/unchanged in ONE
+    full-outer join over (key, md5 fingerprint) — fingerprints are
+    computed in the scan projection so the shuffle carries two slim
+    columns regardless of row width. The next generation is simulated
+    in-plan (mod-7 edits, mod-13 deletes, 10 adds) so both engines diff
+    identical inputs."""
+    from .operators.diff import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source", "n_chars"]
+    edited = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    added = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = edited.unionByName(added)
+    return snapshot_diff(d, new, "doc_id", cols)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5391,6 +5456,7 @@ _GRADE_FIRST = [
     "graph_pagerank",
     "html_markup_strip",
     "bpe_learn_merges",
+    "snapshot_diff_docs",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5444,7 +5510,8 @@ _GRADE_FIRST = [
     # (decontaminate_benchmark green in r3 → mid; the n-gram-overlap
     # machinery stays graded via dedup_substring_spans/boilerplate rows)
     "qa_triplets",
-    "bm25_multifield",
+    # (bm25_multifield green in r3 → mid; BM25 machinery stays graded via
+    # search_snippets + filtered_hybrid_search in-window)
     "filtered_vector_search",
     "cube_order_stats",
     "corpus_curation_pipeline",
