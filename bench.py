@@ -100,6 +100,7 @@ HEADLINE = [
     "html_markup_strip",
     "bpe_learn_merges",
     "snapshot_diff_docs",
+    "events_winsorized_stats",
 ]
 
 
