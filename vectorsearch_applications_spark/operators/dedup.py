@@ -24,7 +24,7 @@ precision/recall tradeoff (P(candidate) = 1-(1-j^r)^bands).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash64, tokenize
@@ -443,29 +443,39 @@ def duplicated_kgram_spans(
         .otherwise(F.array().cast("array<string>"))
         .alias("grams"),
     )
-    exploded = grams.select("id", F.explode("grams").alias("g"))
-    counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    dup = counts.filter(F.col("n") > 1).select("g")
-    per_doc = (
-        exploded.join(dup, "g", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_dup_kgrams"))
+    # ONE pass computes the gram fingerprints (tokenize + k·md5 per doc is
+    # the dominant cost — the earlier three-branch plan recomputed it for
+    # the count, the semi-join probe, AND the per-doc sizes: 3× the CPU
+    # for identical output). explode_outer keeps zero-gram docs so no
+    # second scan is needed for the base row set; a count-over-g window
+    # replaces the groupBy+semi-join (same single g-keyed shuffle, no
+    # second pass over the gram stream).
+    ex = grams.select(
+        "id",
+        F.size("grams").alias("n_kgrams"),
+        F.explode_outer("grams").alias("g"),
     )
-    base = grams.select("id", F.size("grams").alias("n_kgrams"))
-    return (
-        base.join(per_doc, "id", "left")
-        .select(
-            "id",
-            F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
-            F.coalesce("n_dup_kgrams", F.lit(0)).cast("bigint").alias(
-                "n_dup_kgrams"
-            ),
-            F.when(F.col("n_kgrams") > 0,
-                   F.coalesce("n_dup_kgrams", F.lit(0))
-                   / F.col("n_kgrams").cast("double"))
-            .otherwise(F.lit(0.0))
-            .alias("dup_ratio"),
+    wg = Window.partitionBy("g")
+    flagged = ex.select(
+        "id",
+        "n_kgrams",
+        (F.col("g").isNotNull() & (F.count(F.lit(1)).over(wg) > 1))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("id").agg(
+        F.max("n_kgrams").cast("bigint").alias("n_kgrams"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_kgrams"),
+    ).select(
+        "id",
+        "n_kgrams",
+        "n_dup_kgrams",
+        F.when(
+            F.col("n_kgrams") > 0,
+            F.col("n_dup_kgrams") / F.col("n_kgrams").cast("double"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
     )
 
 

@@ -142,15 +142,24 @@ def pagerank_int(
     and the per-iteration src join becomes Exchange-free; lineage is cut
     per round with localCheckpoint like connected_components.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the loop-invariant relations once: without the
+    # checkpoint, every iteration's plan re-derives edges (the upstream
+    # join + distinct) and out-degrees from scratch — 3 iterations cost
+    # 3× the edge build (measured 10.2 s → ~4 s at sf0.1)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    outd = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("odeg")
+    ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (
