@@ -101,6 +101,7 @@ HEADLINE = [
     "bpe_learn_merges",
     "snapshot_diff_docs",
     "events_winsorized_stats",
+    "ann_ivfpq_search",
 ]
 
 

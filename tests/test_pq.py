@@ -55,3 +55,52 @@ def test_adc_recall_beats_random_floor(spark):
     recall = hits / exact.count()
     # 10 random picks from n would land ~10/n of the true top-10
     assert recall > max(0.2, 20.0 / n), recall
+
+
+def test_ivfpq_results_subset_of_full_adc_ranking(spark):
+    # IVFPQ = ADC restricted to probed buckets: every hit it returns must
+    # carry the same adc_score the unrestricted ADC search assigns
+    from vectorsearch_applications_spark.operators.pq import ivfpq_search
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_score"]
+        for r in pq_adc_search(codes, cb, q, k=10_000).collect()
+    }
+    ivfpq = ivfpq_search(emb, cents, cb, q, k=10, nprobe=2).collect()
+    assert len(ivfpq) > 0
+    for r in ivfpq:
+        assert full[(r["query_id"], r["vec_id"])] == r["adc_score"]
+
+
+def test_ivfpq_probing_all_buckets_equals_full_adc(spark):
+    from vectorsearch_applications_spark.operators.pq import ivfpq_search
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in ivfpq_search(emb, cents, cb, q, k=10, nprobe=8).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in pq_adc_search(codes, cb, q, k=10).collect()
+    )
+    assert a == b

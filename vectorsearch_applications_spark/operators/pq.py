@@ -172,3 +172,95 @@ def pq_adc_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adc_score")
     )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF + PQ/ADC — the composed web-scale ANN architecture (FAISS's
+    IVFADC, Jégou et al. 2011 §IV): coarse centroids prune the corpus to
+    ``nprobe``/C of its buckets, PQ codes make scoring the survivors M
+    integer lookups. The persisted index is (vec_id, centroid_id, codes)
+    — partition it by centroid_id and a query touches only its probed
+    buckets' files.
+
+    Composition of the proven parts: IVF assignment (broadcast argmin),
+    the probe-selection slice trick (no window over queries), PQ encode
+    (shuffle-free projection), and LUT fold scoring — all deterministic,
+    so the whole composition is oracle-expressible.
+    """
+    from .ann import _centroid_array, assign_nearest_centroid
+    from ..functions.vectors import cosine_distance
+
+    asg = assign_nearest_centroid(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(corpus, codebook, n_sub, dim, id_col, vec_col)
+    index = codes.join(asg, "vec_id")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qraw"),
+    )
+    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+    probes = (
+        q.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                cosine_distance(qv, c["centroid"]).alias("d"),
+                                c["centroid_id"].alias("centroid_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p.centroid_id").alias("centroid_id"))
+    )
+    luts = (
+        q.crossJoin(F.broadcast(_codebook_array(codebook)))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("_cb"),
+                lambda s: _d_int(_sub(qv, s["sub"], dim // n_sub), s["cvec"]),
+            ).alias("lut"),
+        )
+    )
+    probe_luts = probes.join(luts, "query_id")
+    cand = index.join(F.broadcast(probe_luts), "centroid_id")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + F.get("lut", m * n_codes + F.get("codes", m)),
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adc_score")
+    )

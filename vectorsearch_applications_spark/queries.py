@@ -5491,6 +5491,80 @@ def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_search",
+    """
+WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cid, emb AS cv FROM base WHERE vec_id < 8),
+ad AS (SELECT b.vec_id, c.cid, 1.0 - list_dot_product(b.emb, c.cv) AS d
+       FROM base b CROSS JOIN cents c),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv
+       FROM (SELECT vec_id AS code, emb FROM base WHERE vec_id < 8)
+       CROSS JOIN ms),
+vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs FROM base CROSS JOIN ms),
+ed AS (SELECT v.vec_id, v.m, cb.code,
+              CAST(floor((list_dot_product(cb.cv, cb.cv)
+                          - 2 * list_dot_product(v.vs, cb.cv)) * 1000000)
+                   AS BIGINT) AS d
+       FROM vsub v JOIN cb ON v.m = cb.m),
+enc AS (SELECT vec_id, m, code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d ASC, code ASC) AS rn FROM ed) WHERE rn = 1),
+qf AS (SELECT vec_id AS query_id, emb AS qv FROM base WHERE vec_id < 5),
+qc AS (SELECT q.query_id, c.cid, 1.0 - list_dot_product(q.qv, c.cv) AS d
+       FROM qf q CROSS JOIN cents c),
+probes AS (SELECT query_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY d ASC, cid ASC) AS rn FROM qc)
+           WHERE rn <= 2),
+qsub AS (SELECT query_id, m, qv[m*8+1 : m*8+8] AS qs
+         FROM qf CROSS JOIN ms),
+lut AS (SELECT q.query_id, cb.m, cb.code,
+               CAST(floor((list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(q.qs, cb.cv)) * 1000000)
+                    AS BIGINT) AS d
+        FROM qsub q JOIN cb ON q.m = cb.m),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid),
+score AS (SELECT c.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_score
+          FROM cand c
+          JOIN enc e ON e.vec_id = c.vec_id
+          JOIN lut l ON l.query_id = c.query_id
+                    AND l.m = e.m AND l.code = e.code
+          GROUP BY c.query_id, c.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_score ASC, vec_id ASC) AS rnk FROM score)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, adc_score
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (operators/pq.py ivfpq_search — the FAISS
+    IVFADC architecture): coarse id-prefix centroids prune to nprobe=2 of
+    8 buckets, PQ codes score the surviving candidates with M integer LUT
+    lookups. Every stage (assignment argmin, probe selection, encode,
+    ADC sum) is the proven deterministic machinery, so the full composed
+    pipeline is hash-graded end to end."""
+    from .operators.pq import ivfpq_search, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivfpq_search(
+        emb, centroids, cb, queries, n_codes=8, n_sub=8, dim=64, k=10, nprobe=2
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5512,6 +5586,7 @@ _GRADE_FIRST = [
     "bpe_learn_merges",
     "snapshot_diff_docs",
     "events_winsorized_stats",
+    "ann_ivfpq_search",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5560,7 +5635,8 @@ _GRADE_FIRST = [
     # (llm_cost_accounting green in r3 → mid; the F3 egress + integer
     # pricing stays graded via text2sql_generated / llm_field_extraction)
     "text2sql_generated",
-    "llm_field_extraction",
+    # (llm_field_extraction green in r3 → mid; JSON-typed completions stay
+    # graded via text2sql_generated's generation + guard path)
     "quality_repetition_filter",
     # (decontaminate_benchmark green in r3 → mid; the n-gram-overlap
     # machinery stays graded via dedup_substring_spans/boilerplate rows)
