@@ -5565,6 +5565,27 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_classifier_fit")
+def q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (operators/classifier.py): full-batch
+    logistic-regression GD where each epoch is ONE map-side-combined
+    aggregation over the corpus (d+1 gradient sums; weights are the only
+    driver state), then a codegen-projection scorer. Registered rows-only
+    (float gradient sums are partition-order dependent, so no bitwise SQL
+    oracle can exist — same weaker tier as ann_ivf_recall); semantics are
+    pinned by the NumPy-equivalence property test (test_classifier.py)."""
+    from .operators.classifier import fit_summary
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.get("embedding", 0).cast("double").alias("f1"),
+        F.get("embedding", 1).cast("double").alias("f2"),
+        F.get("embedding", 2).cast("double").alias("f3"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    return fit_summary(feats, ["f1", "f2", "f3"], "y", iterations=10, lr=0.5)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5690,6 +5711,7 @@ _GRADE_LAST = [
     "rollup_lineitem",
     "eval_multi_method",
     "ann_ivf_recall",
+    "quality_classifier_fit",  # rows-only by nature (float GD sums)
 ]
 
 
