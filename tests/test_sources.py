@@ -206,3 +206,20 @@ def test_export_jsonl_shards_deterministic_and_lossless(spark, tmp_path):
         if d.startswith("shard="):
             files = [f for f in os.listdir(os.path.join(p1, d)) if f.endswith(".json")]
             assert len(files) == 1, (d, files)
+
+
+def test_csv_roundtrip_with_header_and_schema(spark, tmp_path):
+    # S1-family completeness: delimited text in/out with explicit schema
+    # (inferSchema would re-scan — at 100 TB always pass the schema)
+    df = spark.createDataFrame(
+        [(1, "a,b quoted", 1.5), (2, None, -2.0)],
+        "id long, text string, score double",
+    )
+    p = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", True).csv(p)
+    back = (
+        spark.read.schema("id long, text string, score double")
+        .option("header", True)
+        .csv(p)
+    )
+    assert sorted(back.collect()) == sorted(df.collect())
