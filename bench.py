@@ -102,6 +102,8 @@ HEADLINE = [
     "snapshot_diff_docs",
     "events_winsorized_stats",
     "ann_ivfpq_search",
+    "embedding_hygiene",
+    "events_value_histogram",
 ]
 
 

@@ -5586,6 +5586,105 @@ def q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_summary(feats, ["f1", "f2", "f3"], "y", iterations=10, lr=0.5)
 
 
+@register(
+    "embedding_hygiene",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+s AS (
+  SELECT vec_id, label,
+         CAST(len(v) AS BIGINT) AS dim,
+         list_dot_product(v, v) AS sq_norm,
+         CAST(len(list_filter(v, x -> x = 0.0)) AS BIGINT) AS n_zero_dims,
+         CAST(len(list_filter(v, x -> isnan(x))) AS BIGINT) AS n_nan_dims
+  FROM e
+)
+SELECT vec_id, dim, n_zero_dims, n_nan_dims,
+       CAST(abs(sq_norm - 1.0) < 0.001 AS BIGINT) AS is_unit,
+       CAST(floor(sq_norm * 10000) AS BIGINT) AS sq_norm_e4
+FROM s
+""",
+)
+def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene audit — the pre-index validation pass a
+    vector platform runs on ingest (the reference trusts its model
+    output; at 100 TB you don't): per-vector dimensionality, zero/NaN
+    dimension counts, unit-norm check, and the squared norm floored to
+    1e-4 units (the fold is bitwise identical across engines; floor of
+    identical doubles is exact). Pure projection, zero shuffle."""
+    from .functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = dot(v, v)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.filter(v, lambda x: x == 0.0)).cast("bigint").alias(
+            "n_zero_dims"
+        ),
+        F.size(F.filter(v, lambda x: F.isnan(x))).cast("bigint").alias(
+            "n_nan_dims"
+        ),
+        (F.abs(sq - 1.0) < 0.001).cast("bigint").alias("is_unit"),
+        F.floor(sq * 10000).alias("sq_norm_e4"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+WITH b AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT e.event_type, e.value, b.lo, b.hi FROM events e JOIN b USING (event_type)
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN hi = lo THEN 0
+              WHEN value = hi THEN 15
+              ELSE CAST(floor((value - lo) / (hi - lo) * 16) AS BIGINT)
+         END AS bin
+  FROM t
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY event_type, bin
+""",
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 16-bin histogram per event type — the profiling pass
+    behind data-quality dashboards. Bin edges derive from the group's
+    exact min/max (bit-identical inputs), the bin index is one floor of
+    identical IEEE arithmetic, and the top edge closes into the last bin.
+    Two aggregations with a broadcast-back join between them."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    t = ev.join(F.broadcast(bounds), "event_type")
+    bin_col = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .when(F.col("value") == F.col("hi"), F.lit(15))
+        .otherwise(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 16
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        t.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -5608,6 +5707,8 @@ _GRADE_FIRST = [
     "snapshot_diff_docs",
     "events_winsorized_stats",
     "ann_ivfpq_search",
+    "embedding_hygiene",
+    "events_value_histogram",
     "mmr_diversify",
     "hard_negative_mining",
     "ann_lsh_cosine",
@@ -5661,7 +5762,8 @@ _GRADE_FIRST = [
     "quality_repetition_filter",
     # (decontaminate_benchmark green in r3 → mid; the n-gram-overlap
     # machinery stays graded via dedup_substring_spans/boilerplate rows)
-    "qa_triplets",
+    # (qa_triplets green in r3 → mid; the F4/F5 generation plan shape
+    # stays registered and pytest-gated)
     # (bm25_multifield green in r3 → mid; BM25 machinery stays graded via
     # search_snippets + filtered_hybrid_search in-window)
     "filtered_vector_search",
@@ -5673,7 +5775,8 @@ _GRADE_FIRST = [
     "supplier_lineitem_volume",
     "events_asof_last_signup",
     "filtered_hybrid_search",
-    "multimodal_frame_plan",
+    # (multimodal_frame_plan green in r3 → mid; the binary-metadata path
+    # stays registered and pytest-gated)
     # (tpch_q5_local_supplier green in r3 → mid; q7's dual-role dimension
     # join keeps the multi-table star family registered)
 ]
