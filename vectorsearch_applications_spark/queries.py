@@ -5565,6 +5565,28 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_pca_project")
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
+    pass of per-partition two-moment partials (count, Σx, X^T X) + a d×d
+    driver eigendecomposition; project = literal-weight codegen folds,
+    zero shuffle. Returns each vector's 4-dim projection rounded to 1e-6
+    units as integers for stability-in-rows. Rows-only tier (float moment
+    sums are partition-order dependent); semantics pinned by numpy
+    equivalence tests (test_pca.py)."""
+    from .operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean, _ = pca_fit(emb, k=4)
+    out = pca_project(emb, comps, mean)
+    return out.select(
+        "vec_id",
+        F.transform(
+            "pca", lambda x: F.floor(x * 1_000_000).cast("long")
+        ).alias("pca_e6"),
+    )
+
+
 @register("quality_classifier_fit")
 def q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality classifier (operators/classifier.py): full-batch
@@ -5815,6 +5837,7 @@ _GRADE_LAST = [
     "eval_multi_method",
     "ann_ivf_recall",
     "quality_classifier_fit",  # rows-only by nature (float GD sums)
+    "embedding_pca_project",  # rows-only by nature (float moment sums)
 ]
 
 
