@@ -104,6 +104,8 @@ HEADLINE = [
     "ann_ivfpq_search",
     "embedding_hygiene",
     "events_value_histogram",
+    "events_user_lifecycle",
+    "dedup_rate_by_source",
 ]
 
 

@@ -5565,6 +5565,75 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_user_lifecycle",
+    """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_ns(ts) // 1000000000 AS es
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(es) AS BIGINT) AS first_es,
+       CAST(max(es) AS BIGINT) AS last_es,
+       CAST(count(DISTINCT es // 86400) AS BIGINT) AS active_days,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM e GROUP BY user_id
+""",
+)
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle profile (first/last activity, active days,
+    breadth of event types) — the standard entity-profile aggregation; one
+    shuffle on user_id, all-integer outputs via exact epoch arithmetic
+    (functions/time.py handles every ts encoding)."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_seconds(ev, "ts").alias("es")
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("es").cast("bigint").alias("first_es"),
+        F.max("es").cast("bigint").alias("last_es"),
+        F.countDistinct(F.expr("es DIV 86400")).cast("bigint").alias(
+            "active_days"
+        ),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+WITH h AS (SELECT source, md5(text) AS fp FROM documents),
+c AS (SELECT fp, count(*) AS n FROM h GROUP BY fp)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (c.n > 1) AS BIGINT) AS n_dup_docs,
+       CAST((count(*) FILTER (c.n > 1)) * 1000000 // count(*) AS BIGINT)
+         AS dup_ppm
+FROM h JOIN c USING (fp)
+GROUP BY h.source
+""",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate contamination per source — the curation question behind
+    source-level filtering decisions (which feeds contribute duplicated
+    mass). One fingerprint aggregation + one fingerprint-keyed join back
+    + one per-source aggregation; integer ppm output."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("fp"))
+    c = h.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    j = h.join(c, "fp")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("n") > 1).cast("bigint").alias("n_dup_docs"),
+        F.expr("(count_if(n > 1) * 1000000) DIV count(*)").alias("dup_ppm"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
