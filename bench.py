@@ -106,6 +106,8 @@ HEADLINE = [
     "events_value_histogram",
     "events_user_lifecycle",
     "dedup_rate_by_source",
+    "topic_cluster_terms",
+    "dedup_incremental_batch",
 ]
 
 

@@ -5634,6 +5634,106 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "topic_cluster_terms",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+ad AS (SELECT e.vec_id, c.cid,
+              1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv) AS d
+       FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+docs AS (SELECT d.doc_id, a.cid, {_toks('d.text')} AS toks
+         FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+postings AS (SELECT cid, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT cid, unnest(toks) AS term FROM docs)
+             GROUP BY cid, term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf
+        FROM postings GROUP BY term),
+scored AS (SELECT cid, term, tf, cdf,
+                  CAST((tf * 1000000000) // cdf AS BIGINT) AS score_ppb
+           FROM postings JOIN dfs USING (term)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY cid
+                     ORDER BY score_ppb DESC, term ASC) AS rnk FROM scored)
+SELECT CAST(cid AS BIGINT) AS centroid_id, term, tf, cdf, score_ppb,
+       CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+)
+def q_topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered corpus exploration — the composition a curation UI shows:
+    documents clustered in embedding space (shared broadcast-argmin
+    assignment; embeddings row i embeds document i in the test fixtures),
+    then each cluster labeled by its top-5 df-penalized terms (shared
+    keywords machinery, cluster-level df). Integer scores end to end."""
+    from .operators.ann import assign_nearest_centroid
+    from .operators.keywords import tfidf_top_terms
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    asg = assign_nearest_centroid(emb, centroids)
+    clustered = docs.join(
+        asg, docs["doc_id"] == asg["vec_id"]
+    ).select(F.col("centroid_id").alias("cluster"), "text")
+    out = tfidf_top_terms(clustered, id_col="cluster", text_col="text", k=5)
+    return out.select(
+        F.col("id").cast("bigint").alias("centroid_id"),
+        "term",
+        "tf",
+        F.col("df").alias("cdf"),
+        "score_ppb",
+        "rank",
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),
+newb AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 400),
+seen AS (SELECT DISTINCT fp FROM corpus),
+intra AS (SELECT fp, min(doc_id) AS first_id FROM newb GROUP BY fp)
+SELECT n.doc_id,
+       CAST(s.fp IS NOT NULL AS BIGINT) AS dup_of_corpus,
+       CAST(n.doc_id <> i.first_id AS BIGINT) AS dup_within_batch,
+       CAST(s.fp IS NULL AND n.doc_id = i.first_id AS BIGINT) AS is_new
+FROM newb n
+LEFT JOIN seen s ON s.fp = n.fp
+JOIN intra i ON i.fp = n.fp
+""",
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the admission check run on every new
+    batch before it joins the corpus: flag exact duplicates of the
+    existing corpus (fingerprint semi-join; at scale the corpus side is
+    the persisted fingerprint index, never the raw text) and first-wins
+    duplicates within the batch itself. All-BIGINT output."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400).select(F.md5("text").alias("fp"))
+    newb = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    seen = corpus.distinct().withColumn("_seen", F.lit(1))
+    intra = newb.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    j = newb.join(seen, "fp", "left").join(intra, "fp")
+    return j.select(
+        "doc_id",
+        F.col("_seen").isNotNull().cast("bigint").alias("dup_of_corpus"),
+        (F.col("doc_id") != F.col("first_id")).cast("bigint").alias(
+            "dup_within_batch"
+        ),
+        (F.col("_seen").isNull() & (F.col("doc_id") == F.col("first_id")))
+        .cast("bigint")
+        .alias("is_new"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
