@@ -117,3 +117,31 @@ def test_vector_search_mmr_diversify_surface(client):
     top_plain = plain.orderBy("rank").first()["doc_id"]
     top_mmr = mmr.orderBy("rank").first()["doc_id"]
     assert top_plain == top_mmr
+
+
+def test_vector_search_ann_backends(client):
+    # every approximate backend returns well-formed ranked hits; ivf with
+    # nprobe=16 (all buckets) must equal the exact backend's ranking
+    exact = client.vector_search("docs", "fast filter merge sort", limit=5)
+    exact_ids = [r["doc_id"] for r in sorted(exact.collect(), key=lambda r: r["rank"])]
+
+    for backend in ("ivf", "lsh", "ivfpq"):
+        hits = client.vector_search(
+            "docs", "fast filter merge sort", limit=5, backend=backend
+        )
+        rows = sorted(hits.collect(), key=lambda r: r["rank"])
+        assert 0 < len(rows) <= 5, backend
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    all_buckets = client.vector_search(
+        "docs", "fast filter merge sort", limit=5, backend="ivf", nprobe=16
+    )
+    ids = [r["doc_id"] for r in sorted(all_buckets.collect(), key=lambda r: r["rank"])]
+    assert ids == exact_ids
+
+
+def test_vector_search_mmr_requires_exact(client):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        client.vector_search("docs", "q", backend="ivf", mmr_lambda=0.5)

@@ -129,6 +129,8 @@ class SparkSearchClient:
         text_col: str = "text",
         mmr_lambda: float | None = None,
         candidates: int | None = None,
+        backend: str = "exact",
+        nprobe: int = 4,
     ) -> DataFrame:
         """Cosine-distance kNN. Uses the collection's ``vector_col`` if
         present, else embeds ``text_col`` on the fly with the client's
@@ -137,7 +139,20 @@ class SparkSearchClient:
         ``mmr_lambda`` switches on MMR diversification: the top
         ``candidates`` (default 4×limit) hits are re-ranked by greedy
         maximal-marginal-relevance and the output becomes
-        (doc_id, rank, mmr_score, *return_properties)."""
+        (doc_id, rank, mmr_score, *return_properties).
+
+        ``backend`` selects the physical strategy — the scale knob a
+        Weaviate user gains by switching here:
+          'exact'  partial-top-k exact kNN (the default, and the only
+                   backend combinable with ``mmr_lambda``);
+          'ivf'    inverted-file probing (``nprobe`` buckets of 16);
+          'lsh'    hyperplane-LSH bucket candidates, exact rescore;
+          'ivfpq'  IVF pruning + product-quantized integer ADC scoring
+                   (returns ``adc_score`` instead of ``distance``).
+        Approximate backends build their index in-plan here; persist with
+        ivf_save_index / pq_encode for repeated querying at scale."""
+        if backend != "exact" and mmr_lambda is not None:
+            raise ValueError("mmr_lambda requires backend='exact'")
         docs = self._docs(collection, filters)
         if vector_col in docs.columns:
             corpus = docs.select(
@@ -150,6 +165,14 @@ class SparkSearchClient:
         q = self._query_df(query).select(
             "query_id", self._embed_query(F.col("query")).alias("query_vec")
         )
+        if backend != "exact":
+            hits = self._ann_search(corpus, q, backend, limit, nprobe)
+            return self._format(
+                hits.withColumnRenamed("vec_id", id_col),
+                collection,
+                return_properties,
+                id_col,
+            )
         if mmr_lambda is None:
             hits = knn_search(corpus, q, k=limit).withColumnRenamed(
                 "vec_id", id_col
@@ -174,6 +197,45 @@ class SparkSearchClient:
             .withColumnRenamed("mmr_rank", "rank")
         )
         return self._format(hits, collection, return_properties, id_col)
+
+    def _ann_search(
+        self,
+        corpus: DataFrame,
+        q: DataFrame,
+        backend: str,
+        limit: int,
+        nprobe: int,
+    ) -> DataFrame:
+        """Dispatch to an approximate backend; index built in-plan."""
+        dim = len(
+            corpus.select("embedding").limit(1).collect()[0]["embedding"]
+        )
+        if backend == "ivf":
+            from .operators.ann import ivf_build, ivf_search
+
+            cents, asg = ivf_build(corpus, n_centroids=16)
+            return ivf_search(
+                corpus, cents, asg, q, k=limit, nprobe=nprobe
+            )
+        if backend == "lsh":
+            from .operators.lsh import lsh_planes, lsh_search
+
+            planes = lsh_planes(n_planes=4, dim=dim)
+            return lsh_search(corpus, q, planes, k=limit)
+        if backend == "ivfpq":
+            from .operators.ann import ivf_build
+            from .operators.pq import ivfpq_search, pq_codebook
+
+            n_sub = 8 if dim % 8 == 0 else 1
+            cents, _ = ivf_build(corpus, n_centroids=16)
+            cb = pq_codebook(corpus, n_codes=8, n_sub=n_sub, dim=dim)
+            return ivfpq_search(
+                corpus, cents, cb, q,
+                n_codes=8, n_sub=n_sub, dim=dim, k=limit, nprobe=nprobe,
+            )
+        raise ValueError(
+            f"unknown backend {backend!r} (use exact|ivf|lsh|ivfpq)"
+        )
 
     def hybrid_search(
         self,
