@@ -108,6 +108,8 @@ HEADLINE = [
     "dedup_rate_by_source",
     "topic_cluster_terms",
     "dedup_incremental_batch",
+    "referential_integrity_audit",
+    "docs_ngram_novelty",
 ]
 
 

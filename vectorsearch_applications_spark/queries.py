@@ -5734,6 +5734,144 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "referential_integrity_audit",
+    """
+SELECT 'lineitem_orphan_order' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem_orphan_part', CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL
+UNION ALL
+SELECT 'orders_orphan_customer', CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'customer_orphan_nation', CAST(count(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+UNION ALL
+SELECT 'supplier_orphan_nation', CAST(count(*) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the data-quality gate a
+    warehouse runs before promoting a load: orphan counts for every
+    foreign-key edge in the star schema. Each check is an anti-join
+    (broadcast where the parent is dimension-sized); counts are exact
+    BIGINTs."""
+
+    def orphans(name, child, ckey, parent, pkey, broadcast_parent):
+        p = parent.select(pkey)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        return (
+            child.join(p, child[ckey] == p[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    checks = [
+        orphans("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey", False),
+        orphans("lineitem_orphan_part", li, "l_partkey", p, "p_partkey", False),
+        orphans("orders_orphan_customer", o, "o_custkey", c, "c_custkey", False),
+        orphans("customer_orphan_nation", c, "c_nationkey", n, "n_nationkey", True),
+        orphans("supplier_orphan_nation", s, "s_nationkey", n, "n_nationkey", True),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> md5(array_to_string(toks[i:i+2], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+firsts AS (SELECT gm, min(doc_id) AS first_doc FROM e GROUP BY gm),
+per AS (SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (f.first_doc = e.doc_id) AS BIGINT)
+                 AS n_novel
+        FROM e JOIN firsts f ON f.gm = e.gm
+        GROUP BY e.doc_id)
+SELECT g.doc_id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+       CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+                 THEN (per.n_novel * 1000000) // per.n_grams
+                 ELSE 0 END AS BIGINT) AS novelty_ppm
+FROM g LEFT JOIN per ON per.doc_id = g.doc_id
+""",
+)
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running n-gram novelty per document (ingest-order curation signal:
+    how much of each doc's 3-gram mass appears for the FIRST time at its
+    doc_id) — the streaming-corpus counterpart of the duplication audit;
+    a collapsing novelty curve signals a crawl revisiting itself. One
+    gram pass, one min-over-gram window, one per-doc aggregation —
+    integer ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, 3), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    e = grams.select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gm")
+    )
+    wg = Window.partitionBy("gm")
+    flagged = e.select(
+        "doc_id",
+        "n_grams",
+        (F.col("gm").isNotNull() & (F.min("doc_id").over(wg) == F.col("doc_id")))
+        .cast("int")
+        .alias("novel"),
+        F.col("gm").isNotNull().cast("int").alias("present"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("(n_novel * 1000000) DIV n_grams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
