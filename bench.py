@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "referential_integrity_audit",
     "docs_ngram_novelty",
+    "events_dwell_time",
 ]
 
 

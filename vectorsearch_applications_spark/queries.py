@@ -5872,6 +5872,39 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_dwell_time",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS es
+           FROM events),
+g AS (SELECT user_id, event_id,
+             es - lag(es) OVER (PARTITION BY user_id
+                                ORDER BY es ASC, event_id ASC) AS gap
+      FROM e)
+SELECT user_id, event_id, CAST(gap AS BIGINT) AS gap_seconds
+FROM g WHERE gap IS NOT NULL
+""",
+)
+def q_events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell time per user (es - lag(es)) — the distribution
+    behind sessionization thresholds and bot detection. One shuffle on
+    user_id, exact integer seconds; the streaming twin
+    (streaming/dwell.py) computes the same gaps incrementally with O(1)
+    state per user (stream==batch proven in test_stream_dwell.py)."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", epoch_seconds(ev, "ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("es"), F.asc("event_id"))
+    return (
+        e.withColumn("gap", F.col("es") - F.lag("es").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select(
+            "user_id", "event_id", F.col("gap").cast("bigint").alias("gap_seconds")
+        )
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
