@@ -1,0 +1,71 @@
+"""Fleet-wide physical-plan audit over EVERY registered query.
+
+Two invariants a 100 TB deployment cannot survive losing:
+
+1. No CartesianProduct anywhere — an unbounded cross join of two big
+   relations is never the right plan; every intentional cross join in
+   this engine broadcasts a bounded side (1-row corpus stats, the canned
+   query set, a codebook collapsed to one array row) and therefore
+   compiles to BroadcastNestedLoopJoin instead.
+
+2. BroadcastNestedLoopJoin appears ONLY in the queries designed around a
+   bounded-broadcast cross join (allowlisted below). A new query showing
+   up here means someone cross-joined without bounding a side — the
+   audit fails with the diff instead of the cluster failing with an OOM.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+from .conftest import SF_SMOKE
+
+# Queries whose DESIGNED plan contains a bounded-broadcast cross join:
+# 1-row aggregates (corpus stats, token budgets), the canned query set,
+# codebook/centroid arrays, or a threshold scalar.
+BOUNDED_BNLJ = {
+    "ann_ivf_exhaustive",
+    "ann_ivf_kmeans_exhaustive",
+    "ann_ivf_recall",
+    "ann_ivfpq_search",
+    "ann_pq_adc",
+    "ann_quantized_search",
+    "bm25_multifield",
+    "bm25_search",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "eval_multi_method",
+    "eval_retrieval_metrics",
+    "filtered_hybrid_search",
+    "generation_eval_polling",
+    "hybrid_rrf_search",
+    "hybrid_search",
+    "ngram_collocations",  # 1-row corpus token count broadcast
+    "prompt_assembly",
+    "quality_length_filter",
+    "rag_pipeline_eval",
+    "rerank_overlap",
+    "route_classify",
+    "router_fit",
+    "search_snippets",
+    "search_with_properties",
+    "temperature_resample_sources",
+    "token_budget_prune",
+    "topic_cluster_terms",
+    "tpch_q11_important_parts",
+    "tpch_q22_balance_opportunity",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_no_unbounded_join_strategies(spark, name):
+    df = entry.queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in BOUNDED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — bound the broadcast "
+            "side or add a join key (allowlist only designed plans)"
+        )
