@@ -111,6 +111,9 @@ HEADLINE = [
     "referential_integrity_audit",
     "docs_ngram_novelty",
     "events_dwell_time",
+    "heaps_vocab_growth",
+    "orders_monthly_seasonality",
+    "customer_rfm_segments",
 ]
 
 

@@ -5905,6 +5905,139 @@ def q_events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heaps_vocab_growth",
+    f"""
+WITH firsts AS (
+  SELECT term, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_toks('text')}) AS term FROM documents)
+  GROUP BY term
+),
+thresholds AS (SELECT unnest([50, 100, 200, 300, 400, 500]) AS n_docs)
+SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (f.first_doc < t.n_docs) AS BIGINT)
+         AS vocab_size
+FROM thresholds t CROSS JOIN firsts f
+GROUP BY t.n_docs
+""",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law profile): distinct terms seen
+    within the first N documents, for a ladder of N — the corpus statistic
+    that sizes tokenizer vocabularies and predicts OOV decay. One postings
+    min-aggregation; the threshold ladder is a 6-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    thresholds = spark.createDataFrame(
+        [(n,) for n in (50, 100, 200, 300, 400, 500)], "n_docs long"
+    )
+    return (
+        firsts.crossJoin(F.broadcast(thresholds))
+        .groupBy("n_docs")
+        .agg(
+            F.count_if(F.col("first_doc") < F.col("n_docs"))
+            .cast("bigint")
+            .alias("vocab_size")
+        )
+        .select(F.col("n_docs").cast("bigint").alias("n_docs"), "vocab_size")
+    )
+
+
+@register(
+    "orders_monthly_seasonality",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY month
+""",
+)
+def q_orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order seasonality: counts, exact DECIMAL revenue (cast to
+    double only at the end — order-free), and distinct buyers per
+    calendar month. One map-side-combined aggregation keyed on the
+    formatted month string."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+            "o_custkey",
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey, frequency,
+         CAST(monetary AS DOUBLE) AS monetary,
+         ntile(4) OVER (ORDER BY last_order ASC, custkey ASC) AS r_score,
+         ntile(4) OVER (ORDER BY frequency ASC, custkey ASC) AS f_score,
+         ntile(4) OVER (ORDER BY monetary ASC, custkey ASC) AS m_score
+  FROM base
+)
+SELECT custkey, frequency, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quartiles,
+    each ntile made total-order deterministic with a custkey tie-break) —
+    the classic entity-scoring shape; monetary aggregates in DECIMAL so
+    the quartile ORDER is exact. Three windows over the customer-level
+    rollup (dimension-sized, not order-sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_d"),
+    )
+    r_w = Window.orderBy(F.asc("last_order"), F.asc("custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.asc("monetary_d"), F.asc("custkey"))
+    scored = base.select(
+        "custkey",
+        "frequency",
+        F.col("monetary_d").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("bigint"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
