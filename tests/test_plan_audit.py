@@ -40,6 +40,7 @@ BOUNDED_BNLJ = {
     "eval_retrieval_metrics",
     "filtered_hybrid_search",
     "generation_eval_polling",
+    "heaps_vocab_growth",  # 6-row threshold-ladder broadcast
     "hybrid_rrf_search",
     "hybrid_search",
     "ngram_collocations",  # 1-row corpus token count broadcast
