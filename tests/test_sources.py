@@ -223,3 +223,64 @@ def test_csv_roundtrip_with_header_and_schema(spark, tmp_path):
         .csv(p)
     )
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_zorder_collection_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordering must shrink per-file bounding boxes on BOTH columns —
+    the property that lets footer stats prune on either predicate (linear
+    clustering only buys this for its leading column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        zorder_collection,
+    )
+
+    root = str(tmp_path)
+    # two independent-ish dimensions; round-robin layout to start
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("x"), ((F.col("id") * 7919) % 20_000).alias("y")
+    )
+    create_collection(spark, root, "tbl", df.repartition(16))
+
+    def _span_fraction(col: str) -> float:
+        spans = []
+        for f in glob.glob(f"{root}/tbl/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min); maxs.append(st.max)
+            spans.append((max(maxs) - min(mins)) / 20_000)
+        return sum(spans) / len(spans)
+
+    # pre-zorder: every file spans ~the full range on both columns
+    assert _span_fraction("x") > 0.9 and _span_fraction("y") > 0.9
+
+    zorder_collection(spark, root, "tbl", "x", "y", n_files=16)
+    fx, fy = _span_fraction("x"), _span_fraction("y")
+    # post-zorder: the average per-file bounding box must shrink on BOTH
+    # dimensions (16 files on a 2-D curve -> ~1/4 span per dimension)
+    assert fx < 0.5 and fy < 0.5, (fx, fy)
+    # no rows lost, helper columns dropped
+    back = spark.read.parquet(f"{root}/tbl")
+    assert back.count() == 20_000 and set(back.columns) == {"x", "y"}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from vectorsearch_applications_spark.sources.collections import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")  # 0b101, 0b011
+    (row,) = df.select(
+        zorder_value(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()
+    # x bits -> even positions (1,0,1 at 0,2,4), y bits -> odd (1,1,0 at 1,3,5)
+    assert row["z"] == 0b011011
