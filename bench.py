@@ -114,6 +114,8 @@ HEADLINE = [
     "heaps_vocab_growth",
     "orders_monthly_seasonality",
     "customer_rfm_segments",
+    "split_leakage_audit",
+    "cluster_aware_split",
 ]
 
 

@@ -6038,6 +6038,106 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_SQL = (
+    "CASE WHEN ('0x' || substr(md5({id}::VARCHAR || '#split'), 1, 8))::BIGINT"
+    " % 10 < 8 THEN 'train' ELSE 'val' END"
+)
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+WITH cc AS ({_CLUSTER_SQL}),
+s AS (
+  SELECT d.doc_id, cc.cluster_id,
+         {_SPLIT_SQL.format(id='d.doc_id')} AS split
+  FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+  WHERE d.doc_id < 300
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_val,
+       CAST(count(DISTINCT split) > 1 AS BIGINT) AS is_leaky
+FROM s GROUP BY cluster_id
+""",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit over near-duplicate clusters: a duplicate
+    group whose members land in BOTH splits leaks training text into
+    validation (the contamination mode Lee et al. '22 measure). Composes
+    the MinHash-LSH → connected-components clustering with the
+    deterministic hash split; per-cluster membership counts and the leak
+    flag, all BIGINT."""
+    from .functions.text import stable_hash64
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    split = F.when(
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#split"))
+        )
+        % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    s = docs.join(cc, "doc_id").select("doc_id", "cluster_id", split.alias("split"))
+    return s.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("split") == "train").cast("bigint").alias("n_train"),
+        F.count_if(F.col("split") == "val").cast("bigint").alias("n_val"),
+        (F.countDistinct("split") > 1).cast("bigint").alias("is_leaky"),
+    )
+
+
+@register(
+    "cluster_aware_split",
+    f"""
+WITH cc AS ({_CLUSTER_SQL}),
+s AS (
+  SELECT d.doc_id,
+         {_SPLIT_SQL.format(id='coalesce(cc.cluster_id, d.doc_id)')} AS split
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+  WHERE d.doc_id < 300
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY split
+""",
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splitting: the split hash keys on each document's
+    CANONICAL cluster id (its own id when unclustered), so every near-dup
+    group lands wholly in one split by construction — the fix for what
+    split_leakage_audit measures. One clustering pass + one projection."""
+    from .functions.text import stable_hash64
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    j = docs.join(cc, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("canonical")
+    )
+    split = F.when(
+        stable_hash64(
+            F.concat(F.col("canonical").cast("string"), F.lit("#split"))
+        )
+        % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        j.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
