@@ -6336,44 +6336,27 @@ _GRADE_FIRST = [
     # stats and md5-threshold sampling machinery stay in-window via
     # corpus_curation_pipeline and temperature_resample_sources)
     "events_range_join",
-    # (q4 graded green in r3; rotated to mid for window room)
-    # (q13, q17, q19 graded green in r3; rotated to mid for window room —
-    # q18/q21/q22 keep the heavy-predicate TPC-H family in-window)
-    # (q10 graded green in r3; rotated to mid for window room)
-    # (q21 green in r3 → mid; q22 keeps the NOT-EXISTS anti-join family)
-    "tpch_q22_balance_opportunity",
-    # (ann_ivf_exhaustive green in r3; its exhaustive==exact invariant is
-    # re-graded via ann_ivf_kmeans_exhaustive — rotated to mid)
-    # (ann_quantized_search green in r3 → mid; ann_pq_adc keeps the
-    # quantized-scoring family in-window)
-    # (corpus_bpe_token_stats green in r3 → mid; both token models stay
-    # registered and pytest-gated)
-    "router_fit",
-    # (llm_cost_accounting green in r3 → mid; the F3 egress + integer
-    # pricing stays graded via text2sql_generated / llm_field_extraction)
-    "text2sql_generated",
-    # (llm_field_extraction green in r3 → mid; JSON-typed completions stay
-    # graded via text2sql_generated's generation + guard path)
-    "quality_repetition_filter",
-    # (decontaminate_benchmark green in r3 → mid; the n-gram-overlap
-    # machinery stays graded via dedup_substring_spans/boilerplate rows)
-    # (qa_triplets green in r3 → mid; the F4/F5 generation plan shape
-    # stays registered and pytest-gated)
-    # (bm25_multifield green in r3 → mid; BM25 machinery stays graded via
-    # search_snippets + filtered_hybrid_search in-window)
-    "filtered_vector_search",
-    # (cube_order_stats green in r3 → mid; grouping-set machinery stays
-    # registered via rollup_lineitem / order_priority_pivot)
-    "corpus_curation_pipeline",
-    "tpch_q18_large_orders",
-    "customer_balance_quartiles",
-    "supplier_lineitem_volume",
     "events_asof_last_signup",
-    "filtered_hybrid_search",
-    # (multimodal_frame_plan green in r3 → mid; the binary-metadata path
-    # stays registered and pytest-gated)
-    # (tpch_q5_local_supplier green in r3 → mid; q7's dual-role dimension
-    # join keeps the multi-table star family registered)
+    # (every r3-green row — tpch q2/q4/q5/q8-q22, langid, stratified,
+    # ann_ivf_exhaustive, ann_quantized, corpus_bpe, router_fit,
+    # llm_cost/field/text2sql, quality_repetition, decontaminate,
+    # qa_triplets, bm25_multifield, filtered_vector/hybrid, cube,
+    # corpus_curation, balance_quartiles, supplier_volume, multimodal —
+    # rotates to mid: their green grades stand in CORRECTNESS_r03, and
+    # every window slot goes to a never-graded query; each family keeps
+    # an in-window representative among the rows below)
+    "events_user_lifecycle",
+    "dedup_rate_by_source",
+    "topic_cluster_terms",
+    "dedup_incremental_batch",
+    "referential_integrity_audit",
+    "docs_ngram_novelty",
+    "events_dwell_time",
+    "heaps_vocab_growth",
+    "orders_monthly_seasonality",
+    "customer_rfm_segments",
+    # (split_leakage_audit / cluster_aware_split overflow the 50-row
+    # window — they grade from the mid region in the next rotation)
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
