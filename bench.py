@@ -116,6 +116,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "split_leakage_audit",
     "cluster_aware_split",
+    "embedding_drift_audit",
 ]
 
 

@@ -104,3 +104,39 @@ def test_ivfpq_probing_all_buckets_equals_full_adc(spark):
         for r in pq_adc_search(codes, cb, q, k=10).collect()
     )
     assert a == b
+
+
+def test_pq_persisted_index_matches_in_plan_search(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.pq import (
+        pq_save_index,
+        pq_search_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    base = pq_save_index(emb, root, "vecs", centroids=cents)
+    import os
+
+    # IVFADC on-disk layout: codes partitioned by bucket
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(os.path.join(base, "codes"))
+    )
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in pq_adc_search(codes, cb, q, k=5).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in pq_search_indexed(spark, root, "vecs", q, k=5).collect()
+    )
+    assert got == want

@@ -264,3 +264,64 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adc_score")
     )
+
+
+def pq_save_index(
+    corpus: DataFrame,
+    root: str,
+    name: str,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> str:
+    """Persist the PQ index next to the collection (mirrors
+    ivf_save_index): the codebook (M·K tiny rows) plus the codes table —
+    M small ints per vector, the ~32× compression artifact queries read
+    instead of the float embeddings. With ``centroids`` given, the codes
+    table also carries centroid_id and is PARTITIONED by it, producing
+    the on-disk IVFADC layout (probes read only their buckets' files)."""
+    import os
+
+    base = os.path.join(root, f"{name}__pq")
+    cb = pq_codebook(corpus, n_codes, n_sub, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, n_sub, dim, id_col, vec_col)
+    cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+    if centroids is not None:
+        from .ann import assign_nearest_centroid
+
+        asg = assign_nearest_centroid(corpus, centroids, id_col, vec_col)
+        codes.join(asg, "vec_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(base, "codes"))
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(base, "centroids")
+        )
+    else:
+        codes.write.mode("overwrite").parquet(os.path.join(base, "codes"))
+    return base
+
+
+def pq_search_indexed(
+    spark,
+    root: str,
+    name: str,
+    queries: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    **cols,
+) -> DataFrame:
+    """ADC search against a PERSISTED PQ index — the codes table loads
+    from disk; the original float embeddings are never touched."""
+    import os
+
+    base = os.path.join(root, f"{name}__pq")
+    cb = spark.read.parquet(os.path.join(base, "codebook"))
+    codes = spark.read.parquet(os.path.join(base, "codes")).select(
+        "vec_id", "codes"
+    )
+    return pq_adc_search(codes, cb, queries, n_codes, n_sub, dim, k, **cols)

@@ -6138,6 +6138,76 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift_audit",
+    """
+WITH tagged AS (
+  SELECT CASE WHEN vec_id < 250 THEN 'old' ELSE 'new' END AS gen,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT gen, unnest(range(1, 1 + len(v))) AS dim, v FROM tagged
+),
+per AS (
+  SELECT gen, CAST(dim AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (v[dim] > 0) AS BIGINT) AS n_pos
+  FROM dims GROUP BY gen, dim
+)
+SELECT o.dim,
+       o.n_pos AS n_pos_old, o.n AS n_old,
+       n.n_pos AS n_pos_new, n.n AS n_new,
+       CAST(abs((o.n_pos * 1000000) // o.n - (n.n_pos * 1000000) // n.n)
+            AS BIGINT) AS drift_ppm
+FROM (SELECT * FROM per WHERE gen = 'old') o
+JOIN (SELECT * FROM per WHERE gen = 'new') n USING (dim)
+""",
+)
+def q_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between two corpus generations (here:
+    id halves; in production, before/after an encoder upgrade): per
+    dimension, the sign-rate shift in integer ppm — the cheap monitoring
+    statistic that catches a mis-normalized or swapped model before an
+    index rebuild does. One posexplode aggregation per side, all-BIGINT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        F.when(F.col("vec_id") < 250, F.lit("old"))
+        .otherwise(F.lit("new"))
+        .alias("gen"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    per = tagged.groupBy("gen", (F.col("pos") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("x") > 0).cast("bigint").alias("n_pos"),
+    )
+    old = per.filter(F.col("gen") == "old").select(
+        "dim",
+        F.col("n_pos").alias("n_pos_old"),
+        F.col("n").alias("n_old"),
+    )
+    new = per.filter(F.col("gen") == "new").select(
+        "dim",
+        F.col("n_pos").alias("n_pos_new"),
+        F.col("n").alias("n_new"),
+    )
+    return old.join(new, "dim").select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_pos_old",
+        "n_old",
+        "n_pos_new",
+        "n_new",
+        F.abs(
+            F.expr("(n_pos_old * 1000000) DIV n_old")
+            - F.expr("(n_pos_new * 1000000) DIV n_new")
+        )
+        .cast("bigint")
+        .alias("drift_ppm"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
