@@ -117,6 +117,8 @@ HEADLINE = [
     "split_leakage_audit",
     "cluster_aware_split",
     "embedding_drift_audit",
+    "customer_spend_balance_spearman",
+    "orders_constraint_audit",
 ]
 
 

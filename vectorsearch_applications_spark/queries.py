@@ -6208,6 +6208,137 @@ def q_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_spend_balance_spearman",
+    """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_custkey AS custkey,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         s.total_spend
+  FROM customer c JOIN spend s ON s.custkey = c.c_custkey
+),
+r AS (
+  SELECT custkey,
+         row_number() OVER (ORDER BY bal ASC, custkey ASC) AS rx,
+         row_number() OVER (ORDER BY total_spend ASC, custkey ASC) AS ry
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum
+FROM r
+""",
+)
+def q_customer_spend_balance_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between account balance and total spend,
+    reduced to its integer core: n and Σd² (ρ = 1 − 6Σd²/(n(n²−1)) is one
+    driver-side division away — emitting the exact integers instead of a
+    float ρ keeps the result engine-exact). Ranks are total-order
+    deterministic (custkey tie-break); DECIMAL ordering keys. The rank
+    windows run on the customer-level rollup, dimension-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
+    )
+    j = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    ).join(spend, "custkey")
+    rx = Window.orderBy(F.asc("bal"), F.asc("custkey"))
+    ry = Window.orderBy(F.asc("total_spend"), F.asc("custkey"))
+    r = j.select(
+        F.row_number().over(rx).alias("rx"),
+        F.row_number().over(ry).alias("ry"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("d2_sum"),
+    )
+
+
+@register(
+    "orders_constraint_audit",
+    """
+SELECT 'totalprice_positive' AS constraint_name,
+       CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) t
+WHERE cnt > 1
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(count(*) FILTER (o_orderdate < DATE '1992-01-01'
+                             OR o_orderdate > DATE '1998-12-31') AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'priority_format',
+       CAST(count(*) FILTER (NOT regexp_matches(o_orderpriority,
+                                                '^[1-5]-[A-Z ]+$'))
+            AS BIGINT)
+FROM orders
+""",
+)
+def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the Great-Expectations-shaped check run
+    before a load promotes): positivity, key uniqueness (excess-row
+    count), date range, categorical domain, and format-regex constraints
+    over orders — each a counting aggregate, unioned into one violations
+    report. All map-side-combinable; the uniqueness check is the only
+    keyed shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(name, cond):
+        return o.agg(
+            F.count_if(~cond).cast("bigint").alias("n_violations")
+        ).select(F.lit(name).alias("constraint_name"), "n_violations")
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(F.lit("orderkey_unique").alias("constraint_name"), "n_violations")
+    )
+    checks = [
+        check("totalprice_positive", F.col("o_totalprice") > 0),
+        dup,
+        check(
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1998-12-31").cast("date")),
+        ),
+        check("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        check(
+            "priority_format",
+            F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
