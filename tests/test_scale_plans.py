@@ -309,3 +309,27 @@ def test_keywords_join_ships_postings_not_text(spark):
     # column must not survive past the scan projection
     assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") >= 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_collection_prunes_directories(spark, tmp_path):
+    """Hive-partitioned collections must prune at the DIRECTORY level —
+    a partition predicate shows up in PartitionFilters and the scan reads
+    only the matching partition's files (at 100 TB this is the difference
+    between listing one directory and listing all of them)."""
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("shard"),
+    )
+    root = str(tmp_path)
+    create_collection(spark, root, "parts", df, partition_by=["shard"])
+
+    scan = spark.read.parquet(f"{root}/parts").filter(F.col("shard") == "2")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert scan.count() == 250
