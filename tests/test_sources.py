@@ -284,3 +284,37 @@ def test_zorder_value_interleaves_bits(spark):
     ).collect()
     # x bits -> even positions (1,0,1 at 0,2,4), y bits -> odd (1,1,0 at 1,3,5)
     assert row["z"] == 0b011011
+
+
+def test_create_collection_writes_bloom_filters(spark, tmp_path):
+    """bloom_cols must actually land in the files: a bloom filter for a
+    high-cardinality id adds its bitset bytes to every file (pyarrow 16
+    exposes no bloom metadata, so the size delta — with identical data,
+    row-group layout, and encodings — is the observable)."""
+    import glob
+    import os
+
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+    )
+
+    df = spark.range(0, 50_000).select(F.col("id").alias("doc_id")).coalesce(1)
+    root = str(tmp_path)
+    create_collection(spark, root, "plain", df)
+    create_collection(
+        spark, root, "bloomed", df, bloom_cols=["doc_id"], bloom_ndv=50_000
+    )
+
+    size = lambda n: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{root}/{n}/*.parquet")
+    )
+    plain, bloomed = size("plain"), size("bloomed")
+    # a 50k-ndv bloom bitset is tens of KB; data pages are identical
+    assert bloomed > plain + 10_000, (plain, bloomed)
+    # and the bloomed table still reads correctly with an equality probe
+    got = (
+        spark.read.parquet(f"{root}/bloomed")
+        .filter(F.col("doc_id") == 41_337)
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [41_337]

@@ -28,13 +28,28 @@ def create_collection(
     name: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> str:
     """Create (overwrite) a collection table. Hyphens rejected like the
-    reference's name check (``weaviate_interface_v4.py:392-393``)."""
+    reference's name check (``weaviate_interface_v4.py:392-393``).
+
+    ``bloom_cols`` writes parquet bloom filters for the given columns —
+    the point-lookup complement to min/max stats: footer ranges prune
+    RANGE predicates after clustering, blooms prune EQUALITY probes on
+    high-cardinality ids even in unclustered layouts (membership is
+    checked per row group before any page is read). Size ``bloom_ndv``
+    to the expected distinct count per row group.
+    """
     if "-" in name:
         raise ValueError("collection names may not contain hyphens")
     path = os.path.join(root, name)
     writer = df.write.mode("overwrite")
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
