@@ -119,6 +119,7 @@ HEADLINE = [
     "embedding_drift_audit",
     "customer_spend_balance_spearman",
     "orders_constraint_audit",
+    "quality_composite_rank",
 ]
 
 

@@ -6339,6 +6339,125 @@ def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "quality_composite_rank",
+    f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM d
+),
+c12 AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY gram),
+c1 AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1
+       FROM grams GROUP BY split_part(gram, ' ', 1)),
+flu AS (SELECT g.doc_id,
+               CAST(sum((c12.c12 * 1000000) // c1.c1) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS fluency_micro
+        FROM grams g
+        JOIN c12 ON c12.gram = g.gram
+        JOIN c1 ON c1.w1 = split_part(g.gram, ' ', 1)
+        GROUP BY g.doc_id),
+tg AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_transform(generate_series(1, len(toks) - 2),
+                               i -> md5(array_to_string(toks[i:i+2], ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS tgs,
+              CAST(len(toks) AS BIGINT) AS n_tokens
+       FROM d),
+te AS (SELECT doc_id, unnest(tgs) AS gm FROM tg),
+firsts AS (SELECT gm, min(doc_id) AS first_doc FROM te GROUP BY gm),
+nov AS (SELECT te.doc_id,
+               CAST((count(*) FILTER (f.first_doc = te.doc_id)) * 1000000
+                    // count(*) AS BIGINT) AS novelty_ppm
+        FROM te JOIN firsts f ON f.gm = te.gm GROUP BY te.doc_id),
+sig AS (SELECT t.doc_id, t.n_tokens,
+               coalesce(flu.fluency_micro, 0) AS fluency_micro,
+               coalesce(nov.novelty_ppm, 0) AS novelty_ppm
+        FROM tg t
+        LEFT JOIN flu ON flu.doc_id = t.doc_id
+        LEFT JOIN nov ON nov.doc_id = t.doc_id),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY fluency_micro ASC, doc_id ASC) AS r_flu,
+         row_number() OVER (ORDER BY novelty_ppm ASC, doc_id ASC) AS r_nov,
+         row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS r_len
+  FROM sig)
+SELECT doc_id, CAST(r_flu AS BIGINT) AS r_flu,
+       CAST(r_nov AS BIGINT) AS r_nov,
+       CAST(r_len AS BIGINT) AS r_len,
+       CAST(r_flu + r_nov + r_len AS BIGINT) AS rank_sum
+FROM ranked
+""",
+)
+def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation score: rank-fuse three engine-exact signals —
+    bigram-LM fluency, 3-gram novelty, token length — into one composite
+    (sum of total-order ranks; the scale-free fusion, same philosophy as
+    RRF). Exact global ranks are fine to corpus sizes a window sort
+    handles; at 100 TB swap each rank for approxQuantile bucket indices
+    (monotone, same fusion semantics) — documented trade, identical
+    composite ordering in the bulk. All-BIGINT output."""
+    from .operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    flu = bigram_lm_scores(docs).select(
+        "doc_id",
+        F.expr("microprob_sum DIV n_bigrams").alias("fluency_micro"),
+    )
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tg = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("toks") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, 3), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tgs"),
+    )
+    te = tg.select("doc_id", F.explode("tgs").alias("gm"))
+    wg = Window.partitionBy("gm")
+    nov = (
+        te.select(
+            "doc_id",
+            (F.min("doc_id").over(wg) == F.col("doc_id")).cast("int").alias("novel"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("(sum(novel) * 1000000) DIV count(*)").alias("novelty_ppm")
+        )
+    )
+    sig = (
+        tg.select("doc_id", "n_tokens")
+        .join(flu, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("fluency_micro", F.lit(0)).alias("fluency_micro"),
+            F.coalesce("novelty_ppm", F.lit(0)).alias("novelty_ppm"),
+        )
+    )
+    r_flu = Window.orderBy(F.asc("fluency_micro"), F.asc("doc_id"))
+    r_nov = Window.orderBy(F.asc("novelty_ppm"), F.asc("doc_id"))
+    r_len = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = sig.select(
+        "doc_id",
+        F.row_number().over(r_flu).cast("bigint").alias("r_flu"),
+        F.row_number().over(r_nov).cast("bigint").alias("r_nov"),
+        F.row_number().over(r_len).cast("bigint").alias("r_len"),
+    )
+    return ranked.withColumn(
+        "rank_sum",
+        (F.col("r_flu") + F.col("r_nov") + F.col("r_len")).cast("bigint"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
