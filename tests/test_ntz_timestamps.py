@@ -25,6 +25,16 @@ EVENT_QUERIES = [
     "events_sessionize",
     "events_tumbling_agg",
     "event_scalar_functions",
+    # round-4 continuation events queries — same NTZ exposure
+    "events_gap_fill",
+    "events_dwell_time",
+    "events_user_lifecycle",
+    "events_user_rolling_stats",
+    "events_winsorized_stats",
+    "events_value_histogram",
+    "events_funnel",
+    "events_retention",
+    "events_session_campaign_overlap",
 ]
 
 _CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
