@@ -120,6 +120,8 @@ HEADLINE = [
     "customer_spend_balance_spearman",
     "orders_constraint_audit",
     "quality_composite_rank",
+    "orders_cohort_ltv",
+    "user_feature_store",
 ]
 
 

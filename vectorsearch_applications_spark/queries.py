@@ -6481,6 +6481,128 @@ def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_cohort_ltv",
+    """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+cohort AS (SELECT custkey, min(ym) AS cohort_ym FROM o GROUP BY custkey)
+SELECT c.cohort_ym - 24000 AS cohort_month,
+       o.ym - c.cohort_ym AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.custkey) AS BIGINT) AS n_customers,
+       CAST(sum(o.price) AS DOUBLE) AS revenue
+FROM o JOIN cohort c ON c.custkey = o.custkey
+GROUP BY cohort_month, month_offset
+""",
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime value: customers grouped by first-order
+    month, revenue tracked by month offset since acquisition — the
+    relational twin of events_retention. Months are exact integers
+    (y*12+m, rebased), revenue sums in DECIMAL cast to double at the end
+    (order-free). One cohort aggregation + one fact join + one rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cohort = o.groupBy("custkey").agg(F.min("ym").alias("cohort_ym"))
+    j = o.join(cohort, "custkey")
+    return j.groupBy(
+        (F.col("cohort_ym") - 24000).alias("cohort_month"),
+        (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("custkey").cast("bigint").alias("n_customers"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "user_feature_store",
+    """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_ns(ts) // 1000000000 AS es
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         es - lag(es) OVER (PARTITION BY user_id
+                            ORDER BY es ASC, event_id ASC) AS gap
+  FROM e
+),
+gagg AS (SELECT user_id, CAST(min(gap) AS BIGINT) AS min_gap_s,
+                CAST(max(gap) AS BIGINT) AS max_gap_s
+         FROM gaps WHERE gap IS NOT NULL GROUP BY user_id),
+base AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT es // 86400) AS BIGINT) AS active_days,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(max(es) - min(es) AS BIGINT) AS lifespan_s,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+  FROM e GROUP BY user_id
+)
+SELECT b.user_id, b.n_events, b.active_days, b.n_types, b.lifespan_s,
+       b.n_purchases,
+       coalesce(g.min_gap_s, -1)::BIGINT AS min_gap_s,
+       coalesce(g.max_gap_s, -1)::BIGINT AS max_gap_s
+FROM base b LEFT JOIN gagg g ON g.user_id = b.user_id
+""",
+)
+def q_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature vector (the feature-store materialization a
+    churn/propensity model trains on): activity volume, breadth, lifespan,
+    purchase count, and dwell-gap extremes — all exact integers; -1
+    encodes 'no gap observed' (single-event users). One user-keyed window
+    + two user-keyed aggregations, union-free plan."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        epoch_seconds(ev, "ts").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("es"), F.asc("event_id"))
+    gaps = e.withColumn("gap", F.col("es") - F.lag("es").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    gagg = gaps.groupBy("user_id").agg(
+        F.min("gap").cast("bigint").alias("min_gap_s"),
+        F.max("gap").cast("bigint").alias("max_gap_s"),
+    )
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(F.expr("es DIV 86400")).cast("bigint").alias(
+            "active_days"
+        ),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        (F.max("es") - F.min("es")).cast("bigint").alias("lifespan_s"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    return base.join(gagg, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "n_types",
+        "lifespan_s",
+        "n_purchases",
+        F.coalesce("min_gap_s", F.lit(-1)).cast("bigint").alias("min_gap_s"),
+        F.coalesce("max_gap_s", F.lit(-1)).cast("bigint").alias("max_gap_s"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
