@@ -1,0 +1,66 @@
+"""Retrieval-quality parity against the REFERENCE'S OWN golden dataset.
+
+/root/reference/data/golden_datasets/golden_256.json carries the actual
+evaluation set the reference publishes numbers for (BASELINE.md: BM25
+hit_rate@5 = 0.78, MRR@5 = 0.64 at chunk 256 — notebooks/4-Reranking
+cell 14): 100 real queries, the gold chunk for each, and the chunk texts.
+
+The published numbers were measured against the FULL chunk corpus
+(~thousands of candidates); the golden file ships only the 100 gold
+chunks, so retrieval here ranks the gold chunk among 100 candidates — a
+strictly easier pool. The published full-corpus rates are therefore a
+LOWER bound for this engine's metrics on the same queries: if our
+engine-owned BM25 + hit_rate/MRR semantics fell below them even on the
+reduced pool, quality parity would be broken.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+GOLDEN = "/root/reference/data/golden_datasets/golden_256.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference golden dataset not present"
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.load(open(GOLDEN))
+
+
+def test_bm25_beats_published_fullcorpus_rates_on_golden_queries(
+    spark, golden
+):
+    from vectorsearch_applications_spark.operators.bm25 import bm25_search
+    from vectorsearch_applications_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+
+    qid = {q: i for i, q in enumerate(golden["queries"])}  # uuid -> int
+    did = {d: i for i, d in enumerate(golden["corpus"])}
+    corpus = spark.createDataFrame(
+        [(did[k], t) for k, t in golden["corpus"].items()],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(qid[k], t) for k, t in golden["queries"].items()],
+        "query_id long, query string",
+    )
+    gold = spark.createDataFrame(
+        [(qid[q], did[d]) for q, d in golden["relevant_docs"].items()],
+        "query_id long, relevant_doc_id long",
+    )
+    hits = bm25_search(corpus, queries, limit=5).withColumn(
+        "method", F.lit("bm25")
+    )
+    (m,) = retrieval_metrics(hits, gold).collect()
+    assert m["n_queries"] == 100
+    # published full-corpus numbers are the floor for the reduced pool
+    assert m["hit_rate"] >= 0.78, m
+    assert m["mrr"] >= 0.64, m
