@@ -64,3 +64,26 @@ def test_bm25_beats_published_fullcorpus_rates_on_golden_queries(
     # published full-corpus numbers are the floor for the reduced pool
     assert m["hit_rate"] >= 0.78, m
     assert m["mrr"] >= 0.64, m
+
+
+TRIPLETS = "/root/reference/data/qa_training_triplets.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(TRIPLETS), reason="reference triplets not present"
+)
+def test_triplet_schema_matches_reference_artifact(spark):
+    """Our F5 triplet output must carry exactly the fields the reference's
+    shipped training artifact carries (anchor/positive/hard_negative) —
+    a consumer fine-tuning from that artifact can switch engines without
+    changing their loader."""
+    import __spark_entry__ as entry
+
+    ref_fields = set(json.load(open(TRIPLETS))[0].keys())
+    ours = entry.queries()["qa_triplets"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert ref_fields <= set(ours.columns)
+    # and the triplet semantics hold on our output
+    row = ours.limit(1).collect()[0]
+    assert row["positive"] != row["hard_negative"]
