@@ -87,3 +87,24 @@ def test_triplet_schema_matches_reference_artifact(spark):
     # and the triplet semantics hold on our output
     row = ours.limit(1).collect()[0]
     assert row["positive"] != row["hard_negative"]
+
+
+GUESTS = "/root/reference/data/metadata/guests.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GUESTS), reason="reference metadata not present"
+)
+def test_reference_corpus_metadata_loads_with_baseline_cardinality(spark):
+    """S1 JSON ingest of the reference's own metadata reproduces the
+    published corpus cardinality (193 episodes — BASELINE.md) and the
+    repeat-guest structure its GROUP BY ops rely on."""
+    guests = json.load(open(GUESTS))
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(guests)], "episode long, guest string"
+    )
+    assert df.count() == 193
+    repeats = (
+        df.groupBy("guest").count().filter(F.col("count") > 1).count()
+    )
+    assert repeats >= 1  # zipfian guests: GROUP BY ... HAVING COUNT>1 is non-empty
