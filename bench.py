@@ -122,6 +122,7 @@ HEADLINE = [
     "quality_composite_rank",
     "orders_cohort_ltv",
     "user_feature_store",
+    "events_decayed_trending",
 ]
 
 

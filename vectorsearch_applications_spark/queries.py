@@ -6603,6 +6603,50 @@ def q_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_decayed_trending",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS es FROM events),
+t AS (SELECT max(es) AS t_now FROM e)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1048576 >> least((t_now - es) // 86400, 62)) AS BIGINT)
+         AS decayed_score
+FROM e CROSS JOIN t
+GROUP BY event_type
+""",
+)
+def q_events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity scores (one-day half-life) — the
+    trending/recency weighting behind freshness ranking. The decay is an
+    INTEGER shift (2^20 >> elapsed_halflives), so the weighted sum is
+    order-free and engine-exact — no float pow anywhere; the >> operand
+    is clamped (shifts ≥ 63 are UB territory in some engines). One
+    aggregation + a 1-row max broadcast."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", epoch_seconds(ev, "ts").alias("es"))
+    t_now = e.agg(F.max("es").alias("t_now"))
+    return (
+        e.crossJoin(F.broadcast(t_now))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                # SQL-form shiftright: the PySpark helper only takes a
+                # literal bit count, the SQL function accepts a column
+                F.expr(
+                    "shiftright(1048576L, "
+                    "CAST(least((t_now - es) DIV 86400, 62) AS INT))"
+                )
+            )
+            .cast("bigint")
+            .alias("decayed_score"),
+        )
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
