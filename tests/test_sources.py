@@ -318,3 +318,42 @@ def test_create_collection_writes_bloom_filters(spark, tmp_path):
         .collect()
     )
     assert [r["doc_id"] for r in got] == [41_337]
+
+
+def test_snapshot_tag_and_rollback_roundtrip(spark, tmp_path):
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        list_snapshots,
+        rollback_collection,
+        snapshot_collection,
+        update_collection,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    create_collection(spark, root, "c", base)
+    snapshot_collection(root, "c", "v1")
+    assert list_snapshots(root, "c") == ["v1"]
+
+    # mutate the live collection; the snapshot must not move
+    update_collection(
+        spark, root, "c", lambda df: df.withColumn("text", F.upper("text"))
+    )
+    live = {r["text"] for r in spark.read.parquet(f"{root}/c").collect()}
+    snap = {r["text"] for r in spark.read.parquet(f"{root}/c@v1").collect()}
+    assert live == {"ONE", "TWO"} and snap == {"one", "two"}
+
+    # rollback restores the tag; the tag itself survives for re-use
+    rollback_collection(root, "c", "v1")
+    back = {r["text"] for r in spark.read.parquet(f"{root}/c").collect()}
+    assert back == {"one", "two"}
+    assert list_snapshots(root, "c") == ["v1"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_collection(root, "c", "v1")  # duplicate tag
+    with _pytest.raises(ValueError):
+        rollback_collection(root, "c", "missing")

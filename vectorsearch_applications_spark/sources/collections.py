@@ -385,3 +385,71 @@ def merge_collection(
     shutil.rmtree(old)
     rows = spark.read.parquet(path).count()
     return {"upserted": n_up, "deleted": n_keys - n_up, "rows": rows}
+
+
+def snapshot_collection(root: str, name: str, tag: str) -> str:
+    """Tag the collection's current generation: hard-link-copy the
+    parquet directory to ``name@tag``. Pairs with operators/diff.py
+    (audit what changed between tags) and rollback_collection (restore a
+    tag). Hard links make the snapshot O(#files) metadata work, not a
+    data copy — parquet files are immutable once written (every writer
+    here stages + swaps whole generations), so links can never observe
+    in-place mutation. The lakehouse-table-format time-travel story,
+    reduced to plain directories.
+    """
+    if "@" in name:
+        raise ValueError("collection names may not contain '@'")
+    src = os.path.join(root, name)
+    dst = os.path.join(root, f"{name}@{tag}")
+    if os.path.isdir(dst):
+        raise ValueError(f"snapshot tag exists: {tag}")
+    os.makedirs(dst)
+    for dirpath, dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        for d in dirs:
+            os.makedirs(os.path.join(dst, rel, d), exist_ok=True)
+        for f in files:
+            os.link(
+                os.path.join(dirpath, f),
+                os.path.join(dst, rel if rel != "." else "", f),
+            )
+    return dst
+
+
+def list_snapshots(root: str, name: str) -> list[str]:
+    prefix = f"{name}@"
+    return sorted(
+        d[len(prefix):]
+        for d in os.listdir(root)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def rollback_collection(root: str, name: str, tag: str) -> None:
+    """Restore the collection to a tagged snapshot (the snapshot remains).
+    Same staged promotion as every other writer: link the snapshot into a
+    staging dir, swap, delete the replaced generation."""
+    src = os.path.join(root, f"{name}@{tag}")
+    if not os.path.isdir(src):
+        raise ValueError(f"no such snapshot: {tag}")
+    path = os.path.join(root, name)
+    tmp, old = path + "__staging", path + "__old"
+    import shutil
+
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for dirpath, dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        for d in dirs:
+            os.makedirs(os.path.join(tmp, rel, d), exist_ok=True)
+        for f in files:
+            os.link(
+                os.path.join(dirpath, f),
+                os.path.join(tmp, rel if rel != "." else "", f),
+            )
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
