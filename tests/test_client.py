@@ -145,3 +145,30 @@ def test_vector_search_mmr_requires_exact(client):
 
     with _pytest.raises(ValueError):
         client.vector_search("docs", "q", backend="ivf", mmr_lambda=0.5)
+
+
+def test_client_versioned_merge_workflow(spark, tmp_path_factory):
+    """Ops workflow end to end on the facade: snapshot -> merge -> diff
+    against the tag -> rollback."""
+    root = str(tmp_path_factory.mktemp("vers"))
+    c = SparkSearchClient(spark, root)
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    c.create_collection("d", base)
+    c.snapshot("d", "v1")
+
+    changes = spark.createDataFrame(
+        [(2, "TWO", "upsert", 1), (3, None, "delete", 1), (4, "four", "upsert", 1)],
+        "doc_id long, text string, op string, seq long",
+    )
+    stats = c.merge("d", changes)
+    assert stats["rows"] == 3
+
+    got = {r["key"]: r["status"] for r in c.diff("d", "v1", "doc_id").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    c.rollback("d", "v1")
+    assert c.get_doc_count("d") == 3
+    assert {r["text"] for r in c._load("d").collect()} == {"one", "two", "three"}
+    assert c.snapshots("d") == ["v1"]

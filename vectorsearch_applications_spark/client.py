@@ -90,6 +90,30 @@ class SparkSearchClient:
     def get_doc_count(self, name: str) -> int:
         return self._load(name).count()
 
+    def merge(self, name: str, changes: DataFrame, **kw) -> dict[str, int]:
+        """CDC MERGE (upsert+delete change set, last-writer-wins) — see
+        sources/collections.py merge_collection."""
+        return _coll.merge_collection(self.spark, self.root, name, changes, **kw)
+
+    def snapshot(self, name: str, tag: str) -> str:
+        """Tag the current generation (hard-link copy) for diff/rollback."""
+        return _coll.snapshot_collection(self.root, name, tag)
+
+    def rollback(self, name: str, tag: str) -> None:
+        _coll.rollback_collection(self.root, name, tag)
+
+    def snapshots(self, name: str) -> list[str]:
+        return _coll.list_snapshots(self.root, name)
+
+    def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
+        """What changed between tag and the live generation, per key."""
+        from .operators.diff import snapshot_diff
+
+        old = self._load(f"{name}@{tag}")
+        new = self._load(name)
+        compare_cols = [c for c in new.columns if c != key_col]
+        return snapshot_diff(old, new, key_col, compare_cols)
+
     def _load(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, name))
 
