@@ -38,6 +38,7 @@ BOUNDED_BNLJ = {
     "dedup_semantic",
     "eval_multi_method",
     "eval_retrieval_metrics",
+    "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
     "filtered_hybrid_search",
     "generation_eval_polling",
     "heaps_vocab_growth",  # 6-row threshold-ladder broadcast
