@@ -123,6 +123,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "user_feature_store",
     "events_decayed_trending",
+    "events_hourly_seasonality",
 ]
 
 

@@ -6647,6 +6647,41 @@ def q_events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hourly_seasonality",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS es,
+                  value FROM events)
+SELECT event_type,
+       CAST((es // 3600) % 24 AS BIGINT) AS hour_utc,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM e GROUP BY event_type, hour_utc
+""",
+)
+def q_events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality heatmap per event type (the diurnal-load
+    profile behind capacity planning and anomaly baselines): UTC hour via
+    exact integer epoch arithmetic, value mass in DECIMAL (order-free)
+    cast to double at the end. One map-side-combined aggregation over a
+    24×|types| key space."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", epoch_seconds(ev, "ts").alias("es"), "value"
+    )
+    return e.groupBy(
+        "event_type",
+        F.expr("(es DIV 3600) % 24").cast("bigint").alias("hour_utc"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
