@@ -124,6 +124,7 @@ HEADLINE = [
     "user_feature_store",
     "events_decayed_trending",
     "events_hourly_seasonality",
+    "dedup_survivorship_by_source",
 ]
 
 

@@ -6682,6 +6682,58 @@ def q_events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_survivorship_by_source",
+    f"""
+WITH cc AS ({_CLUSTER_SQL}),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.doc_id <> cc.cluster_id
+  WHERE d.doc_id < 300 AND cc.doc_id IS NULL
+),
+base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents WHERE doc_id < 300 GROUP BY source)
+SELECT b.source, b.n_docs,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       CAST((coalesce(k.n_kept, 0) * 1000000) // b.n_docs AS BIGINT)
+         AS survival_ppm
+FROM base b LEFT JOIN (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
+) k ON k.source = b.source
+""",
+)
+def q_dedup_survivorship_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup impact report: per-source survival rate after near-dup
+    clustering keeps one canonical doc per group — the feedback loop
+    that tells a crawl operator WHICH feeds burn budget on duplicates
+    (complements dedup_rate_by_source's exact-dup view with the
+    MinHash-LSH near-dup view). Integer ppm, oracle-backed via the
+    recursive-CTE cluster closure."""
+    from .operators.graph import connected_components, keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    kept = keep_canonical(docs, cc, id_col="doc_id")
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return base.join(k, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.expr("(coalesce(n_kept, 0) * 1000000) DIV n_docs").alias(
+            "survival_ppm"
+        ),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
