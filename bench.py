@@ -125,6 +125,7 @@ HEADLINE = [
     "events_decayed_trending",
     "events_hourly_seasonality",
     "dedup_survivorship_by_source",
+    "events_first_touch_attribution",
 ]
 
 

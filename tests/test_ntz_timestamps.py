@@ -35,6 +35,9 @@ EVENT_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_session_campaign_overlap",
+    "events_first_touch_attribution",
+    "events_decayed_trending",
+    "events_hourly_seasonality",
 ]
 
 _CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"

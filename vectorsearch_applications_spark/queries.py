@@ -6734,6 +6734,66 @@ def q_dedup_survivorship_by_source(
     )
 
 
+@register(
+    "events_first_touch_attribution",
+    """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000000000 AS es
+           FROM events),
+w AS (
+  SELECT event_id, user_id, event_type, es,
+         min(CASE WHEN event_type = 'view' THEN es END) OVER (
+           PARTITION BY user_id ORDER BY es
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+         ) AS first_view_es
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(es AS BIGINT) AS purchase_es,
+       coalesce(first_view_es, -1)::BIGINT AS first_view_es,
+       CAST(first_view_es IS NOT NULL AS BIGINT) AS attributed
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def q_events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST view
+    in its trailing 7-day window (the complement of the last-touch as-of
+    join in events_asof_last_signup). One user-keyed sort with an
+    integer RANGE frame — min over the frame is order-free and exact;
+    -1 encodes unattributed purchases."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", epoch_seconds(ev, "ts").alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("es"))
+    ).over(w)
+    return (
+        e.withColumn("first_view_es", first_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("es").cast("bigint").alias("purchase_es"),
+            F.coalesce("first_view_es", F.lit(-1))
+            .cast("bigint")
+            .alias("first_view_es"),
+            F.col("first_view_es").isNotNull().cast("bigint").alias(
+                "attributed"
+            ),
+        )
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
