@@ -126,6 +126,8 @@ HEADLINE = [
     "events_hourly_seasonality",
     "dedup_survivorship_by_source",
     "events_first_touch_attribution",
+    "supplier_scorecard",
+    "docs_source_profile",
 ]
 
 

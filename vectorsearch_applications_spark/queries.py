@@ -6794,6 +6794,72 @@ def q_events_first_touch_attribution(
     )
 
 
+@register(
+    "supplier_scorecard",
+    """
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) FILTER (l.l_returnflag = 'R') AS BIGINT) AS n_returned
+FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier performance scorecard: volume, order/part breadth,
+    DECIMAL-exact discounted revenue, and return counts — the vendor-
+    management rollup. One fact aggregation keyed on the supplier join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = s.join(li, li["l_suppkey"] == s["s_suppkey"])
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return j.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias(
+            "n_returned"
+        ),
+    )
+
+
+@register(
+    "docs_source_profile",
+    f"""
+WITH d AS (SELECT source, n_chars, len({_toks('text')}) AS n_toks
+           FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_sum,
+       CAST(min(n_toks) AS BIGINT) AS min_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens
+FROM d GROUP BY source
+""",
+)
+def q_docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed corpus profile (docs, char/token mass, length extremes) —
+    the ingest dashboard row per source; sums stay integer so means are
+    the consumer's division. One map-side-combined aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "source", "n_chars", F.size(tokenize("text")).alias("n_toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.sum("n_toks").cast("bigint").alias("tokens_sum"),
+        F.min("n_toks").cast("bigint").alias("min_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_tokens"),
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
