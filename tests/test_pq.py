@@ -140,3 +140,84 @@ def test_pq_persisted_index_matches_in_plan_search(spark, tmp_path):
         for r in pq_search_indexed(spark, root, "vecs", q, k=5).collect()
     )
     assert got == want
+
+
+def test_codebook_rank_rule_survives_sparse_id_space(spark):
+    # ADVICE r4 (pq.py): the old id-prefix rule (id < n_codes) produced a
+    # GAPPY codebook on any corpus whose ids don't start dense at 0, and
+    # the flat LUT index m*K+code then silently misaligned. The rank rule
+    # must make search results invariant to a constant id shift.
+    emb = load_table(spark, SF, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    q0 = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    def run(corpus):
+        cb = pq_codebook(corpus, n_codes=8, n_sub=8, dim=64)
+        codes = pq_encode(corpus, cb, n_sub=8, dim=64)
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+            for r in pq_adc_search(codes, cb, q0, k=10).collect()
+        )
+    base = run(emb)
+    shift = [(q, rk, v - 1000, s) for (q, rk, v, s) in run(shifted)]
+    assert base == shift
+    # and the codebook itself is dense 0..7 per subspace on the shifted ids
+    cb = pq_codebook(shifted, n_codes=8, n_sub=8, dim=64)
+    got = sorted(
+        (r["sub"], r["code"]) for r in cb.select("sub", "code").collect()
+    )
+    assert got == [(s, c) for s in range(8) for c in range(8)]
+
+
+def test_small_corpus_codebook_lut_indexing_stays_aligned(spark):
+    # corpus smaller than n_codes: the codebook has K < n_codes codes and
+    # scoring must index the LUT by the ACTUAL K, not the parameter
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 6)
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    assert cb.count() == 6 * 8  # K=6 codes x 8 subspaces
+    codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = pq_adc_search(codes, cb, q, n_codes=8, n_sub=8, dim=64, k=3)
+    rows = hits.collect()
+    assert len(rows) == 6  # 2 queries x k=3, no NULL-poisoned scores
+    for r in rows:
+        assert r["adc_score"] is not None
+        if r["rank"] == 1:
+            # codebook vectors reconstruct exactly -> self is top-1
+            assert r["vec_id"] == r["query_id"]
+
+
+def test_ivfpq_search_indexed_matches_in_plan(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.pq import (
+        ivfpq_search,
+        ivfpq_search_indexed,
+        pq_save_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    pq_save_index(emb, root, "vecs", centroids=cents)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in ivfpq_search(emb, cents, cb, q, k=5, nprobe=2).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+        for r in ivfpq_search_indexed(
+            spark, root, "vecs", q, k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want

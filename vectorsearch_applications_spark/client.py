@@ -59,6 +59,11 @@ class SparkSearchClient:
             lambda c: hash_embed_col(c, embed_dim)
         )
         self._embed_dim = embed_dim
+        # (collection, vector_col) -> embedding dim. Array columns don't
+        # carry their length in the schema, so the first ANN search per
+        # collection probes one row; every later search reuses the cache
+        # (no repeated limit(1).collect() round-trips).
+        self._dim_cache: dict[tuple[str, str], int] = {}
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -173,8 +178,11 @@ class SparkSearchClient:
           'lsh'    hyperplane-LSH bucket candidates, exact rescore;
           'ivfpq'  IVF pruning + product-quantized integer ADC scoring
                    (returns ``adc_score`` instead of ``distance``).
-        Approximate backends build their index in-plan here; persist with
-        ivf_save_index / pq_encode for repeated querying at scale."""
+        Approximate backends REUSE a persisted index built with
+        ``build_ann_index(collection, kind=backend)`` when one exists and
+        no ``filters`` are given (pre-filtering changes the candidate set,
+        so filtered searches build in-plan on the filtered corpus);
+        otherwise the index is derived in-plan per call."""
         if backend != "exact" and mmr_lambda is not None:
             raise ValueError("mmr_lambda requires backend='exact'")
         docs = self._docs(collection, filters)
@@ -182,15 +190,26 @@ class SparkSearchClient:
             corpus = docs.select(
                 F.col(id_col).alias("vec_id"), F.col(vector_col).alias("embedding")
             )
+            dim = self._dim(collection, vector_col, corpus)
         else:
             corpus = hash_embed_ids(
                 docs.select(id_col, text_col), id_col, text_col, self._embed_dim
             ).select(F.col(id_col).alias("vec_id"), "embedding")
+            dim = self._embed_dim
         q = self._query_df(query).select(
             "query_id", self._embed_query(F.col("query")).alias("query_vec")
         )
         if backend != "exact":
-            hits = self._ann_search(corpus, q, backend, limit, nprobe)
+            hits = self._ann_search(
+                collection,
+                corpus,
+                q,
+                backend,
+                limit,
+                nprobe,
+                dim,
+                filtered=filters is not None,
+            )
             return self._format(
                 hits.withColumnRenamed("vec_id", id_col),
                 collection,
@@ -222,21 +241,96 @@ class SparkSearchClient:
         )
         return self._format(hits, collection, return_properties, id_col)
 
+    def build_ann_index(
+        self,
+        collection: str,
+        kind: str = "ivf",
+        id_col: str = "doc_id",
+        vector_col: str = "embedding",
+        text_col: str = "text",
+        n_centroids: int = 16,
+        n_codes: int = 8,
+        refine_iterations: int = 0,
+    ) -> str:
+        """Persist an ANN index next to the collection (ivf_save_index /
+        pq_save_index underneath). Subsequent ``vector_search`` calls with
+        the matching ``backend`` and no ``filters`` load it from disk
+        instead of re-deriving centroids/codebooks per query — the fix for
+        the rebuild-per-search facade wart. Returns the index path.
+
+        ``kind``: 'ivf' (centroids + bucket-partitioned assignments) or
+        'ivfpq' (PQ codebook + codes partitioned by coarse centroid)."""
+        from .operators.ann import ivf_build, ivf_save_index
+        from .operators.pq import pq_save_index
+
+        docs = self._load(collection)
+        if vector_col in docs.columns:
+            corpus = docs.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vector_col).alias("embedding"),
+            )
+            dim = self._dim(collection, vector_col, corpus)
+        else:
+            corpus = hash_embed_ids(
+                docs.select(id_col, text_col), id_col, text_col, self._embed_dim
+            ).select(F.col(id_col).alias("vec_id"), "embedding")
+            dim = self._embed_dim
+        if kind == "ivf":
+            return ivf_save_index(
+                corpus,
+                self.root,
+                collection,
+                n_centroids=n_centroids,
+                refine_iterations=refine_iterations,
+            )
+        if kind == "ivfpq":
+            cents, _ = ivf_build(corpus, n_centroids=n_centroids)
+            n_sub = 8 if dim % 8 == 0 else 1
+            return pq_save_index(
+                corpus,
+                self.root,
+                collection,
+                n_codes=n_codes,
+                n_sub=n_sub,
+                dim=dim,
+                centroids=cents,
+            )
+        raise ValueError(f"unknown index kind {kind!r} (use ivf|ivfpq)")
+
+    def _dim(self, collection: str, vector_col: str, corpus: DataFrame) -> int:
+        """Embedding dimension, probed once per (collection, column) and
+        cached — array columns don't carry length in the Spark schema."""
+        key = (collection, vector_col)
+        if key not in self._dim_cache:
+            self._dim_cache[key] = len(
+                corpus.select("embedding").limit(1).collect()[0]["embedding"]
+            )
+        return self._dim_cache[key]
+
     def _ann_search(
         self,
+        collection: str,
         corpus: DataFrame,
         q: DataFrame,
         backend: str,
         limit: int,
         nprobe: int,
+        dim: int,
+        filtered: bool,
     ) -> DataFrame:
-        """Dispatch to an approximate backend; index built in-plan."""
-        dim = len(
-            corpus.select("embedding").limit(1).collect()[0]["embedding"]
-        )
+        """Dispatch to an approximate backend. Unfiltered searches reuse a
+        persisted index (build_ann_index) when present; filtered searches
+        (or collections with no persisted index) derive it in-plan."""
         if backend == "ivf":
-            from .operators.ann import ivf_build, ivf_search
+            from .operators.ann import ivf_build, ivf_search, ivf_search_indexed
 
+            if not filtered and os.path.isdir(
+                os.path.join(self.root, f"{collection}__ivf")
+            ):
+                return ivf_search_indexed(
+                    self.spark, self.root, collection, corpus, q,
+                    k=limit, nprobe=nprobe,
+                )
             cents, asg = ivf_build(corpus, n_centroids=16)
             return ivf_search(
                 corpus, cents, asg, q, k=limit, nprobe=nprobe
@@ -248,9 +342,20 @@ class SparkSearchClient:
             return lsh_search(corpus, q, planes, k=limit)
         if backend == "ivfpq":
             from .operators.ann import ivf_build
-            from .operators.pq import ivfpq_search, pq_codebook
+            from .operators.pq import (
+                ivfpq_search,
+                ivfpq_search_indexed,
+                pq_codebook,
+            )
 
             n_sub = 8 if dim % 8 == 0 else 1
+            if not filtered and os.path.isdir(
+                os.path.join(self.root, f"{collection}__pq", "centroids")
+            ):
+                return ivfpq_search_indexed(
+                    self.spark, self.root, collection, q,
+                    n_sub=n_sub, dim=dim, k=limit, nprobe=nprobe,
+                )
             cents, _ = ivf_build(corpus, n_centroids=16)
             cb = pq_codebook(corpus, n_codes=8, n_sub=n_sub, dim=dim)
             return ivfpq_search(

@@ -57,14 +57,33 @@ def pq_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(sub, code, cvec): codebook from the id-prefix rule — code c of
-    every subspace is vector c's sub-slice. Deterministic and restatable
-    in SQL; swap in k-means sub-codebooks (ivf_refine per subspace) when
-    cross-engine reproducibility is not required."""
+    """(sub, code, cvec): codebook from the RANK rule — code c of every
+    subspace is the sub-slice of the vector with the (c+1)-th smallest id.
+    Rank (not raw id value) guarantees a DENSE code set 0..K-1 for any id
+    space — sparse ids, non-zero-based ids, or pre-filtered corpora all
+    yield a complete codebook, so the sub-major flat LUT index
+    ``m*K + code`` used by ADC scoring never dereferences a gap.
+    Deterministic and restatable in SQL (row_number over id); swap in
+    k-means sub-codebooks (ivf_refine per subspace) when cross-engine
+    reproducibility is not required.
+
+    The seed-row selection is ``orderBy(id).limit(n_codes)`` — a
+    TakeOrderedAndProject (per-partition top-k, no global sort shuffle);
+    the row_number window then runs on ≤ n_codes rows."""
     sub_dim = dim // n_sub
-    base = corpus.filter(F.col(id_col) < n_codes).select(
-        F.col(id_col).cast("int").alias("code"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .orderBy("_id")
+        .limit(n_codes)
+    )
+    w = Window.orderBy("_id")
+    base = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "_v"
     )
     subs = base.select(
         "code",
@@ -154,6 +173,11 @@ def pq_adc_search(
             ).alias("lut"),
         )
     )
+    # Index the sub-major flat LUT by the ACTUAL codes-per-sub (the LUT
+    # length is n_sub * K by construction) — if the corpus held fewer than
+    # n_codes seed rows the codebook is smaller, and trusting the n_codes
+    # PARAMETER would silently misalign every lookup (the ADVICE finding).
+    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
     scored = codes.crossJoin(F.broadcast(luts)).select(
         "query_id",
         "vec_id",
@@ -161,7 +185,7 @@ def pq_adc_search(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
             F.lit(0).cast("long"),
             lambda acc, m: acc
-            + F.get("lut", m * n_codes + F.get("codes", m)),
+            + F.get("lut", m * k_actual + F.get("codes", m)),
         ).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -247,13 +271,16 @@ def ivfpq_search(
     )
     probe_luts = probes.join(luts, "query_id")
     cand = index.join(F.broadcast(probe_luts), "centroid_id")
+    # Same actual-K indexing guard as pq_adc_search (gappy-codebook fix).
+    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
     scored = cand.select(
         "query_id",
         "vec_id",
         F.aggregate(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
             F.lit(0).cast("long"),
-            lambda acc, m: acc + F.get("lut", m * n_codes + F.get("codes", m)),
+            lambda acc, m: acc
+            + F.get("lut", m * k_actual + F.get("codes", m)),
         ).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -325,3 +352,94 @@ def pq_search_indexed(
         "vec_id", "codes"
     )
     return pq_adc_search(codes, cb, queries, n_codes, n_sub, dim, k, **cols)
+
+
+def ivfpq_search_indexed(
+    spark,
+    root: str,
+    name: str,
+    queries: DataFrame,
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC probe against a PERSISTED index (pq_save_index with
+    centroids): the coarse centroids and PQ codebook load from disk, the
+    centroid_id-partitioned codes table is pruned to the probed buckets
+    (an equi-join key Catalyst pushes into the partitioned scan), and
+    scoring is the integer LUT fold — the original float embeddings are
+    never read. This is the no-rebuild query path the client facade uses
+    between searches on the same collection."""
+    import os
+
+    from .ann import _centroid_array
+    from ..functions.vectors import cosine_distance
+
+    base = os.path.join(root, f"{name}__pq")
+    cb = spark.read.parquet(os.path.join(base, "codebook"))
+    centroids = spark.read.parquet(os.path.join(base, "centroids"))
+    index = spark.read.parquet(os.path.join(base, "codes")).select(
+        "vec_id", "codes", "centroid_id"
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qraw"),
+    )
+    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+    probes = (
+        q.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                cosine_distance(qv, c["centroid"]).alias("d"),
+                                c["centroid_id"].alias("centroid_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p.centroid_id").alias("centroid_id"))
+    )
+    luts = (
+        q.crossJoin(F.broadcast(_codebook_array(cb)))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("_cb"),
+                lambda s: _d_int(_sub(qv, s["sub"], dim // n_sub), s["cvec"]),
+            ).alias("lut"),
+        )
+    )
+    probe_luts = probes.join(luts, "query_id")
+    cand = index.join(F.broadcast(probe_luts), "centroid_id")
+    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc
+            + F.get("lut", m * k_actual + F.get("codes", m)),
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adc_score")
+    )

@@ -5150,8 +5150,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_adc",
     """
 WITH ms AS (SELECT unnest(range(0, 8)) AS m),
-cbase AS (SELECT vec_id AS code, embedding::DOUBLE[] AS emb
-          FROM embeddings WHERE vec_id < 8),
+cbase AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS code, emb
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                ORDER BY vec_id LIMIT 8)),
 cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv FROM cbase CROSS JOIN ms),
 vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs
          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
@@ -5503,7 +5505,9 @@ asg AS (SELECT vec_id, cid FROM
           (SELECT *, row_number() OVER (PARTITION BY vec_id
                      ORDER BY d ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
 cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv
-       FROM (SELECT vec_id AS code, emb FROM base WHERE vec_id < 8)
+       FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS code, emb
+             FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT 8))
        CROSS JOIN ms),
 vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs FROM base CROSS JOIN ms),
 ed AS (SELECT v.vec_id, v.m, cb.code,
