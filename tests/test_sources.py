@@ -357,3 +357,43 @@ def test_snapshot_tag_and_rollback_roundtrip(spark, tmp_path):
         snapshot_collection(root, "c", "v1")  # duplicate tag
     with _pytest.raises(ValueError):
         rollback_collection(root, "c", "missing")
+
+
+def test_merge_deleted_counts_rows_actually_removed(spark, tmp_path):
+    # ADVICE r4: deleted must not count delete-winners whose key never
+    # existed in the target (no-op replay batches must report 0 deletes)
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        merge_collection,
+    )
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    create_collection(spark, root, "c", df)
+
+    # delete keys 2 (exists) and 99 (never existed)
+    ch = spark.createDataFrame(
+        [(2, None, "delete", 1), (99, None, "delete", 1)],
+        "id long, v string, op string, seq long",
+    )
+    stats = merge_collection(spark, root, "c", ch, key_col="id")
+    assert stats == {"upserted": 0, "deleted": 1, "rows": 1}
+
+    # replaying the same change set is a no-op: 0 actual deletions
+    stats2 = merge_collection(spark, root, "c", ch, key_col="id")
+    assert stats2 == {"upserted": 0, "deleted": 0, "rows": 1}
+
+
+def test_collection_name_rejects_snapshot_and_staging_namespaces(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    for bad in ["x@y", "c__staging", "c__old"]:
+        with _pytest.raises(ValueError):
+            create_collection(spark, str(tmp_path), bad, df)

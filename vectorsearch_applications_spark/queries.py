@@ -5850,14 +5850,30 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = grams.select(
         "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gm")
     )
-    wg = Window.partitionBy("gm")
-    flagged = e.select(
+    # first-seen test via two map-side-combinable aggregations, not a
+    # min-over-gm window (a hot boilerplate gram would funnel every
+    # occurrence into one window task — the ADVICE r4 skew finding):
+    # stage 1 collapses to (gm, doc) occurrence counts, stage 2 takes the
+    # per-gram min doc over that collapsed frame, and the join back
+    # credits the first doc with its occurrence count.
+    per = e.groupBy("gm", "doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count(F.col("gm")).alias("n_occ"),
+    )
+    firsts = (
+        per.filter(F.col("gm").isNotNull())
+        .groupBy("gm")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    flagged = per.join(firsts, "gm", "left").select(
         "doc_id",
         "n_grams",
-        (F.col("gm").isNotNull() & (F.min("doc_id").over(wg) == F.col("doc_id")))
-        .cast("int")
+        F.when(
+            F.col("gm").isNotNull() & (F.col("doc_id") == F.col("first_doc")),
+            F.col("n_occ"),
+        )
+        .otherwise(F.lit(0))
         .alias("novel"),
-        F.col("gm").isNotNull().cast("int").alias("present"),
     )
     return flagged.groupBy("doc_id").agg(
         F.max("n_grams").cast("bigint").alias("n_grams"),
@@ -6425,15 +6441,19 @@ def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tgs"),
     )
     te = tg.select("doc_id", F.explode("tgs").alias("gm"))
-    wg = Window.partitionBy("gm")
+    # two-stage first-seen aggregation (no min-over-gm window — hot-gram
+    # skew, see docs_ngram_novelty): collapse to (gm, doc) counts, take
+    # the per-gram min doc over the collapsed frame, credit first docs.
+    per = te.groupBy("gm", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    firsts = per.groupBy("gm").agg(F.min("doc_id").alias("first_doc"))
     nov = (
-        te.select(
-            "doc_id",
-            (F.min("doc_id").over(wg) == F.col("doc_id")).cast("int").alias("novel"),
-        )
+        per.join(firsts, "gm")
         .groupBy("doc_id")
         .agg(
-            F.expr("(sum(novel) * 1000000) DIV count(*)").alias("novelty_ppm")
+            F.expr(
+                "(sum(CASE WHEN doc_id = first_doc THEN n_occ ELSE 0 END)"
+                " * 1000000) DIV sum(n_occ)"
+            ).alias("novelty_ppm")
         )
     )
     # Combine the three doc-keyed signal frames by UNION + one
@@ -7015,74 +7035,27 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets, dedup_simhash covers dedup_simhash_pairs). All remain registered,
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
-    # round 4 additions (never driver-graded):
-    "tfidf_top_terms",
-    "ngram_collocations",
-    "vocab_oov_coverage",
-    "events_gap_fill",
-    "dedup_semantic",
-    "ann_pq_adc",
-    "graph_pagerank",
-    "html_markup_strip",
-    "bpe_learn_merges",
-    "snapshot_diff_docs",
-    "events_winsorized_stats",
-    "ann_ivfpq_search",
-    "embedding_hygiene",
-    "events_value_histogram",
-    "mmr_diversify",
-    "hard_negative_mining",
-    "ann_lsh_cosine",
-    "events_user_rolling_stats",
-    "pii_scrub_stats",
-    "hybrid_rrf_search",
-    "search_snippets",
-    "quality_linear_score",
-    "ann_lsh_multiprobe",
-    "dedup_substring_spans",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "boilerplate_ngrams",
-    "boilerplate_doc_ratio",
-    "ann_ivf_kmeans_exhaustive",
-    "temperature_resample_sources",
-    "lm_bigram_score",
-    "events_funnel",
-    "events_retention",
-    "events_session_campaign_overlap",
-    "brand_price_quartiles",
-    "pack_training_sequences",
-    # red in r3 (TIMESTAMP_NTZ cast), fixed since — must re-grade:
-    "events_sessionize",
-    "events_sliding_agg",
-    # (tpch q8/q9/q11/q12/q15/q16/q20 were graded green in r3 and rotate
-    # to the mid region to make room; q2 green in r3, mid as well —
-    # cheapest_part_per_brand keeps the min-cost-join family registered)
-    # (langid_ngram, stratified_sample_mix green in r3 → mid; the language
-    # stats and md5-threshold sampling machinery stay in-window via
-    # corpus_curation_pipeline and temperature_resample_sources)
-    "events_range_join",
-    "events_asof_last_signup",
-    # (every r3-green row — tpch q2/q4/q5/q8-q22, langid, stratified,
-    # ann_ivf_exhaustive, ann_quantized, corpus_bpe, router_fit,
-    # llm_cost/field/text2sql, quality_repetition, decontaminate,
-    # qa_triplets, bm25_multifield, filtered_vector/hybrid, cube,
-    # corpus_curation, balance_quartiles, supplier_volume, multimodal —
-    # rotates to mid: their green grades stand in CORRECTNESS_r03, and
-    # every window slot goes to a never-graded query; each family keeps
-    # an in-window representative among the rows below)
-    "events_user_lifecycle",
-    "dedup_rate_by_source",
-    "topic_cluster_terms",
-    "dedup_incremental_batch",
-    "referential_integrity_audit",
-    "docs_ngram_novelty",
-    "events_dwell_time",
-    "heaps_vocab_growth",
-    "orders_monthly_seasonality",
-    "customer_rfm_segments",
-    # (split_leakage_audit / cluster_aware_split overflow the 50-row
-    # window — they grade from the mid region in the next rotation)
+    # the 16 registered-but-never-driver-graded queries (VERDICT r4
+    # "What's missing" #1) — the entire remaining registered/graded gap:
+    "split_leakage_audit",
+    "cluster_aware_split",
+    "embedding_drift_audit",
+    "customer_spend_balance_spearman",
+    "orders_constraint_audit",
+    "quality_composite_rank",
+    "orders_cohort_ltv",
+    "user_feature_store",
+    "events_decayed_trending",
+    "events_hourly_seasonality",
+    "dedup_survivorship_by_source",
+    "events_first_touch_attribution",
+    "supplier_scorecard",
+    "docs_source_profile",
+    "quality_classifier_fit",  # rows-only tier by nature (float GD sums)
+    "embedding_pca_project",  # rows-only tier by nature (float moments)
+    # round 5 additions (new this round, graded for the first time):
+    "stream_attribution_batch_twin",
+    "dedup_semantic_capped",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
@@ -7118,8 +7091,6 @@ _GRADE_LAST = [
     "rollup_lineitem",
     "eval_multi_method",
     "ann_ivf_recall",
-    "quality_classifier_fit",  # rows-only by nature (float GD sums)
-    "embedding_pca_project",  # rows-only by nature (float moment sums)
 ]
 
 

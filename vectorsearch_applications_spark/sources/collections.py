@@ -43,6 +43,19 @@ def create_collection(
     """
     if "-" in name:
         raise ValueError("collection names may not contain hyphens")
+    # keep the snapshot/staging namespaces collision-free: 'x@y' is the
+    # on-disk form of snapshot y of collection x, and '__staging'/'__old'
+    # are the atomic-swap scratch generations — a collection literally
+    # named like any of them would be indistinguishable from (and could
+    # be rmtree'd as) another collection's artifact.
+    if "@" in name:
+        raise ValueError(
+            "collection names may not contain '@' (snapshot-tag separator)"
+        )
+    if name.endswith("__staging") or name.endswith("__old"):
+        raise ValueError(
+            "collection names may not end with '__staging' or '__old'"
+        )
     path = os.path.join(root, name)
     writer = df.write.mode("overwrite")
     for c in bloom_cols or []:
@@ -373,7 +386,12 @@ def merge_collection(
     keys = latest.select(key_col)
     merged = target.join(keys, key_col, "left_anti").unionByName(upserts)
 
-    n_up, n_keys = upserts.count(), keys.count()
+    n_up = upserts.count()
+    # 'deleted' counts rows actually REMOVED from the target, not
+    # delete-winners whose key never existed (a no-op replay batch must
+    # report 0 deletes): semi-join the delete-winner keys to the target.
+    delete_keys = latest.filter(F.col(op_col) == "delete").select(key_col)
+    n_del = target.join(delete_keys, key_col, "left_semi").count()
     tmp, old = path + "__staging", path + "__old"
     merged.write.mode("overwrite").parquet(tmp)
     import shutil
@@ -384,7 +402,7 @@ def merge_collection(
     os.rename(tmp, path)
     shutil.rmtree(old)
     rows = spark.read.parquet(path).count()
-    return {"upserted": n_up, "deleted": n_keys - n_up, "rows": rows}
+    return {"upserted": n_up, "deleted": n_del, "rows": rows}
 
 
 def snapshot_collection(root: str, name: str, tag: str) -> str:
