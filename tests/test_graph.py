@@ -105,3 +105,36 @@ def test_pagerank_duplicate_edges_collapse(spark):
     twice = {r["node"]: r["rank"]
              for r in pagerank_int(_edges(spark, [("a", "b"), ("a", "b")])).collect()}
     assert once == twice
+
+
+def test_fixed_rounds_exact_on_bounded_diameter_and_fewer_actions(spark):
+    # VERDICT r4 #8: fixed_rounds=k skips the per-round convergence count.
+    # A path graph a-b-c-d has diameter 3; LSH near-clique graphs have
+    # diameter <= 2 — here we use a union of two triangles (diameter 2).
+    from vectorsearch_applications_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_fixed", "fixed rounds")
+    fixed = sorted(
+        map(tuple, connected_components(edges, fixed_rounds=2).collect())
+    )
+    sc.setJobGroup("cc_fixpoint", "fixpoint detect")
+    fp = sorted(map(tuple, connected_components(edges).collect()))
+    sc.setJobGroup("cc_done", "")
+
+    assert fixed == fp
+    assert fixed == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)]
+
+    st = sc.statusTracker()
+    n_fixed = len(st.getJobIdsForGroup("cc_fixed"))
+    n_fp = len(st.getJobIdsForGroup("cc_fixpoint"))
+    # the fixpoint run needs its convergence-count actions; the fixed-
+    # rounds run must launch strictly fewer jobs
+    assert n_fixed < n_fp, (n_fixed, n_fp)

@@ -41,6 +41,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """Label each vertex of the undirected graph ``edges`` with the minimum
     vertex id reachable from it.
@@ -49,6 +50,16 @@ def connected_components(
     connected component, a deterministic canonical representative. Only
     vertices that appear in at least one edge are returned (isolated
     vertices are the caller's no-op case).
+
+    ``fixed_rounds``: run exactly that many hash-min rounds and SKIP the
+    per-round changed-label count — each convergence check is a full
+    Spark action (a join + count job), which dominates wall-clock when
+    rounds are cheap. For LSH near-dup graphs the components are
+    near-cliques of diameter ≤ 2, so ``fixed_rounds=2`` (or 3 for
+    insurance) is exact while running 1 action instead of
+    2·rounds. Labels are correct iff fixed_rounds ≥ component diameter;
+    the default (None) keeps the detect-fixpoint behavior for graphs of
+    unknown shape.
     """
     # Symmetrize once; self-loops are harmless but dropped to shrink E.
     e = (
@@ -69,7 +80,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
+    rounds = fixed_rounds if fixed_rounds is not None else max_iterations
+    for _ in range(rounds):
         # One round of hash-min: each endpoint offers its label to the
         # other; a vertex keeps the min of its own and all offers.
         offers = (
@@ -86,6 +98,9 @@ def connected_components(
             F.min("component").alias("component")
         ).localCheckpoint(eager=True)
 
+        if fixed_rounds is not None:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
