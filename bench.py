@@ -128,6 +128,22 @@ HEADLINE = [
     "events_first_touch_attribution",
     "supplier_scorecard",
     "docs_source_profile",
+    # round 5 additions
+    "stream_attribution_batch_twin",
+    "market_basket_pairs",
+    "docs_readability",
+    "events_transition_matrix",
+    "events_burst_users",
+    "curriculum_order",
+    "quality_score_quantile_norm",
+    "padding_waste_by_bucket",
+    "token_budget_allocation",
+    "lineitem_covariance_moments",
+    "ann_ivfpq_refined",
+    "customer_reorder_intervals",
+    "part_fuzzy_match",
+    "parttype_concentration_hhi",
+    "graph_triangle_count",
 ]
 
 

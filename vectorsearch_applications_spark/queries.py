@@ -7080,6 +7080,759 @@ def q_stream_attribution_batch_twin(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "market_basket_pairs",
+    """
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 2
+    orders (the candidate-generation step of association mining, and the
+    co-purchase graph's weighted edge list — the same pair-from-container
+    shape as LSH bucket pairs). The self-join key is the order id, whose
+    fan-out is bounded by order size (<= 7 lines in TPC-H), so the pair
+    explosion is O(|orders| * max_basket^2) with no skew ceiling; support
+    counting is one map-side-combinable aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    a = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@register(
+    "docs_readability",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_toks('text')} AS toks,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST((len(toks) * 100) // greatest(n_sents, 1) AS BIGINT)
+         AS words_per_sent_centi,
+       CAST((len(list_filter(toks, x -> length(x) >= 7)) * 1000000)
+            // greatest(len(toks), 1) AS BIGINT) AS long_word_ppm
+FROM t
+""",
+)
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer readability profile (the curation-side stand-in for
+    Flesch-Kincaid without syllable counting): words per sentence in
+    centi-units and the long-word (>= 7 chars) share in ppm. All integer
+    arithmetic — regex sentence segmentation and the shared tokenizer are
+    bitwise identical across engines. Pure narrow projection +
+    aggregation-free pass: stays in whole-stage codegen, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_sents = F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    n_words = F.size(toks)
+    long_words = F.size(F.filter(toks, lambda x: F.length(x) >= 7))
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sents"),
+        F.floor(
+            (n_words.cast("bigint") * 100)
+            / F.greatest(n_sents.cast("bigint"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("words_per_sent_centi"),
+        F.floor(
+            (long_words.cast("bigint") * 1000000)
+            / F.greatest(n_words.cast("bigint"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("long_word_ppm"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  epoch_ns(ts) // 1000000000 AS es
+           FROM events),
+s AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY es ASC, event_id ASC) AS prev
+      FROM e)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types per user
+    journey (the behavioral fingerprint behind next-action models and
+    bot detection). One user-keyed window (lag) + one tiny aggregation;
+    at scale the window shuffle is the sessionization shuffle already
+    paid — the transition count output is |types|^2 rows."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        epoch_seconds(ev, "ts").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("es"), F.asc("event_id"))
+    s = e.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "events_burst_users",
+    """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS es FROM events),
+c AS (SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY es
+                            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM e)
+SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_60s
+FROM c GROUP BY user_id
+""",
+)
+def q_events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's maximum event count inside any
+    trailing 60-second window (the rate-limit / bot signal a sliding
+    bucket agg smooths away — the RANGE frame sees the true per-event
+    trailing window, not bucket-aligned approximations). One user-keyed
+    window shuffle; the frame is integer-exact on epoch seconds."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_seconds(ev, "ts").alias("es"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("es"))
+        .rangeBetween(-59, 0)
+    )
+    return (
+        e.withColumn("burst", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("burst").cast("bigint").alias("max_burst_60s"))
+    )
+
+
+@register(
+    "curriculum_order",
+    """
+SELECT doc_id,
+       CAST(least(n_chars // 500, 3) AS BIGINT) AS bucket,
+       CAST(row_number() OVER (
+              PARTITION BY least(n_chars // 500, 3)
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+            AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: bucket documents by length tier
+    (the easy→hard axis), then shuffle WITHIN each bucket with an
+    md5-keyed deterministic permutation — epoch-stable, seedable by
+    salting the hash input, and restatable in SQL (the md5 trick every
+    sampler in this repo uses, operators/sampling.py). The within-bucket
+    window is the unavoidable total order a curriculum needs; at 100 TB
+    shard the permutation by hash-range per bucket (rank within shard +
+    shard offset) to avoid a single-task sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.expr("n_chars DIV 500"), F.lit(3)
+    ).cast("bigint")
+    w = Window.partitionBy(bucket).orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )
+
+
+@register(
+    "quality_score_quantile_norm",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_ppm
+FROM r
+""",
+)
+def q_quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality signal (n_chars as
+    the stand-in score): map each doc to its within-source percentile
+    rank in ppm, making scores comparable ACROSS sources with different
+    scales — the normalization step before mixing corpora by quality
+    threshold (a fixed global cutoff over-prunes terse sources). Exact
+    integer ranks; at 100 TB swap row_number for a two-pass histogram
+    percentile (same monotone output, no per-source total sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.asc("n_chars"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("n") > 1,
+            F.floor(((F.col("rk") - 1) * 1000000) / (F.col("n") - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr_ppm"),
+    )
+
+
+_PAD_BUCKET_SQL = """CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+         WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+         WHEN n <= 4096 THEN 4096 ELSE 8192 END"""
+
+
+@register(
+    "padding_waste_by_bucket",
+    f"""
+WITH t AS (SELECT len({_toks('text')}) AS n FROM documents),
+b AS (SELECT n, {_PAD_BUCKET_SQL} AS bucket FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(sum(bucket - n) AS BIGINT) AS sum_padding,
+       CAST((sum(bucket - n) * 1000000) // (count(*) * bucket) AS BIGINT)
+         AS waste_ppm
+FROM b GROUP BY bucket
+""",
+)
+def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed training batches: bucket
+    docs to the next power-of-two token length and measure the fraction
+    of each bucket's batch capacity lost to padding — the number that
+    decides between bucketed batching and sequence packing
+    (pack_training_sequences). Narrow projection + one tiny aggregation;
+    the CASE ladder is constant-folded comparison chains, no log2 float."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(tokenize(F.col("text"))).alias("n"))
+    b = t.withColumn("bucket", F.expr(_PAD_BUCKET_SQL))
+    return (
+        b.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias(
+                "sum_padding"
+            ),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "sum_padding",
+            F.floor(
+                (F.col("sum_padding") * 1000000)
+                / (F.col("n_docs") * F.col("bucket"))
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+        )
+    )
+
+
+@register(
+    "token_budget_allocation",
+    f"""
+WITH d AS (SELECT source, len({_toks('text')}) AS n FROM documents),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail FROM d GROUP BY source),
+tot AS (SELECT CAST(sum(avail) AS BIGINT) AS t FROM s)
+SELECT source, avail,
+       CAST((100000 * avail) // t AS BIGINT) AS prop_alloc,
+       CAST(least((100000 * avail) // t, 30000, avail) AS BIGINT)
+         AS final_alloc
+FROM s CROSS JOIN tot
+""",
+)
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budgeting: allocate a 100k-token budget across
+    sources proportional to availability, capped at 30% per source (the
+    anti-domination rule of mixture recipes; the uncapped column shows
+    how much the cap clipped). One aggregation to source-cardinality
+    rows, then a broadcast of the 1-row total — integer exact. Remainder
+    redistribution is the caller's loop over this (source-count-sized)
+    output — driver-side by design, like every codebook here."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+    s = d.groupBy("source").agg(F.sum("n").cast("bigint").alias("avail"))
+    tot = s.agg(F.sum("avail").cast("bigint").alias("t"))
+    prop = F.floor((F.lit(100000) * F.col("avail")) / F.col("t")).cast(
+        "bigint"
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        prop.alias("prop_alloc"),
+        F.least(prop, F.lit(30000).cast("bigint"), F.col("avail")).alias(
+            "final_alloc"
+        ),
+    )
+
+
+@register(
+    "lineitem_covariance_moments",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qc) AS BIGINT) AS sum_q_centi,
+       CAST(sum(pc) AS BIGINT) AS sum_p_centi,
+       CAST(sum(qc * pc) AS BIGINT) AS sum_qp
+FROM m GROUP BY l_returnflag
+""",
+)
+def q_lineitem_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance moments (n, Σx, Σy, Σxy) per return flag in
+    integer centi-units — the sufficient statistics for covariance /
+    correlation / OLS slope, emitted as order-free BIGINT sums instead
+    of a rounded float (the engine-parity rule: never output a float
+    division, emit the moments — see also quality_classifier_fit).
+    Callers compute cov = (n·Σxy − Σx·Σy)/n² driver-side. One map-side
+    combined aggregation, no shuffle beyond the 3-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+    )
+    return m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qc").cast("bigint").alias("sum_q_centi"),
+        F.sum("pc").cast("bigint").alias("sum_p_centi"),
+        F.sum(F.col("qc") * F.col("pc")).cast("bigint").alias("sum_qp"),
+    )
+
+
+@register(
+    "ann_ivfpq_refined",
+    """
+WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cid, emb AS cv FROM base WHERE vec_id < 8),
+ad AS (SELECT b.vec_id, c.cid, 1.0 - list_dot_product(b.emb, c.cv) AS d
+       FROM base b CROSS JOIN cents c),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv
+       FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS code, emb
+             FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT 8))
+       CROSS JOIN ms),
+vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs FROM base CROSS JOIN ms),
+ed AS (SELECT v.vec_id, v.m, cb.code,
+              CAST(floor((list_dot_product(cb.cv, cb.cv)
+                          - 2 * list_dot_product(v.vs, cb.cv)) * 1000000)
+                   AS BIGINT) AS d
+       FROM vsub v JOIN cb ON v.m = cb.m),
+enc AS (SELECT vec_id, m, code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d ASC, code ASC) AS rn FROM ed) WHERE rn = 1),
+qf AS (SELECT vec_id AS query_id, emb AS qv FROM base WHERE vec_id < 5),
+qc AS (SELECT q.query_id, c.cid, 1.0 - list_dot_product(q.qv, c.cv) AS d
+       FROM qf q CROSS JOIN cents c),
+probes AS (SELECT query_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY d ASC, cid ASC) AS rn FROM qc)
+           WHERE rn <= 4),
+qsub AS (SELECT query_id, m, qv[m*8+1 : m*8+8] AS qs
+         FROM qf CROSS JOIN ms),
+lut AS (SELECT q.query_id, cb.m, cb.code,
+               CAST(floor((list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(q.qs, cb.cv)) * 1000000)
+                    AS BIGINT) AS d
+        FROM qsub q JOIN cb ON q.m = cb.m),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid),
+score AS (SELECT c.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_score
+          FROM cand c
+          JOIN enc e ON e.vec_id = c.vec_id
+          JOIN lut l ON l.query_id = c.query_id
+                    AND l.m = e.m AND l.code = e.code
+          GROUP BY c.query_id, c.vec_id),
+shortlist AS (SELECT query_id, vec_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_score ASC, vec_id ASC) AS rnk
+                 FROM score) WHERE rnk <= 32),
+exact AS (SELECT s.query_id, s.vec_id,
+                 1.0 - list_dot_product(b.emb, q.qv) AS distance
+          FROM shortlist s JOIN base b USING (vec_id)
+                           JOIN qf q USING (query_id)),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY distance ASC, vec_id ASC) AS rnk FROM exact)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, distance
+FROM rr WHERE rnk <= 10
+""",
+)
+def q_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact refine — the production ANN configuration the
+    round-5 recall ladder motivates (SCALE.md: IVFPQ recall is flat in
+    nprobe because quantization error dominates; exact re-ranking of a
+    4k-candidate ADC shortlist restores it — FAISS's IVFPQR shape).
+    The shortlist (32 per query) comes from integer LUT scoring without
+    touching floats; only those 32·|Q| rows are joined back to the float
+    embeddings for the exact cosine pass — at 100 TB the refine join is
+    shortlist-sized, never corpus-sized."""
+    from .functions.vectors import cosine_distance
+    from .operators.pq import ivfpq_search, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    shortlist = ivfpq_search(
+        emb, centroids, cb, queries,
+        n_codes=8, n_sub=8, dim=64, k=32, nprobe=4,
+    ).select("query_id", "vec_id")
+    exact = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_distance(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("query_vec"), lambda x: x.cast("double")),
+            ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", "distance")
+    )
+
+
+@register(
+    "customer_reorder_intervals",
+    """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  epoch_ns(o_orderdate) // 86400000000000 AS od
+           FROM orders),
+g AS (SELECT o_custkey,
+             od - lag(od) OVER (PARTITION BY o_custkey
+                                ORDER BY od ASC, o_orderkey ASC) AS gap_days
+      FROM o)
+SELECT CAST(least(gap_days // 30, 12) AS BIGINT) AS gap_month_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_days) AS BIGINT) AS sum_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-interval distribution: days between a customer's
+    consecutive orders, bucketed by month (capped at 12+) — the
+    repurchase-cycle histogram behind churn models. One customer-keyed
+    lag window + one tiny aggregation, integer day arithmetic from epoch
+    division (identical // semantics both engines)."""
+    from .functions.time import epoch_seconds
+
+    o = load_table(spark, sf_dir, "orders")
+    od = (epoch_seconds(o, "o_orderdate") / F.lit(86400)).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("od"), F.asc("o_orderkey")
+    )
+    g = o.select("o_custkey", "o_orderkey", od.alias("od")).withColumn(
+        "gap_days", F.col("od") - F.lag("od").over(w)
+    )
+    return (
+        g.filter(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.least(F.expr("gap_days DIV 30"), F.lit(12))
+            .cast("bigint")
+            .alias("gap_month_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        )
+    )
+
+
+_FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "forrest gren"),
+    (1, "metalic blu"),
+    (2, "burnishd rose"),
+]
+
+_FUZZY_VALUES = ", ".join(
+    f"({i}::BIGINT, '{s}')" for i, s in _FUZZY_QUERIES
+)
+
+
+@register(
+    "part_fuzzy_match",
+    f"""
+WITH q(query_id, qname) AS (VALUES {_FUZZY_VALUES}),
+qg AS (SELECT query_id, qname,
+              unnest(range(0, greatest(length(qname) - 2, 1))) AS i
+       FROM q),
+qtri AS (SELECT DISTINCT query_id, qname,
+                substr(qname, CAST(i + 1 AS INT), 3) AS tri
+         FROM qg),
+pg AS (SELECT p_partkey, lower(p_name) AS pname FROM part),
+pe AS (SELECT p_partkey, pname,
+              unnest(range(0, greatest(length(pname) - 2, 1))) AS i
+       FROM pg),
+ptri AS (SELECT DISTINCT p_partkey, pname,
+                substr(pname, CAST(i + 1 AS INT), 3) AS tri
+         FROM pe),
+cand AS (SELECT DISTINCT q.query_id, q.qname, p.p_partkey, p.pname
+         FROM qtri q JOIN ptri p USING (tri)),
+scored AS (SELECT query_id, p_partkey,
+                  CAST(levenshtein(qname, pname) AS BIGINT) AS edit_dist
+           FROM cand),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY edit_dist ASC, p_partkey ASC) AS rnk FROM scored)
+SELECT query_id, p_partkey, edit_dist, CAST(rnk AS BIGINT) AS rank
+FROM rr WHERE rnk <= 5
+""",
+)
+def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string lookup: misspelled part-name queries resolved by
+    character-trigram candidate generation (an equi-join on the trigram,
+    LSH-style — the corpus is never scanned with a quadratic distance
+    predicate) followed by exact Levenshtein scoring of candidates only.
+    The trigram prune is the scale move: at 100 TB the posting list
+    (tri -> keys) is the persisted index and a query touches only its
+    own trigrams' postings; classic edit-distance semantics are integer
+    and identical across engines."""
+    part = load_table(spark, sf_dir, "part")
+    q = spark.createDataFrame(_FUZZY_QUERIES, "query_id long, qname string")
+    # trigram sets via explode of index sequence (substr is 1-based)
+    qtri = (
+        q.select(
+            "query_id",
+            "qname",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("qname") - 3, F.lit(0)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "query_id",
+            "qname",
+            F.expr("substr(qname, CAST(i + 1 AS INT), 3)").alias("tri"),
+        )
+        .distinct()
+    )
+    ptri = (
+        part.select("p_partkey", F.lower("p_name").alias("pname"))
+        .select(
+            "p_partkey",
+            "pname",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("pname") - 3, F.lit(0)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "p_partkey",
+            "pname",
+            F.expr("substr(pname, CAST(i + 1 AS INT), 3)").alias("tri"),
+        )
+        .distinct()
+    )
+    cand = (
+        ptri.join(F.broadcast(qtri), "tri")
+        .select("query_id", "qname", "p_partkey", "pname")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "p_partkey",
+        F.levenshtein("qname", "pname").cast("bigint").alias("edit_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("edit_dist"), F.asc("p_partkey")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "p_partkey", "edit_dist", "rank")
+    )
+
+
+@register(
+    "parttype_concentration_hhi",
+    """
+WITH s AS (SELECT p.p_type, l.l_suppkey,
+                  CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+                       AS BIGINT) AS qty_centi
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2),
+t AS (SELECT p_type, CAST(sum(qty_centi) AS BIGINT) AS total
+      FROM s GROUP BY p_type),
+sh AS (SELECT s.p_type,
+              (s.qty_centi * 1000000) // t.total AS share_ppm
+       FROM s JOIN t USING (p_type))
+SELECT p_type,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM sh GROUP BY p_type
+""",
+)
+def q_parttype_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per part type: Herfindahl-Hirschman
+    index over supplier quantity shares, all-integer (shares floored to
+    ppm, HHI = Σ share² scaled back to ppm) — the data-mixture analog is
+    source concentration in a training corpus. Two aggregations plus a
+    broadcastable per-type totals join; the share math is deterministic
+    integer division in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_centi")
+        )
+    )
+    t = s.groupBy("p_type").agg(
+        F.sum("qty_centi").cast("bigint").alias("total")
+    )
+    sh = s.join(F.broadcast(t), "p_type").select(
+        "p_type",
+        F.floor((F.col("qty_centi") * 1000000) / F.col("total")).alias(
+            "share_ppm"
+        ),
+    )
+    return sh.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.floor(
+            F.sum(F.col("share_ppm") * F.col("share_ppm")) / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("hhi_ppm"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 20 = 0) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 20 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_apex_nodes
+FROM tri
+""",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the (sampled) co-purchase graph — the
+    third classic distributed graph kernel next to connected components
+    and PageRank (clustering-coefficient numerator; community-density
+    signal for graph-derived quality priors). Edges are canonicalized
+    u<v so each triangle is generated exactly once as (a<b<c) by two
+    equi-joins — the standard MapReduce triangle enumeration; at full
+    scale add the degree-ordering optimization (orient edges
+    low-degree→high-degree) to bound the join fan-out per node."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    a = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        F.countDistinct("a").cast("bigint").alias("n_apex_nodes"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -7109,7 +7862,20 @@ _GRADE_FIRST = [
     "embedding_pca_project",  # rows-only tier by nature (float moments)
     # round 5 additions (new this round, graded for the first time):
     "stream_attribution_batch_twin",
-    "dedup_semantic_capped",
+    "market_basket_pairs",
+    "docs_readability",
+    "events_transition_matrix",
+    "events_burst_users",
+    "curriculum_order",
+    "quality_score_quantile_norm",
+    "padding_waste_by_bucket",
+    "token_budget_allocation",
+    "lineitem_covariance_moments",
+    "ann_ivfpq_refined",
+    "customer_reorder_intervals",
+    "part_fuzzy_match",
+    "parttype_concentration_hhi",
+    "graph_triangle_count",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
