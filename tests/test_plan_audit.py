@@ -37,8 +37,10 @@ BOUNDED_BNLJ = {
     "dedup_embedding_cosine",
     "dedup_semantic",
     "eval_multi_method",
+    "ann_ivfpq_refined",  # 5-row query-vector broadcast in the refine pass
     "eval_retrieval_metrics",
     "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
+    "token_budget_allocation",  # 1-row grand-total broadcast
     "filtered_hybrid_search",
     "generation_eval_polling",
     "heaps_vocab_growth",  # 6-row threshold-ladder broadcast

@@ -221,3 +221,84 @@ def test_ivfpq_search_indexed_matches_in_plan(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_kmeans_codebook_shape_and_quantization_error_improves(spark):
+    # Lloyd-trained sub-codebooks (SCALE.md recall-ladder lever): dense
+    # (sub, code) grid preserved, and total quantization error (sum of
+    # true L2^2 from each sub-slice to its assigned code) must not get
+    # worse than the rank-rule seed codebook.
+    from vectorsearch_applications_spark.operators.pq import (
+        pq_codebook,
+        pq_codebook_kmeans,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
+    trained = pq_codebook_kmeans(emb, n_codes=8, n_sub=8, dim=64, iterations=2)
+    got = sorted(
+        (r["sub"], r["code"]) for r in trained.select("sub", "code").collect()
+    )
+    assert got == [(s, c) for s in range(8) for c in range(8)]
+
+    def qerr(cb):
+        codes = pq_encode(emb, cb, n_sub=8, dim=64)
+        joined = codes.join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        ).crossJoin(
+            F.broadcast(
+                cb.groupBy().agg(
+                    F.map_from_arrays(
+                        F.collect_list(
+                            F.concat_ws(
+                                "_",
+                                F.col("sub").cast("string"),
+                                F.col("code").cast("string"),
+                            )
+                        ),
+                        F.collect_list("cvec"),
+                    ).alias("cbm")
+                )
+            )
+        )
+        err = joined.select(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.transform(
+                                "embedding", lambda x: x.cast("double")
+                            ),
+                            m * 8 + 1,
+                            8,
+                        ),
+                        F.element_at(
+                            "cbm",
+                            F.concat_ws(
+                                "_",
+                                m.cast("string"),
+                                F.element_at("codes", m + 1).cast("string"),
+                            ),
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            ).alias("e")
+        ).agg(F.sum("e")).collect()[0][0]
+        return err
+
+    e_seed, e_trained = qerr(seed), qerr(trained)
+    assert e_trained <= e_seed * 1.0001, (e_seed, e_trained)
+    # and the ADC pipeline runs on the trained codebook with no NULLs
+    codes = pq_encode(emb, trained, n_sub=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = pq_adc_search(codes, trained, q, k=5).collect()
+    assert len(rows) == 10 and all(r["adc_score"] is not None for r in rows)

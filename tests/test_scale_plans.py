@@ -333,3 +333,45 @@ def test_partitioned_collection_prunes_directories(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert scan.count() == 250
+
+
+def test_fuzzy_match_broadcasts_query_trigrams(spark):
+    # part_fuzzy_match: candidate generation must be a broadcast hash join
+    # on the trigram (query side tiny), never a distance-predicate join
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["part_fuzzy_match"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_basket_pair_join_is_equi_on_order(spark):
+    # the pair self-join keys on l_orderkey (bounded per-order fanout),
+    # which must compile to a hash/merge equi-join
+    from vectorsearch_applications_spark.queries import get_queries
+
+    df = get_queries()["market_basket_pairs"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
+    # the blocked pair join must key on (centroid_id, _jblk), spreading a
+    # giant cluster over n_blocks join keys
+    from vectorsearch_applications_spark.operators.dedup import semantic_dedup
+    from vectorsearch_applications_spark.sources.io import load_table as lt
+
+    emb = lt(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    plan = _plan(semantic_dedup(emb, cents, threshold=0.5, n_blocks=8))
+    assert "_jblk" in plan
+    assert "CartesianProduct" not in plan

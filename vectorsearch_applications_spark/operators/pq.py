@@ -95,6 +95,84 @@ def pq_codebook(
     )
 
 
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-trained sub-codebooks — the quality lever the SCALE.md recall
+    ladder motivates: the deterministic rank-rule codebook (pq_codebook)
+    is cross-engine reproducible but quantizes poorly (its codes are
+    arbitrary corpus rows), so ADC recall flatlines; k-means per subspace
+    minimizes the actual quantization error ADC pays. Float means make
+    this path tests-only (no bitwise SQL oracle — same tier as
+    ivf_refine, graded through exhaustive-probe queries instead).
+
+    Plan per iteration (mirrors ivf_refine, per subspace):
+      1. encode: nearest-code assignment per (vector, subspace) — the
+         broadcast-argmin projection, corpus never shuffled;
+      2. re-center: posexplode the assigned sub-slices to
+         (sub, code, pos, x) and aggregate sum/count — map-side partial
+         aggregation reduces n·n_sub·sub_dim rows to
+         n_sub·K·sub_dim per partition before the one shuffle.
+    Empty codes keep their previous centroid. Lineage cut per round with
+    localCheckpoint. Output schema == pq_codebook: (sub, code, cvec).
+    """
+    sub_dim = dim // n_sub
+    cb = pq_codebook(corpus, n_codes, n_sub, dim, id_col, vec_col)
+    v = F.transform(F.col("_raw"), lambda x: x.cast("double"))
+    subs = (
+        corpus.select(F.col(vec_col).alias("_raw"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+            "_raw",
+        )
+        .select("sub", _sub(v, F.col("sub"), sub_dim).alias("xs"))
+    )
+    for _ in range(iterations):
+        assigned = subs.crossJoin(F.broadcast(_codebook_array(cb))).select(
+            "sub",
+            "xs",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("_cb"), lambda s: s["sub"] == F.col("sub")
+                    ),
+                    lambda s: F.struct(
+                        _d_int(F.col("xs"), s["cvec"]).alias("d"),
+                        s["code"].alias("code"),
+                    ),
+                )
+            )["code"].alias("code"),
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("xs").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec_new")
+            )
+        )
+        cb = (
+            cb.join(means, ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce("cvec_new", "cvec").alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
 def _codebook_array(codebook: DataFrame) -> DataFrame:
     return codebook.agg(
         F.array_sort(F.collect_list(F.struct("sub", "code", "cvec"))).alias(
