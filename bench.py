@@ -144,6 +144,8 @@ HEADLINE = [
     "part_fuzzy_match",
     "parttype_concentration_hhi",
     "graph_triangle_count",
+    "gopher_quality_flags",
+    "span_corruption_plan",
 ]
 
 

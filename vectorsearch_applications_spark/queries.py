@@ -7833,6 +7833,172 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_quality_flags",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_toks('text')} AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN (list_sum(list_transform(toks, x -> length(x))) * 100)
+                   // len(toks)
+              ELSE 0 END AS mean_word_len_centi,
+         CASE WHEN n_chars > 0
+              THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    * 1000000) // n_chars
+              ELSE 0 END AS symbol_ppm,
+         len(list_filter(toks,
+             x -> x IN ('the','a','an','of','to','in','and','is','on','that')))
+           AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(mean_word_len_centi AS BIGINT) AS mean_word_len_centi,
+       CAST(symbol_ppm AS BIGINT) AS symbol_ppm,
+       CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS ok_word_count,
+       CAST(mean_word_len_centi BETWEEN 300 AND 1000 AS BIGINT)
+         AS ok_mean_word_len,
+       CAST(symbol_ppm <= 100000 AS BIGINT) AS ok_symbol_ratio,
+       CAST(n_stop >= 2 AS BIGINT) AS ok_stopwords,
+       CAST((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len_centi BETWEEN 300 AND 1000)
+            AND symbol_ppm <= 100000 AND n_stop >= 2 AS BIGINT) AS keep
+FROM m
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gates (Rae et al. '21 §A1.1, public): word count
+    in [50, 100k], mean word length in [3, 10] chars, symbol-to-char
+    ratio <= 10%, >= 2 canonical stopwords — emitted as per-rule integer
+    flags plus the conjunction, so downstream mixes can ablate individual
+    rules (the flags query complements text_profile's continuous stats).
+    All integer/ppm arithmetic, single narrow projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(
+        n_words > 0, F.floor((sum_len.cast("bigint") * 100) / n_words)
+    ).otherwise(F.lit(0))
+    n_chars = F.length("text")
+    sym = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    sym_ppm = F.when(
+        n_chars > 0, F.floor((sym.cast("bigint") * 1000000) / n_chars)
+    ).otherwise(F.lit(0))
+    stops = [
+        "the", "a", "an", "of", "to", "in", "and", "is", "on", "that",
+    ]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(stops)))
+    ok_wc = n_words.between(50, 100000)
+    ok_mwl = mwl.between(300, 1000)
+    ok_sym = sym_ppm <= 100000
+    ok_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mwl.cast("bigint").alias("mean_word_len_centi"),
+        sym_ppm.cast("bigint").alias("symbol_ppm"),
+        ok_wc.cast("bigint").alias("ok_word_count"),
+        ok_mwl.cast("bigint").alias("ok_mean_word_len"),
+        ok_sym.cast("bigint").alias("ok_symbol_ratio"),
+        ok_stop.cast("bigint").alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_stop).cast("bigint").alias("keep"),
+    )
+
+
+@register(
+    "span_corruption_plan",
+    f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(range(0, len(toks)),
+           i -> md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(i AS VARCHAR)) < '26') AS mask
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
+       CAST(len(list_filter(range(0, n_tokens),
+                i -> mask[i + 1] AND (i = 0 OR NOT mask[i])))
+            AS BIGINT) AS n_spans,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (len(list_filter(mask, x -> x)) * 1000000) // n_tokens
+                 ELSE 0 END AS BIGINT) AS masked_ppm
+FROM m
+""",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. '20 §3.1.4,
+    public): decide deterministically which token positions to mask
+    (md5(doc_id:pos) under a ~15% threshold — the same retry-stable
+    md5-threshold idiom as every sampler here, so the mask is identical
+    on retry, across engines, and at any partitioning) and report the
+    span statistics (count of masked tokens and of contiguous mask runs)
+    that size the denoising targets. Entirely inside one Catalyst
+    projection over index sequences — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    mask = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+            )
+        )
+        < "26",
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.when(F.size("toks") > 0, mask)
+        .otherwise(F.array().cast("array<boolean>"))
+        .alias("mask"),
+    )
+    n_masked = F.size(F.filter("mask", lambda x: x))
+    # span starts: masked AND (first token OR previous unmasked). ANSI
+    # note: & / | are not short-circuit, so the i-1 lookup is clamped with
+    # greatest(i, 1) to keep element_at's index valid at i=0 (the when
+    # branch decides the value there).
+    n_spans = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+            lambda i: F.element_at("mask", i + 1)
+            & F.when(i == F.lit(0), F.lit(True)).otherwise(
+                ~F.element_at("mask", F.greatest(i, F.lit(1)))
+            ),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.when(F.col("n_tokens") > 0, n_spans)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((n_masked.cast("bigint") * 1000000) / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("masked_ppm"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -7876,6 +8042,8 @@ _GRADE_FIRST = [
     "part_fuzzy_match",
     "parttype_concentration_hhi",
     "graph_triangle_count",
+    "gopher_quality_flags",
+    "span_corruption_plan",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
