@@ -146,6 +146,8 @@ HEADLINE = [
     "graph_triangle_count",
     "gopher_quality_flags",
     "span_corruption_plan",
+    "distinct_count_fm_sketch",
+    "heavy_hitters_cms",
 ]
 
 

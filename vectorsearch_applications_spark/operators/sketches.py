@@ -1,0 +1,154 @@
+"""Mergeable cardinality / frequency sketches — the bounded-state answer
+to "how many distinct X" and "how often does Y occur" at 100 TB, where
+exact answers need a full shuffle of the key space but a sketch is a few
+KB of mergeable state per partition (the same role HyperLogLog /
+Count-Min play in every production engine; reference behavior: the course
+stack counts collections exactly via Weaviate aggregations —
+``weaviate_interface_v4.py:170-182`` get_doc_count — which this engine
+keeps, while the sketches cover the scales where exact is unaffordable).
+
+Determinism (the cross-engine contract): both sketches hash with the
+md5-hex-prefix→BIGINT idiom every sampler in this repo uses
+(``('0x' || substr(md5(x),1,8))::BIGINT`` == Spark ``conv(substr(md5(x),
+1,8),16,10)``), so bucket choices and trailing-zero ranks are bitwise
+identical in any engine — the ESTIMATES themselves are deterministic and
+oracle-checkable, unlike seeded-random implementations.
+
+- ``fm_distinct_sketch``: Flajolet-Martin (Flajolet & Martin, JCSS '85 —
+  public): per group, R = max over values of rho(h) (trailing-zero count
+  of the 32-bit hash). 2^R estimates the distinct count within a factor
+  of ~1.6; stochastic averaging over 2^b buckets tightens it. State per
+  group is ONE integer per bucket and merges with max() — the mergeable
+  aggregation shape AQE map-side-combines for free.
+- ``cms_counts`` / ``cms_estimate``: Count-Min (Cormode & Muthukrishnan,
+  J.Alg '05 — public): d independent hash rows × w buckets of integer
+  sums; estimate = min over rows of the bucket count. State is d·w
+  integers regardless of key cardinality; merges with +.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h32(col: Column) -> Column:
+    """The repo-standard deterministic 32-bit hash: first 8 md5 hex chars
+    as a BIGINT (engine-portable: DuckDB ('0x'||…)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _rho(h: Column) -> Column:
+    """Trailing-zero count of h's binary form via the shared regex (both
+    engines: length(regexp_extract(bin(h), '0*$'))); h=0 → 32 (all 32
+    hash bits zero)."""
+    return (
+        F.when(h == 0, F.lit(32))
+        .otherwise(
+            F.length(F.regexp_extract(F.bin(h), "0*$", 0))
+        )
+        .cast("int")
+    )
+
+
+def fm_distinct_sketch(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(group, exact_distinct, fm_r_max, fm_estimate_pow2): the FM sketch
+    next to the exact answer it approximates (the exact column is the
+    evaluation harness; at real scale you keep only the sketch).
+
+    fm_r_max = max over buckets of (max rho within bucket) — reported at
+    bucket granularity the estimate is 2^R · n_buckets; here we emit the
+    raw 2^R power so the oracle stays integer-exact (no 0.77351 phi
+    correction, which is a float constant the caller applies).
+
+    Plan: one projection computes (bucket, rho) per row, one aggregation
+    per (group, bucket) takes max(rho) — map-side combinable, state
+    n_buckets integers per group — and one per-group reduction. The
+    exact distinct count rides the same shuffle via countDistinct.
+    """
+    h = _h32(F.col(value_col).cast("string"))
+    bucket = (h % n_buckets).cast("int")
+    rho = _rho(F.floor(h / F.lit(n_buckets)).cast("bigint"))
+    base = rows.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("string").alias("_v"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    per_bucket = base.groupBy("grp", "bucket").agg(
+        F.max("rho").alias("r_bucket"),
+        F.countDistinct("_v").alias("nd_bucket"),
+    )
+    return per_bucket.groupBy("grp").agg(
+        F.sum("nd_bucket").cast("bigint").alias("exact_distinct"),
+        F.max("r_bucket").cast("bigint").alias("fm_r_max"),
+        # shiftleft's python signature wants a literal bit count, so the
+        # column-valued shift goes through the SQL form
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(max(r_bucket) AS INT))"
+            " AS BIGINT)"
+        ).alias("fm_estimate_pow2"),
+    ).withColumnRenamed("grp", group_col)
+
+
+def cms_counts(
+    rows: DataFrame,
+    term_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The Count-Min table: (row_j, bucket, count) — d·w integers total,
+    built with ONE explode-by-d pass and one map-side-combined
+    aggregation. Persist it per corpus shard and merge shards by summing
+    matching cells."""
+    weight = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    base = rows.select(F.col(term_col).alias("_t"), weight.alias("_w")).select(
+        "_t", "_w", j
+    )
+    bucket = (
+        _h32(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("_t")))
+        % w
+    ).cast("int")
+    return (
+        base.select("j", bucket.alias("bucket"), "_w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_w").cast("bigint").alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(term, cms_estimate): min over the d rows of each term's bucket
+    count. ``terms`` is the (small) query set — the join broadcasts it
+    exploded by d, probing d·|terms| sketch cells."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    probes = terms.select(F.col(term_col).alias("_t")).select("_t", j)
+    probes = probes.select(
+        "_t",
+        "j",
+        (
+            _h32(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("_t")))
+            % w
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy(F.col("_t").alias(term_col))
+        .agg(F.min("count").cast("bigint").alias("cms_estimate"))
+    )
