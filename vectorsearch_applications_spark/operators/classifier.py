@@ -67,6 +67,10 @@ def logistic_fit(
             *[F.avg(err * F.col(c)).alias(f"g{j}") for j, c in enumerate(feature_cols)],
             F.avg(err).alias("gb"),
         ).collect()[0]
+        if sums["gb"] is None:
+            # empty training frame (avg over zero rows): zero weights are
+            # the only defensible fit; don't NoneType-crash mid-iteration
+            return weights
         grads = [sums[f"g{j}"] for j in range(d)] + [sums["gb"]]
         weights = [w - lr * g for w, g in zip(weights, grads)]
     return weights
@@ -92,6 +96,8 @@ def fit_summary(
             ).alias("acc")
         ).collect()[0]["acc"]
     )
+    if acc is None:
+        acc = 0.0  # avg over an empty training frame
     spark = df.sparkSession
     rows = [
         (name, float(w), float(acc))

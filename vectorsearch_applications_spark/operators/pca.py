@@ -53,6 +53,10 @@ def pca_fit(
     ).collect()
     import numpy as np
 
+    if not parts:
+        # empty corpus: no moments to diagonalize — empty fit, shaped so
+        # pca_project on an empty frame still composes (k×0 components)
+        return [], [], []
     n = sum(p["n"] for p in parts)
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
     ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0)
