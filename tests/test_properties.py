@@ -517,3 +517,82 @@ def test_rrf_matches_python_model(spark, lists, k):
     for r in got:
         assert abs(r["score"] - scores[r["doc_id"]]) < 1e-12
         assert r["n_lists"] == counts[r["doc_id"]]
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 4),
+)
+def test_fm_sketch_matches_python_model(spark, values, n_buckets_pow):
+    """FM rho/bucket/estimate vs a pure-Python md5 model — the sketch is
+    deterministic, so the match is exact, not statistical."""
+    import hashlib
+
+    from vectorsearch_applications_spark.operators.sketches import (
+        fm_distinct_sketch,
+    )
+
+    n_buckets = 2 ** n_buckets_pow
+    df = spark.createDataFrame(
+        [("g", v) for v in values], "grp string, v long"
+    )
+    got = fm_distinct_sketch(df, "grp", "v", n_buckets=n_buckets).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def rho(h):
+        if h == 0:
+            return 32
+        n = 0
+        while h % 2 == 0:
+            h //= 2
+            n += 1
+        return n
+
+    per_bucket: dict[int, int] = {}
+    for v in set(values):
+        h = h32(str(v))
+        b = h % n_buckets
+        per_bucket[b] = max(per_bucket.get(b, -1), rho(h // n_buckets))
+    want_r = max(per_bucket.values())
+    assert r["exact_distinct"] == len(set(values))
+    assert r["fm_r_max"] == want_r
+    assert r["fm_estimate_pow2"] == 2 ** want_r
+
+
+@SETTINGS
+@given(st.lists(st.sampled_from(WORDS), min_size=1, max_size=80))
+def test_cms_matches_python_model(spark, tokens):
+    import hashlib
+    from collections import Counter
+
+    from vectorsearch_applications_spark.operators.sketches import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    d, w = 3, 64
+    tf = Counter(tokens)
+    df = spark.createDataFrame(list(tf.items()), "term string, n long")
+    sketch = cms_counts(df, "term", d=d, w=w, weight_col="n")
+    est = cms_estimate(
+        sketch, df.select("term"), term_col="term", d=d, w=w
+    ).collect()
+
+    def bucket(j, t):
+        return int(hashlib.md5(f"{j}#{t}".encode()).hexdigest()[:8], 16) % w
+
+    cells: dict[tuple[int, int], int] = {}
+    for t, n in tf.items():
+        for j in range(d):
+            key = (j, bucket(j, t))
+            cells[key] = cells.get(key, 0) + n
+    want = {
+        t: min(cells[(j, bucket(j, t))] for j in range(d)) for t in tf
+    }
+    got = {r["term"]: r["cms_estimate"] for r in est}
+    assert got == want
