@@ -148,6 +148,9 @@ HEADLINE = [
     "span_corruption_plan",
     "distinct_count_fm_sketch",
     "heavy_hitters_cms",
+    "phrase_match_positional",
+    "dedup_cross_source_matrix",
+    "orders_unpivot_metrics",
 ]
 
 

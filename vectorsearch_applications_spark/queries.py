@@ -8099,6 +8099,168 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "phrase_match_positional",
+    f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS p
+        FROM d),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'hash')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(a.p) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+GROUP BY a.doc_id
+""",
+)
+def q_phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a POSITIONAL postings index (the Lucene
+    phrase-query plan BM25's bag-of-words postings can't answer): posting
+    rows carry (doc, term, position), and the phrase "table hash"
+    is an equi-join of the two terms' postings on (doc, adjacent
+    position). At 100 TB the positional index is the persisted artifact
+    (same build shape as bm25_save_index with one extra column) and a
+    phrase query touches only its terms' postings — candidate generation
+    never scans text. Output: docs containing the phrase, occurrence
+    count, first position."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    a = pos.filter(F.col("term") == "table").select("doc_id", "p")
+    b = pos.filter(F.col("term") == "hash").select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pb"] == a["p"] + 1))
+        .drop(b["doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("p").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 300
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM pos
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(shingle || '#' || seed), 1, 8))::BIGINT) AS minhash
+  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4) AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash-LSH near-dup pairs
+    rolled up by unordered source pair — which sources copy from which
+    (the audit that decides whether a 'new' corpus adds signal or
+    re-crawls an old one). Reuses the graded LSH pair machinery; the
+    rollup joins pair ids back to their sources (broadcastable dims) and
+    canonicalizes (least, greatest) so each source pair counts once."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs.filter(F.col("doc_id") < 300), num_hashes=16, band_size=4
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "orders_unpivot_metrics",
+    """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_centi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+  UNION ALL
+  SELECT o_orderpriority, 'n_customers', n_customers FROM m
+  UNION ALL
+  SELECT o_orderpriority, 'total_centi', total_centi FROM m
+)
+""",
+)
+def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the inverse of order_priority_pivot's
+    PIVOT): one aggregation produces the wide per-priority metrics row,
+    then ``stack`` melts it to (priority, metric, value) — the tidy shape
+    metric stores and plotting layers consume. stack() is a zero-shuffle
+    projection; the oracle restates it as UNION ALL."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_centi"),
+    )
+    return m.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'n_customers', n_customers,"
+            " 'total_centi', total_centi) AS (metric, value)"
+        ),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -8149,6 +8311,9 @@ _GRADE_FIRST = [
     "span_corruption_plan",
     "distinct_count_fm_sketch",
     "heavy_hitters_cms",
+    "phrase_match_positional",
+    "dedup_cross_source_matrix",
+    "orders_unpivot_metrics",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
