@@ -151,6 +151,7 @@ HEADLINE = [
     "phrase_match_positional",
     "dedup_cross_source_matrix",
     "orders_unpivot_metrics",
+    "graph_triangle_count_oriented",
 ]
 
 

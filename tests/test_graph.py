@@ -138,3 +138,25 @@ def test_fixed_rounds_exact_on_bounded_diameter_and_fewer_actions(spark):
     # the fixpoint run needs its convergence-count actions; the fixed-
     # rounds run must launch strictly fewer jobs
     assert n_fixed < n_fp, (n_fixed, n_fp)
+
+
+def test_oriented_triangle_count_equals_naive(spark):
+    # degree-oriented enumeration (graph.py triangle_count_oriented) must
+    # agree with the naive canonical two-join count — including on a
+    # "celebrity" star+clique graph where naive fan-out concentrates
+    from vectorsearch_applications_spark.operators.graph import (
+        triangle_count_oriented,
+    )
+
+    # graph: K4 on {1,2,3,4} (4 triangles) + star center 100 with leaves
+    # 10..30 (no triangles) + one closed leaf pair (1 triangle)
+    edges = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges += [(100, leaf) for leaf in range(10, 31)]
+    edges += [(10, 11)]  # closes triangle (100, 10, 11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_count_oriented(df).collect()[0]["n_triangles"]
+    assert got == 5
+
+    # reversed/duplicated edges don't change the count
+    df2 = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    assert triangle_count_oriented(df2).collect()[0]["n_triangles"] == 5

@@ -8261,6 +8261,53 @@ def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_count_oriented",
+    """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 20 = 0) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 20 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+""",
+)
+def q_graph_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (graph.py
+    triangle_count_oriented — Suri & Vassilvitskii WWW '11): wedges are
+    generated only at each triangle's minimum-(degree, id) vertex, so
+    per-node fan-out is bounded by O(√m) even with celebrity nodes. The
+    ORACLE is the naive canonical enumeration — hash-grading proves the
+    celebrity-proof plan computes the identical count."""
+    from .operators.graph import triangle_count_oriented
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    a = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = i.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count_oriented(edges)
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -8314,6 +8361,7 @@ _GRADE_FIRST = [
     "phrase_match_positional",
     "dedup_cross_source_matrix",
     "orders_unpivot_metrics",
+    "graph_triangle_count_oriented",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
