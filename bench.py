@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "orders_unpivot_metrics",
     "graph_triangle_count_oriented",
+    "parts_price_size_skyline",
 ]
 
 

@@ -8308,6 +8308,61 @@ def q_graph_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFra
     return triangle_count_oriented(edges)
 
 
+@register(
+    "parts_price_size_skyline",
+    """
+WITH m AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_centi,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+w AS (
+  SELECT p_partkey, price_centi, size,
+         max(size) OVER (ORDER BY price_centi ASC, size DESC, p_partkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_size_cheaper
+  FROM m
+)
+SELECT p_partkey, price_centi, size
+FROM w
+WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+""",
+)
+def q_parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE '01 —
+    public): parts not dominated on (price minimize, size maximize) —
+    the preference-query operator family. The naive formulation is an
+    O(n²) dominance anti-join; the 2-D case collapses to ONE ordered
+    window: sort by (price asc, size desc), keep a row iff its size
+    strictly beats the running max over everything at most as expensive
+    sorted before it (the sort order makes ties and equal prices
+    resolve identically in both engines; the tie row with the larger
+    size sorts first and dominates). At 100 TB the sort is a range-
+    partitioned total order — the same machinery as any global sort —
+    with the running max computed per range partition plus one
+    broadcastable per-partition prefix-max fix-up."""
+    part = load_table(spark, sf_dir, "part")
+    m = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_centi"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = Window.orderBy(
+        F.asc("price_centi"), F.desc("size"), F.asc("p_partkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        m.withColumn("best_size_cheaper", F.max("size").over(w))
+        .filter(
+            F.col("best_size_cheaper").isNull()
+            | (F.col("size") > F.col("best_size_cheaper"))
+        )
+        .select("p_partkey", "price_centi", "size")
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -8362,6 +8417,7 @@ _GRADE_FIRST = [
     "dedup_cross_source_matrix",
     "orders_unpivot_metrics",
     "graph_triangle_count_oriented",
+    "parts_price_size_skyline",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
