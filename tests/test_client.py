@@ -230,3 +230,14 @@ def test_dim_probe_cached_once_per_collection(client, spark, monkeypatch):
     monkeypatch.setattr(client, "_dim", cache_only)
     hits = client.vector_search("vecs", "probe twice", limit=3, backend="lsh")
     assert hits.count() == 3
+
+
+def test_ann_search_on_empty_collection_raises_clear_error(client, spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, embedding array<double>"
+    )
+    client.create_collection("empty_vecs", empty)
+    with _pytest.raises(ValueError, match="no rows"):
+        client.vector_search("empty_vecs", "anything", backend="lsh")

@@ -302,9 +302,13 @@ class SparkSearchClient:
         cached — array columns don't carry length in the Spark schema."""
         key = (collection, vector_col)
         if key not in self._dim_cache:
-            self._dim_cache[key] = len(
-                corpus.select("embedding").limit(1).collect()[0]["embedding"]
-            )
+            head = corpus.select("embedding").limit(1).collect()
+            if not head:
+                raise ValueError(
+                    f"collection {collection!r} has no rows (after filters);"
+                    " cannot infer embedding dimension for ANN search"
+                )
+            self._dim_cache[key] = len(head[0]["embedding"])
         return self._dim_cache[key]
 
     def _ann_search(
