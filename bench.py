@@ -153,6 +153,14 @@ HEADLINE = [
     "orders_unpivot_metrics",
     "graph_triangle_count_oriented",
     "parts_price_size_skyline",
+    "scd2_user_state",
+    "sample_weighted_orders",
+    "histogram_quantiles_binned",
+    "graph_2hop_reach",
+    "dedup_jaccard_prefix_filter",
+    "events_peak_concurrency",
+    "orders_mode_priority",
+    "join_key_skew_profile",
 ]
 
 

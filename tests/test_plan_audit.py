@@ -41,6 +41,9 @@ BOUNDED_BNLJ = {
     "eval_retrieval_metrics",
     "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
     "token_budget_allocation",  # 1-row grand-total broadcast
+    "sample_weighted_orders",  # 1-row max-weight broadcast
+    "histogram_quantiles_binned",  # 1-row total + 4-row quantile ladder
+    "join_key_skew_profile",  # 1-row total-rows broadcast
     "filtered_hybrid_search",
     "generation_eval_polling",
     "heaps_vocab_growth",  # 6-row threshold-ladder broadcast

@@ -45,6 +45,20 @@ def epoch_seconds(df: DataFrame, ts_col: str = "ts") -> Column:
     return ((us - F.pmod(us, F.lit(US_PER_SECOND))) / US_PER_SECOND).cast("bigint")
 
 
+def epoch_micros(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Whole epoch microseconds (BIGINT) — the exact-resolution sibling of
+    :func:`epoch_seconds` for orderings that must distinguish sub-second
+    event times (SCD2 validity intervals, run boundaries). Same dtype
+    dispatch; nanosecond sources floor-divide (driver testdata timestamps
+    are µs-aligned so this is lossless there)."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        return F.expr(f"{ts_col} DIV 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {ts_col})")
+    return F.unix_micros(F.col(ts_col))
+
+
 def to_timestamp_col(df: DataFrame, ts_col: str = "ts") -> Column:
     """A watermark-capable event-time column from any representation.
 

@@ -332,6 +332,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Set-similarity join with prefix filtering (Chaudhuri et al. ICDE'06;
+    Bayardo et al. WWW'07 "All-Pairs" — public): EXACT same output as
+    :func:`ngram_jaccard_pairs` at threshold num/den, but candidate pairs
+    are generated only from each document's PREFIX under a global
+    rarest-first token order, not from every shared shingle.
+
+    Prefix-filter principle: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, and any pair
+    with |A∩B| ≥ c must share a token within the first |A|−c+1 tokens of A
+    (sorted by the global order) — so joining prefixes of length
+    n − ⌈t·n⌉ + 1 on BOTH sides loses no qualifying pair. Rarest-first
+    ordering (document frequency asc, then token) makes prefixes land on
+    low-frequency tokens, so the candidate equi-join fans out far less
+    than the full shingle join. Threshold is a rational num/den so the
+    prefix length is exact integer arithmetic (no float ceil).
+
+    Scale shape: the only shuffles are the df-count agg (map-side
+    combinable, |vocab| keys), the per-doc row_number (doc-partitioned),
+    the prefix equi-join (rare keys by construction), and one candidate
+    pair join back to the per-doc shingle arrays; verification is
+    per-pair array_intersect — no full inverted-index self-join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sets_ = sh.select(
+        "doc_id",
+        F.array_distinct("sh").alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+    exploded = sets_.select(
+        "doc_id", "n_sh", F.explode("sh_set").alias("shingle")
+    )
+    df_counts = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ordered = exploded.join(df_counts, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1, ceil in exact integers
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - (
+            (F.col("n_sh") * threshold_num + threshold_den - 1)
+            / threshold_den
+        ).cast("bigint")
+        + 1
+    ).select("doc_id", "shingle")
+    pa = prefix.alias("a")
+    pb = prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets_.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets_.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        # same float comparison as ngram_jaccard_pairs (and the SQL
+        # oracle), so boundary ratios resolve identically
+        .filter(F.col("jaccard") >= threshold_num / threshold_den)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
 def embedding_neardup_pairs_bucketed(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -8363,6 +8363,477 @@ def q_parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_user_state",
+    """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                  epoch_ns(ts) // 1000 AS us, event_id FROM events),
+o AS (
+  SELECT *, lag(event_type)
+              OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM e
+),
+r AS (
+  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_seq
+  FROM o
+),
+runs AS (
+  SELECT user_id, run_seq, event_type AS state,
+         CAST(min(us) AS BIGINT) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run_seq, event_type
+)
+SELECT user_id, run_seq, state, valid_from_us,
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to_us,
+       n_events
+FROM runs
+""",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (Kimball SCD2) from an event
+    log: collapse each user's consecutive runs of the same state
+    (gaps-and-islands via lag + running boundary sum), then stamp validity
+    intervals — valid_from = run start, valid_to = next run's start, NULL
+    while current. Microsecond epochs (functions/time.epoch_micros) keep
+    sub-second orderings exact; event_id breaks same-instant ties. Scale:
+    both windows partition by user_id — the natural key distributes, no
+    global window anywhere."""
+    from .functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        epoch_micros(ev, "ts").alias("us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = (
+        e.withColumn("prev", F.lag("event_type").over(wo))
+        .withColumn(
+            "run_seq",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("prev") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            )
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    runs = r.groupBy(
+        "user_id", "run_seq", F.col("event_type").alias("state")
+    ).agg(
+        F.min("us").cast("bigint").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("run_seq")
+    return runs.select(
+        "user_id",
+        "run_seq",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wn).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "sample_weighted_orders",
+    """
+WITH w AS (SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS w_centi
+           FROM orders),
+m AS (SELECT max(w_centi) AS wmax FROM w)
+SELECT o_orderkey, w_centi
+FROM w, m
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        * wmax
+      < w_centi * 4294967296
+""",
+)
+def q_sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with INTEGER-exact inclusion (the
+    deterministic form of importance sampling for training-data mixing):
+    row i is kept iff hash32(key)/2³² < wᵢ/w_max, tested as the
+    cross-multiplied BIGINT inequality hash·w_max < wᵢ·2³² — no float in
+    the decision, so retries, engines, and partitionings all agree.
+    hash32 is the md5-prefix idiom shared with the split/sampling family.
+    Scale: one 1-row max broadcast + an embarrassingly parallel filter —
+    no data-sized shuffle at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("w_centi"),
+    )
+    wmax = w.agg(F.max("w_centi").alias("wmax"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(wmax))
+        .filter(h32 * F.col("wmax") < F.col("w_centi") * F.lit(4294967296))
+        .select("o_orderkey", "w_centi")
+    )
+
+
+@register(
+    "histogram_quantiles_binned",
+    """
+WITH b AS (SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin
+           FROM lineitem),
+h AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin),
+cum AS (SELECT bin, c,
+               CAST(sum(c) OVER (ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+        FROM h),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+q AS (SELECT unnest([25, 50, 75, 90]) AS q_pct)
+SELECT CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(min(CASE WHEN cum * 100 >= q_pct * total THEN bin END) * 100
+            AS BIGINT) AS est_price_lo_usd,
+       CAST(total AS BIGINT) AS total_rows
+FROM cum, n, q
+GROUP BY q_pct, total
+""",
+)
+def q_histogram_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantiles (the sketch every
+    distributed profiler uses when exact sorts are too expensive): bin
+    counts are a map-side-combinable aggregation whose partial states
+    merge by addition — the mergeability property that lets 1000
+    executors build ONE histogram with no data sort. Quantile q is read
+    off the cumulative bin counts as the first bin where cum ≥ ⌈q·N⌉,
+    tested in exact integers (cum·100 ≥ q_pct·N). The cumulative window
+    runs over |bins| rows — metadata-sized — never over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("bin")
+    )
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = h.withColumn(
+        "cum",
+        F.sum("c")
+        .over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    )
+    n = b.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (25, 50, 75, 90)])).alias(
+            "q_pct"
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(q))
+        .groupBy(F.col("q_pct").cast("bigint").alias("q_pct"), "total")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.col("q_pct") * F.col("total"),
+                        F.col("bin"),
+                    )
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("est_price_lo_usd")
+        )
+        .select(
+            "q_pct",
+            "est_price_lo_usd",
+            F.col("total").cast("bigint").alias("total_rows"),
+        )
+    )
+
+
+@register(
+    "graph_2hop_reach",
+    """
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_partkey % 20 = 0),
+e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+s AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+two AS (
+  SELECT DISTINCT s1.src AS node, s2.dst AS nb2
+  FROM s s1 JOIN s s2 ON s1.dst = s2.src
+  WHERE s2.dst <> s1.src
+)
+SELECT CAST(t.node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_2hop
+FROM two t
+WHERE NOT EXISTS (SELECT 1 FROM s o
+                  WHERE o.src = t.node AND o.dst = t.nb2)
+GROUP BY t.node
+""",
+)
+def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 2-hop reach per node (friend-of-friend counting, the seed
+    of graph features like local clustering and link prediction): over
+    the co-purchase part graph, count distinct nodes exactly two hops
+    away — neighbors-of-neighbors minus self minus direct neighbors
+    (left_anti on the symmetric edge list). All joins are equi-joins on
+    node ids; the DISTINCT before counting bounds duplicate paths. At
+    scale the s1⋈s2 fan-out is Σ deg², the same budget as triangle
+    counting — cap hub degrees upstream (graph.py's degree-oriented
+    variant) when the graph has celebrities."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    a = i.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = i.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("u"), F.greatest("pa", "pb").alias("v")
+        )
+        .distinct()
+    )
+    s = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).distinct()
+    s1 = s.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    s2 = s.select(F.col("src").alias("mid"), F.col("dst").alias("nb2"))
+    two = (
+        s1.join(s2, "mid")
+        .filter(F.col("nb2") != F.col("node"))
+        .select("node", "nb2")
+        .distinct()
+    )
+    direct = s.select(F.col("src").alias("node"), F.col("dst").alias("nb2"))
+    return (
+        two.join(direct, ["node", "nb2"], "left_anti")
+        .groupBy(F.col("node").cast("bigint").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_2hop"))
+    )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 400
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) * 10000) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.3
+""",
+)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (Chaudhuri ICDE'06 /
+    Bayardo WWW'07 All-Pairs — operators/dedup.py
+    ngram_jaccard_prefix_pairs): candidate pairs come only from each
+    doc's rarest-first shingle prefix of length n−⌈t·n⌉+1, then exact
+    array_intersect verification. The ORACLE is the naive full shingle
+    self-join — hash-grading proves the pruned candidate generation
+    loses no pair. This is the scale path for exact-threshold Jaccard
+    dedup when MinHash's approximation isn't acceptable."""
+    from .operators.dedup import ngram_jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pairs = ngram_jaccard_prefix_pairs(
+        docs, shingle_n=3, threshold_num=3, threshold_den=10
+    )
+    return pairs.select(
+        "doc_a", "doc_b", trunc4(F.col("jaccard")).alias("jaccard")
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS es FROM events),
+pts AS (
+  SELECT event_type, es AS t, 1 AS d FROM e
+  UNION ALL
+  SELECT event_type, es + 300 AS t, -1 AS d FROM e
+),
+g AS (SELECT event_type, t, sum(d) AS d FROM pts GROUP BY event_type, t),
+r AS (
+  SELECT event_type, t,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM g
+),
+p AS (SELECT event_type, max(conc) AS peak FROM r GROUP BY event_type)
+SELECT r.event_type,
+       CAST(p.peak AS BIGINT) AS peak_concurrent,
+       CAST(min(r.t) AS BIGINT) AS peak_at_es
+FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
+GROUP BY r.event_type, p.peak
+""",
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (max simultaneous activity — the
+    interval-overlap counting operator behind capacity sizing): each
+    event opens a [es, es+300) activity interval; +1/−1 deltas are
+    PRE-AGGREGATED per (type, second) so the running sum sees unique
+    ordered keys — end-exclusive touching intervals cancel exactly, and
+    the ordering is deterministic without a tie-break column. Output:
+    each type's peak and the first second it is reached. Scale: the
+    running sum partitions by event_type; for a single giant type,
+    range-partition time and prefix-fix the per-partition sums (same
+    recipe as the skyline window)."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", epoch_seconds(ev, "ts").alias("es"))
+    pts = e.select(
+        "event_type", F.col("es").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        e.select(
+            "event_type", (F.col("es") + 300).alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    g = pts.groupBy("event_type", "t").agg(F.sum("d").alias("d"))
+    r = g.withColumn(
+        "conc",
+        F.sum("d").over(
+            Window.partitionBy("event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    p = r.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        r.join(p, "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").cast("bigint").alias("peak_at_es"))
+        .select(
+            "event_type",
+            F.col("peak").cast("bigint").alias("peak_concurrent"),
+            "peak_at_es",
+        )
+    )
+
+
+@register(
+    "orders_mode_priority",
+    """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cnt AS (SELECT segment, pri, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY segment, pri),
+r AS (
+  SELECT *, row_number()
+              OVER (PARTITION BY segment ORDER BY n DESC, pri ASC) AS rk
+  FROM cnt
+)
+SELECT segment, pri AS mode_priority, n AS n_orders_at_mode
+FROM r WHERE rk = 1
+""",
+)
+def q_orders_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    lexicographic tie-break — the categorical summary statistic Spark
+    has no built-in exact aggregate for. Plan: count per (group, value)
+    (map-side combinable), then a row_number over the |values|-sized
+    count table — the window never touches row-level data, so the mode
+    of a 100 TB fact table costs one aggregation plus a metadata-sized
+    rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cnt = j.groupBy("segment", "pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("segment").orderBy(F.desc("n"), F.asc("pri"))
+    )
+    return (
+        cnt.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("pri").alias("mode_priority"),
+            F.col("n").alias("n_orders_at_mode"),
+        )
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    """
+WITH k AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY key),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total_rows FROM k),
+cc AS (SELECT c AS rows_per_key, CAST(count(*) AS BIGINT) AS n_keys
+       FROM k GROUP BY c)
+SELECT rows_per_key, n_keys,
+       CAST(rows_per_key * n_keys * 1000000 // total_rows AS BIGINT)
+         AS mass_ppm
+FROM cc, t
+""",
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (the profile you run BEFORE choosing a
+    join strategy at 100 TB): the multiplicity histogram of lineitem's
+    join key — for each rows-per-key multiplicity, how many keys have it
+    and what fraction of table mass (ppm, exact integer division) they
+    carry. A heavy tail here is the signal to salt or AQE-skew-join.
+    Two map-side-combinable aggregations; the histogram is
+    metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    t = k.agg(F.sum("c").cast("bigint").alias("total_rows"))
+    cc = k.groupBy(F.col("c").alias("rows_per_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    return cc.crossJoin(F.broadcast(t)).select(
+        "rows_per_key",
+        "n_keys",
+        F.expr("rows_per_key * n_keys * 1000000 DIV total_rows")
+        .cast("bigint")
+        .alias("mass_ppm"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -8418,6 +8889,16 @@ _GRADE_FIRST = [
     "orders_unpivot_metrics",
     "graph_triangle_count_oriented",
     "parts_price_size_skyline",
+    # late round-5 additions: 8 new operator families filling the
+    # 50-slot grading window
+    "scd2_user_state",
+    "sample_weighted_orders",
+    "histogram_quantiles_binned",
+    "graph_2hop_reach",
+    "dedup_jaccard_prefix_filter",
+    "events_peak_concurrency",
+    "orders_mode_priority",
+    "join_key_skew_profile",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
