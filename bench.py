@@ -161,6 +161,8 @@ HEADLINE = [
     "events_peak_concurrency",
     "orders_mode_priority",
     "join_key_skew_profile",
+    "bm25_prf_search",
+    "events_anomaly_zscore",
 ]
 
 

@@ -33,6 +33,7 @@ BOUNDED_BNLJ = {
     "ann_pq_adc",
     "ann_quantized_search",
     "bm25_multifield",
+    "bm25_prf_search",  # same 1-row corpus-stats broadcast as bm25_search, twice
     "bm25_search",
     "dedup_embedding_cosine",
     "dedup_semantic",

@@ -279,7 +279,22 @@ def bm25_scores_from_stats(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
     )
+    return bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
+    )
 
+
+def bm25_scores_from_terms(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    q_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Scoring core over an EXPLICIT (query_id, term) set — the entry point
+    for query-expansion flows (pseudo-relevance feedback) where round-2
+    terms come from feedback documents, not from tokenizing query text."""
     # term_stats spans the FULL corpus vocabulary (10^8-10^9 terms at
     # 100 TB of web text) — broadcasting it whole OOMs at exactly the
     # target scale. Semi-join it down to the query vocabulary first (the
@@ -355,6 +370,78 @@ def bm25_search(
     )
     return (
         scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def bm25_prf_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    fb_k: int = 5,
+    n_expand: int = 3,
+    limit: int = 10,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite — Lavrenko &
+    Croft SIGIR'01, Abdul-Jaleel TREC'04; reference analog: the retrieval
+    loop in src/weaviate_interface_v4.py where a user would manually
+    reformulate): round 1 retrieves top-``fb_k`` feedback docs per query,
+    the ``n_expand`` highest-mass terms of those docs (summed tf, original
+    query terms excluded, ties broken term-ascending) join the query's
+    term set at equal weight, and round 2 re-scores with the expanded set.
+
+    Scale shape: both rounds are the semi-join-then-broadcast scoring core
+    (the corpus postings never shuffle); the expansion-term derivation
+    joins postings against fb_k·|queries| feedback doc ids — a broadcast
+    semi-join on doc_id — and aggregates |feedback-doc vocab| rows. The
+    index is built once and shared by both rounds.
+    """
+    if cache_key is not None:
+        postings, term_stats, corpus_stats = bm25_cached_stats(
+            docs, cache_key, id_col, text_col
+        )
+    else:
+        postings, term_stats, corpus_stats = bm25_build_stats(
+            docs, id_col, text_col
+        )
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
+    )
+    s1 = bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    fb = (
+        s1.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= fb_k)
+        .select("query_id", "doc_id")
+    )
+    exp_sum = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tfs"))
+        .join(q_terms, ["query_id", "term"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("tfs"), F.asc("term"))
+    exp_terms = (
+        exp_sum.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= n_expand)
+        .select("query_id", "term")
+    )
+    all_terms = q_terms.union(exp_terms).distinct()
+    s2 = bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, all_terms, k1=k1, b=b
+    )
+    return (
+        s2.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
         .select("query_id", "doc_id", "rank", "score")
     )

@@ -8834,6 +8834,146 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_FORMULA = (
+    "ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))"
+    " * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))"
+)
+
+
+@register(
+    "bm25_prf_search",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+qterms AS (
+  SELECT query_id, unnest(list_distinct({_toks('query')})) AS term
+  FROM queries
+),
+r1 AS (
+  SELECT q.query_id, p.doc_id, sum({_BM25_FORMULA}) AS score
+  FROM qterms q JOIN postings p USING (term) JOIN termstats t USING (term)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM r1) WHERE rnk <= 5
+),
+expsum AS (
+  SELECT f.query_id, p.term, sum(p.tf) AS tfs
+  FROM fb f JOIN postings p USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.query_id = f.query_id AND q.term = p.term)
+  GROUP BY f.query_id, p.term
+),
+expterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY tfs DESC, term ASC) AS erk
+    FROM expsum) WHERE erk <= 3
+),
+allterms AS (
+  SELECT query_id, term FROM qterms
+  UNION
+  SELECT query_id, term FROM expterms
+),
+r2 AS (
+  SELECT a.query_id, p.doc_id, sum({_BM25_FORMULA}) AS score
+  FROM allterms a JOIN postings p USING (term) JOIN termstats t USING (term)
+  CROSS JOIN corpus c
+  GROUP BY a.query_id, p.doc_id
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM r2) WHERE rnk <= 10
+""",
+)
+def q_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (operators/bm25.py
+    bm25_prf_search — RM3-lite): top-5 feedback docs per query contribute
+    their 3 highest-tf unseen terms to the query at equal weight; round 2
+    re-scores with the expanded set. The index builds once for both
+    rounds; the oracle replays the full two-round plan in SQL."""
+    from .operators.bm25 import bm25_prf_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_prf_search(
+        docs,
+        _search_queries_df(spark),
+        fb_k=5,
+        n_expand=3,
+        limit=10,
+        cache_key=sf_dir,
+    )
+    return hits.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS es FROM events),
+h AS (SELECT event_type, es // 3600 AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, hour),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS sm,
+             CAST(sum(n * n) AS BIGINT) AS ssq
+      FROM h GROUP BY event_type)
+SELECT h.event_type,
+       CAST(h.hour * 3600 AS BIGINT) AS hour_start_es,
+       h.n AS n_events
+FROM h JOIN s USING (event_type)
+WHERE (h.n * s.k - s.sm) * (h.n * s.k - s.sm)
+      > 4 * (s.k * s.ssq - s.sm * s.sm)
+""",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging over hourly event volumes with ZERO float
+    arithmetic: bucket count x is anomalous for its type iff
+    |x − μ| > 2σ, tested as the cross-multiplied integer inequality
+    (x·k − Σx)² > 4·(k·Σx² − (Σx)²) — exactly equivalent to the float
+    z-score (both sides scaled by k²) but immune to summation-order and
+    rounding drift, so every engine and partitioning agrees on the flag
+    set. Two map-side-combinable aggregations + a |types|-row join."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", epoch_seconds(ev, "ts").alias("es"))
+        .withColumn("hour", F.expr("es DIV 3600"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("sm"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ssq"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("sm")
+    return (
+        h.join(s, "event_type")
+        .filter(
+            dev * dev
+            > 4 * (F.col("k") * F.col("ssq") - F.col("sm") * F.col("sm"))
+        )
+        .select(
+            "event_type",
+            (F.col("hour") * 3600).cast("bigint").alias("hour_start_es"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01; the
 # registry order below rotates every previously-ungraded query into that
 # window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
@@ -8899,6 +9039,8 @@ _GRADE_FIRST = [
     "events_peak_concurrency",
     "orders_mode_priority",
     "join_key_skew_profile",
+    "bm25_prf_search",
+    "events_anomaly_zscore",
 ]
 _GRADE_LAST = [
     "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
