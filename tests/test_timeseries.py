@@ -47,3 +47,71 @@ def test_gap_fill_grid_is_per_key(spark):
     out = resample_ffill(d, bucket_seconds=3600).collect()
     assert len([r for r in out if r["key"] == 1]) == 6  # hours 0..5
     assert len([r for r in out if r["key"] == 2]) == 1  # single bucket
+
+
+# --- scd2_intervals / peak_concurrency (driver parity: scd2_user_state,
+# events_peak_concurrency oracles) ---
+
+from vectorsearch_applications_spark.operators.timeseries import (  # noqa: E402
+    peak_concurrency,
+    scd2_intervals,
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, state string, us long, event_id long"
+    )
+
+
+def test_scd2_collapses_runs_and_stamps_intervals(spark):
+    d = _log(
+        spark,
+        [
+            (1, "a", 100, 1),
+            (1, "a", 200, 2),  # same run
+            (1, "b", 300, 3),  # new run
+            (1, "a", 400, 4),  # back to a -> third run, not merged
+        ],
+    )
+    out = {r["run_seq"]: r for r in scd2_intervals(d).collect()}
+    assert [out[i]["state"] for i in (1, 2, 3)] == ["a", "b", "a"]
+    assert out[1]["valid_from"] == 100 and out[1]["valid_to"] == 300
+    assert out[2]["valid_from"] == 300 and out[2]["valid_to"] == 400
+    assert out[3]["valid_to"] is None  # current row stays open
+    assert out[1]["n_events"] == 2
+
+
+def test_scd2_same_instant_ties_break_on_tie_col(spark):
+    # two states at the SAME microsecond: event_id orders them, so the
+    # run structure is deterministic (b follows a)
+    d = _log(spark, [(1, "a", 100, 1), (1, "b", 100, 2)])
+    out = sorted(scd2_intervals(d).collect(), key=lambda r: r["run_seq"])
+    assert [r["state"] for r in out] == ["a", "b"]
+    assert out[0]["valid_to"] == out[1]["valid_from"] == 100
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, t0 long, t1 long")
+
+
+def test_peak_concurrency_touching_intervals_do_not_overlap(spark):
+    # [0,10) and [10,20) touch: end-exclusive semantics -> peak 1
+    out = peak_concurrency(
+        _iv(spark, [("x", 0, 10), ("x", 10, 20)]), key_col="k"
+    ).collect()
+    assert out[0]["peak_concurrent"] == 1 and out[0]["peak_at"] == 0
+
+
+def test_peak_concurrency_overlap_and_first_instant(spark):
+    rows = [("x", 0, 10), ("x", 5, 15), ("x", 40, 50), ("y", 0, 5)]
+    out = {r["k"]: r for r in peak_concurrency(_iv(spark, rows), key_col="k").collect()}
+    assert out["x"]["peak_concurrent"] == 2 and out["x"]["peak_at"] == 5
+    assert out["y"]["peak_concurrent"] == 1 and out["y"]["peak_at"] == 0
+
+
+def test_peak_concurrency_identical_intervals_stack(spark):
+    out = peak_concurrency(
+        _iv(spark, [("x", 3, 9)] * 4), key_col="k"
+    ).collect()
+    assert out[0]["peak_concurrent"] == 4 and out[0]["peak_at"] == 3

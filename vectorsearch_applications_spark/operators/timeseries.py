@@ -78,3 +78,106 @@ def resample_ffill(
         F.last("obs_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("obs_value").isNull().cast("bigint").alias("is_gap"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "state",
+    order_col: str = "us",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals (Kimball SCD2) from an
+    ordered change log: consecutive runs of the same state per key
+    collapse to one row with [valid_from, valid_to) stamps — valid_to is
+    the NEXT run's start, NULL while current.
+
+    Gaps-and-islands: run boundaries via lag(state), run ids via a
+    running sum of boundary flags, then one aggregation per run. Ties at
+    the same ``order_col`` instant break on ``tie_col`` so the run
+    structure is deterministic. Both windows partition by the key — the
+    natural distribution key — so nothing here is a global window.
+
+    Returns (key, run_seq, state, valid_from, valid_to, n_events) with
+    valid_from/valid_to in the units of ``order_col``.
+    """
+    wo = Window.partitionBy(key_col).orderBy(order_col, tie_col)
+    r = (
+        df.withColumn("_prev", F.lag(state_col).over(wo))
+        .withColumn(
+            "run_seq",
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("_prev") != F.col(state_col)),
+                    1,
+                ).otherwise(0)
+            )
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    runs = r.groupBy(
+        key_col, "run_seq", F.col(state_col).alias("state")
+    ).agg(
+        F.min(order_col).cast("bigint").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wn = Window.partitionBy(key_col).orderBy("run_seq")
+    return runs.select(
+        key_col,
+        "run_seq",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wn).alias("valid_to"),
+        "n_events",
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    key_col: str = "event_type",
+    start_col: str = "t0",
+    end_col: str = "t1",
+) -> DataFrame:
+    """Sweep-line maximum interval overlap per key with EXACT
+    end-exclusive [start, end) semantics: +1/−1 deltas are
+    pre-aggregated per (key, instant) BEFORE the running sum, so a
+    touching pair (one ends exactly where another starts) nets to zero
+    at that instant and never double-counts — and the window input has
+    unique ordered keys, making the running sum deterministic without a
+    tie-break column.
+
+    Returns (key, peak_concurrent, peak_at) — the max simultaneous
+    intervals and the first instant it is reached. The running sum
+    partitions by key; a single giant key falls back to range-partition
+    + per-partition prefix fix-up (see SCALE.md).
+    """
+    pts = intervals.select(
+        key_col, F.col(start_col).alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(
+            key_col, F.col(end_col).alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    g = pts.groupBy(key_col, "t").agg(F.sum("d").alias("d"))
+    r = g.withColumn(
+        "conc",
+        F.sum("d").over(
+            Window.partitionBy(key_col)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    p = r.groupBy(key_col).agg(F.max("conc").alias("peak"))
+    return (
+        r.join(p, key_col)
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy(key_col, "peak")
+        .agg(F.min("t").cast("bigint").alias("peak_at"))
+        .select(
+            key_col,
+            F.col("peak").cast("bigint").alias("peak_concurrent"),
+            "peak_at",
+        )
+    )

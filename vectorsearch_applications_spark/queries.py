@@ -8404,6 +8404,7 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     both windows partition by user_id — the natural key distributes, no
     global window anywhere."""
     from .functions.time import epoch_micros
+    from .operators.timeseries import scd2_intervals
 
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
@@ -8412,35 +8413,16 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_micros(ev, "ts").alias("us"),
         "event_id",
     )
-    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
-    r = (
-        e.withColumn("prev", F.lag("event_type").over(wo))
-        .withColumn(
-            "run_seq",
-            F.sum(
-                F.when(
-                    F.col("prev").isNull()
-                    | (F.col("prev") != F.col("event_type")),
-                    1,
-                ).otherwise(0)
-            )
-            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("bigint"),
-        )
+    runs = scd2_intervals(
+        e, key_col="user_id", state_col="event_type",
+        order_col="us", tie_col="event_id",
     )
-    runs = r.groupBy(
-        "user_id", "run_seq", F.col("event_type").alias("state")
-    ).agg(
-        F.min("us").cast("bigint").alias("valid_from_us"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-    wn = Window.partitionBy("user_id").orderBy("run_seq")
     return runs.select(
         "user_id",
         "run_seq",
         "state",
-        "valid_from_us",
-        F.lead("valid_from_us").over(wn).alias("valid_to_us"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
         "n_events",
     )
 
@@ -8711,36 +8693,21 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partition time and prefix-fix the per-partition sums (same
     recipe as the skyline window)."""
     from .functions.time import epoch_seconds
+    from .operators.timeseries import peak_concurrency
 
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select("event_type", epoch_seconds(ev, "ts").alias("es"))
-    pts = e.select(
-        "event_type", F.col("es").alias("t"), F.lit(1).alias("d")
-    ).unionAll(
-        e.select(
-            "event_type", (F.col("es") + 300).alias("t"), F.lit(-1).alias("d")
-        )
+    iv = ev.select(
+        "event_type",
+        epoch_seconds(ev, "ts").alias("t0"),
+        (epoch_seconds(ev, "ts") + 300).alias("t1"),
     )
-    g = pts.groupBy("event_type", "t").agg(F.sum("d").alias("d"))
-    r = g.withColumn(
-        "conc",
-        F.sum("d").over(
-            Window.partitionBy("event_type")
-            .orderBy("t")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    out = peak_concurrency(
+        iv, key_col="event_type", start_col="t0", end_col="t1"
     )
-    p = r.groupBy("event_type").agg(F.max("conc").alias("peak"))
-    return (
-        r.join(p, "event_type")
-        .filter(F.col("conc") == F.col("peak"))
-        .groupBy("event_type", "peak")
-        .agg(F.min("t").cast("bigint").alias("peak_at_es"))
-        .select(
-            "event_type",
-            F.col("peak").cast("bigint").alias("peak_concurrent"),
-            "peak_at_es",
-        )
+    return out.select(
+        "event_type",
+        "peak_concurrent",
+        F.col("peak_at").alias("peak_at_es"),
     )
 
 
