@@ -596,3 +596,108 @@ def test_cms_matches_python_model(spark, tokens):
     }
     got = {r["term"]: r["cms_estimate"] for r in est}
     assert got == want
+
+
+# --- round-5 late operators: prefix-filtered Jaccard, sweep-line
+# concurrency, SCD2 intervals ---
+
+from vectorsearch_applications_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+    ngram_jaccard_prefix_pairs,
+)
+from vectorsearch_applications_spark.operators.timeseries import (  # noqa: E402
+    peak_concurrency,
+    scd2_intervals,
+)
+
+
+@SETTINGS
+@given(texts, st.sampled_from([(3, 10), (1, 2), (4, 5)]))
+def test_prefix_filter_always_equals_exact_join(spark, corpus, t):
+    num, den = t
+    # sparse ids on purpose: 7i+3 never dense, never zero-based
+    df = spark.createDataFrame(
+        [(7 * i + 3, s) for i, s in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, threshold=num / den).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_prefix_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    assert pruned == exact
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 10)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(intervals_strategy)
+def test_peak_concurrency_matches_brute_force(spark, iv):
+    rows = [("k", s, s + w) for s, w in iv]
+    df = spark.createDataFrame(rows, "k string, t0 long, t1 long")
+    (got,) = peak_concurrency(df, key_col="k").collect()
+    # brute force: concurrency at every instant (end-exclusive)
+    instants = range(0, max(s + w for s, w in iv) + 1)
+    conc = {
+        t: sum(1 for s, w in iv if s <= t < s + w) for t in instants
+    }
+    peak = max(conc.values())
+    first = min(t for t, c in conc.items() if c == peak)
+    assert got["peak_concurrent"] == peak
+    assert got["peak_at"] == first
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),          # user
+        st.sampled_from("abc"),     # state
+        st.integers(0, 20),         # time (collisions likely)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(events_strategy)
+def test_scd2_partitions_each_users_timeline(spark, ev):
+    rows = [
+        (u, s, t, i) for i, (u, s, t) in enumerate(ev)
+    ]  # event_id = input order, the tie-break
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, us long, event_id long"
+    )
+    out = scd2_intervals(df).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, runs in by_user.items():
+        runs.sort(key=lambda r: r["run_seq"])
+        # run_seq contiguous from 1; intervals chain exactly; counts add up
+        assert [r["run_seq"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]  # runs are maximal
+        assert runs[-1]["valid_to"] is None
+        assert sum(r["n_events"] for r in runs) == sum(
+            1 for (uu, _, _) in ev if uu == u
+        )
+        # reference: replay the user's events in (us, event_id) order
+        ordered = sorted(
+            [(t, i, s) for i, (uu, s, t) in enumerate(ev) if uu == u]
+        )
+        collapsed = []
+        for _, _, s in ordered:
+            if not collapsed or collapsed[-1] != s:
+                collapsed.append(s)
+        assert [r["state"] for r in runs] == collapsed
