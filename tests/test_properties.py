@@ -701,3 +701,24 @@ def test_scd2_partitions_each_users_timeline(spark, ev):
             if not collapsed or collapsed[-1] != s:
                 collapsed.append(s)
         assert [r["state"] for r in runs] == collapsed
+
+
+from vectorsearch_applications_spark.operators.timeseries import (  # noqa: E402
+    scd2_apply_increment,
+)
+
+
+@SETTINGS
+@given(events_strategy, st.integers(0, 20))
+def test_scd2_increment_equals_rebuild_at_any_split(spark, ev, split):
+    rows = [(u, s, t, i) for i, (u, s, t) in enumerate(ev)]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, us long, event_id long"
+    )
+    b1, b2 = df.filter(df.us < split), df.filter(df.us >= split)
+    dim = scd2_apply_increment(scd2_intervals(df.limit(0)), b1)
+    dim = scd2_apply_increment(dim, b2)
+    key = lambda r: (r["user_id"], r["run_seq"])  # noqa: E731
+    assert sorted(dim.collect(), key=key) == sorted(
+        scd2_intervals(df).collect(), key=key
+    )

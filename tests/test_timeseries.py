@@ -115,3 +115,56 @@ def test_peak_concurrency_identical_intervals_stack(spark):
         _iv(spark, [("x", 3, 9)] * 4), key_col="k"
     ).collect()
     assert out[0]["peak_concurrent"] == 4 and out[0]["peak_at"] == 3
+
+
+# --- scd2_apply_increment: incremental == full rebuild ---
+
+from vectorsearch_applications_spark.operators.timeseries import (  # noqa: E402
+    scd2_apply_increment,
+)
+
+FULL_LOG = [
+    # user 1: run continues across the batch boundary (merge path)
+    (1, "a", 100, 1), (1, "a", 200, 2), (1, "a", 300, 3), (1, "b", 400, 4),
+    # user 2: state flips exactly at the boundary (close path)
+    (2, "x", 100, 5), (2, "y", 250, 6), (2, "y", 350, 7),
+    # user 3: only in batch 1 (untouched by batch 2)
+    (3, "z", 50, 8),
+    # user 4: appears for the first time in batch 2 (no open run)
+    (4, "q", 400, 9), (4, "r", 500, 10),
+]
+SPLIT_AT = 250  # batch 1: us < 250, batch 2: us >= 250
+
+
+def test_scd2_increment_equals_full_rebuild(spark):
+    df = _log(spark, FULL_LOG)
+    b1 = df.filter(df.us < SPLIT_AT)
+    b2 = df.filter(df.us >= SPLIT_AT)
+    empty_dim = scd2_intervals(df.limit(0))
+    dim1 = scd2_apply_increment(empty_dim, b1)
+    dim2 = scd2_apply_increment(dim1, b2)
+    want = sorted(
+        scd2_intervals(df).collect(),
+        key=lambda r: (r["user_id"], r["run_seq"]),
+    )
+    got = sorted(dim2.collect(), key=lambda r: (r["user_id"], r["run_seq"]))
+    assert got == want
+
+
+def test_scd2_increment_batch1_alone_matches_rebuild_of_prefix(spark):
+    df = _log(spark, FULL_LOG)
+    b1 = df.filter(df.us < SPLIT_AT)
+    dim1 = scd2_apply_increment(scd2_intervals(df.limit(0)), b1)
+    want = sorted(
+        scd2_intervals(b1).collect(),
+        key=lambda r: (r["user_id"], r["run_seq"]),
+    )
+    got = sorted(dim1.collect(), key=lambda r: (r["user_id"], r["run_seq"]))
+    assert got == want
+
+
+def test_scd2_increment_empty_batch_is_identity(spark):
+    df = _log(spark, FULL_LOG)
+    dim = scd2_apply_increment(scd2_intervals(df.limit(0)), df)
+    dim2 = scd2_apply_increment(dim, df.limit(0))
+    assert sorted(dim.collect()) == sorted(dim2.collect())
