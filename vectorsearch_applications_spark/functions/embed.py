@@ -95,24 +95,28 @@ def hash_embed_ids(
     100 TB that rejoin is a full-corpus shuffle bought for columns the
     caller immediately drops. Zero-token docs yield no row (they have no
     exploded tokens); ``hash_embed_df`` is the all-rows/all-columns form.
+
+    Plan shape: hash per token occurrence inside ONE codegen'd project
+    (whole-stage subexpression elimination shares the md5 across the 16
+    byte-dims), then a single map-side-combined aggregation on the doc
+    id — token rows of a doc are co-located with their doc, so partial
+    aggregation collapses them before the shuffle. This replaced a
+    distinct-vocabulary + join formulation (hash once per DISTINCT
+    token): measured 40% slower at sf0.1 because the extra distinct
+    shuffle and join cost more than re-hashing occurrences, and the
+    vocab table is the one piece whose size an adversarial corpus
+    controls. Sums are exact (contributions are dyadic rationals k/256),
+    so the regrouping is bit-identical, not just approximately equal.
     """
     assert dim <= 16, "one md5 yields 16 byte-dims"
     toks = df.select(
         F.col(id_col).alias("_eid"), F.explode(tokenize(text_col)).alias("_t")
     )
-    vocab = toks.select("_t").distinct()
-    vec_cols = [
-        _dim_contrib(F.col("_t"), d).alias(f"_v{d}") for d in range(dim)
-    ]
-    vocab_vecs = vocab.select("_t", *vec_cols)
-    # no broadcast hint: natural-language vocabularies are usually small
-    # enough to broadcast and the planner/AQE will choose that, but an
-    # adversarial corpus can have unbounded distinct tokens — a forced
-    # broadcast would hit Spark's 8 GB cap, a shuffle join degrades safely
-    sums = (
-        toks.join(vocab_vecs, "_t")
-        .groupBy("_eid")
-        .agg(*[F.sum(f"_v{d}").alias(f"_s{d}") for d in range(dim)])
+    per_tok = toks.select(
+        "_eid", *[_dim_contrib(F.col("_t"), d).alias(f"_v{d}") for d in range(dim)]
+    )
+    sums = per_tok.groupBy("_eid").agg(
+        *[F.sum(f"_v{d}").alias(f"_s{d}") for d in range(dim)]
     )
     raw = F.array(*[F.col(f"_s{d}") for d in range(dim)])
     norm = F.sqrt(
