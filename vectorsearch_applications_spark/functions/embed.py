@@ -140,11 +140,10 @@ def hash_embed_df(
     """DataFrame-level hash embedding — same result as ``hash_embed_col``
     (up to float summation order), built for corpora.
 
-    The md5 hashing runs once per **distinct token** (a broadcast
-    vocabulary table of |vocab| × dim hashes), not once per token
-    occurrence × dim: embedding a corpus costs one explode + one broadcast
-    join + one wide aggregation, all codegen'd. At 100 TB the vocab table
-    is the only hash work and it is proportional to vocabulary, not corpus.
+    Embedding a corpus costs one explode + one codegen'd hashing project
+    (md5 shared across the dims by subexpression elimination) + one
+    map-side-combined aggregation — see ``hash_embed_ids`` for why this
+    beats a distinct-vocabulary + join formulation.
 
     Keeps every input row and column (zero-token docs get the zero
     vector) via a join against ``hash_embed_ids`` — use that narrow form
