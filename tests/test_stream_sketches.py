@@ -1,0 +1,116 @@
+"""stream==batch for the fenced sketch folds (streaming/sketches.py):
+merging per-micro-batch sketches must equal the one-shot batch build —
+the mergeability property itself — and replays must be no-ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.operators.sketches import (
+    cms_counts,
+    cms_estimate,
+    fm_distinct_sketch,
+)
+from vectorsearch_applications_spark.streaming.sketches import (
+    stream_cms_collection,
+    stream_fm_collection,
+)
+
+TERMS = (
+    [("spark",)] * 7 + [("join",)] * 4 + [("agg",)] * 2 + [("rare",)]
+)
+
+
+def _src(spark, tmp_path, rows, schema, n_files):
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    per = (len(rows) + n_files - 1) // n_files
+    for k in range(n_files):
+        rows_k = [r for i, r in enumerate(rows) if i // per == k]
+        if rows_k:
+            spark.createDataFrame(rows_k, schema).coalesce(1).write.parquet(
+                f"{src}/b{k}"
+            )
+    return df, src
+
+
+def test_stream_cms_equals_batch_build_and_fences_replays(spark, tmp_path):
+    df, src = _src(spark, tmp_path, TERMS, "term string", 3)
+
+    def run(ck):
+        q = stream_cms_collection(
+            spark,
+            spark.readStream.schema("term string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            str(tmp_path),
+            "cms",
+            str(tmp_path / ck),
+            d=3,
+            w=64,
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    got = {
+        (r["j"], r["bucket"]): r["count"]
+        for r in spark.read.parquet(str(tmp_path / "cms")).collect()
+    }
+    want = {
+        (r["j"], r["bucket"]): r["count"]
+        for r in cms_counts(df, "term", d=3, w=64).collect()
+    }
+    assert got == want
+
+    # estimates off the streamed table match estimates off the batch table
+    qterms = spark.createDataFrame([("spark",), ("join",)], "term string")
+    est = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(
+            spark.read.parquet(str(tmp_path / "cms")), qterms, d=3, w=64
+        ).collect()
+    }
+    assert est["spark"] >= 7 and est["join"] >= 4  # CMS never undercounts
+
+    # fresh-checkpoint full replay (at-least-once) must not double cells
+    run("ck2")
+    again = {
+        (r["j"], r["bucket"]): r["count"]
+        for r in spark.read.parquet(str(tmp_path / "cms")).collect()
+    }
+    assert again == want
+
+
+def test_stream_fm_equals_batch_sketch(spark, tmp_path):
+    rows = [("g1", f"u{i}") for i in range(40)] + [
+        ("g2", f"u{i}") for i in range(5)
+    ]
+    df, src = _src(spark, tmp_path, rows, "grp string, v string", 2)
+
+    q = stream_fm_collection(
+        spark,
+        spark.readStream.schema("grp string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        str(tmp_path),
+        "fm",
+        str(tmp_path / "ck"),
+        group_col="grp",
+        value_col="v",
+        n_buckets=8,
+    )
+    q.awaitTermination(180)
+
+    streamed = (
+        spark.read.parquet(str(tmp_path / "fm"))
+        .groupBy("grp")
+        .agg(F.max("r_bucket").cast("bigint").alias("fm_r_max"))
+    )
+    got = {r["grp"]: r["fm_r_max"] for r in streamed.collect()}
+    want = {
+        r["grp"]: r["fm_r_max"]
+        for r in fm_distinct_sketch(df, "grp", "v", n_buckets=8).collect()
+    }
+    assert got == want

@@ -1,0 +1,103 @@
+"""Streaming sketch maintenance — mergeable sketches folded over a
+stream via the fenced foreachBatch harness (streaming/fenced.py).
+
+Mergeability IS the streaming story: a Count-Min table merges by summing
+matching cells and an FM sketch by taking per-bucket maxima, so the
+streaming accumulator is literally ``merge(state, sketch(batch))`` — the
+same reduction the batch build runs across partitions, applied across
+TIME instead. stream==batch equality (test_stream_sketches.py) is the
+mergeability property itself, exercised over micro-batches.
+
+Replays are fenced (summed cells double-count on replay; maxima would
+survive it, but both go through the same harness for uniformity — one
+correctness argument instead of two).
+
+State size is the sketch's own bound — d·w cells for CMS, n_buckets
+integers per group for FM — regardless of how many events the stream has
+carried: the bounded-state answer to "top terms / distinct users so far"
+on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fenced import fenced_fold_stream
+
+
+def stream_cms_collection(
+    spark: SparkSession,
+    terms_stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    term_col: str = "term",
+    d: int = 4,
+    w: int = 1024,
+):
+    """Fold a term stream into a persisted Count-Min table at
+    ``root/name``: cells (j, bucket, count) merge by +. Returns the
+    StreamingQuery (caller awaits)."""
+    from ..operators.sketches import cms_counts
+
+    def fold(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        fresh = cms_counts(batch, term_col, d=d, w=w)
+        if current is None:
+            return fresh
+        return (
+            current.unionByName(fresh)
+            .groupBy("j", "bucket")
+            .agg(F.sum("count").cast("bigint").alias("count"))
+        )
+
+    return fenced_fold_stream(
+        spark, terms_stream, root, name, checkpoint_dir, fold
+    )
+
+
+def stream_fm_collection(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+):
+    """Fold a value stream into persisted per-group FM bucket maxima at
+    ``root/name``: state rows (group, bucket, r_bucket) merge by max().
+    The exact-distinct evaluation column of the batch sketch is
+    deliberately NOT carried — exactness is what unbounded streams can't
+    afford; the estimate is what the state bound buys. Returns the
+    StreamingQuery (caller awaits)."""
+    from ..operators.sketches import _h32, _rho
+
+    def bucket_maxima(batch: DataFrame) -> DataFrame:
+        h = _h32(F.col(value_col).cast("string"))
+        return (
+            batch.select(
+                F.col(group_col).alias("grp"),
+                (h % n_buckets).cast("int").alias("bucket"),
+                _rho(F.floor(h / F.lit(n_buckets)).cast("bigint")).alias(
+                    "rho"
+                ),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").cast("bigint").alias("r_bucket"))
+        )
+
+    def fold(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        fresh = bucket_maxima(batch)
+        if current is None:
+            return fresh
+        return (
+            current.unionByName(fresh)
+            .groupBy("grp", "bucket")
+            .agg(F.max("r_bucket").cast("bigint").alias("r_bucket"))
+        )
+
+    return fenced_fold_stream(
+        spark, rows_stream, root, name, checkpoint_dir, fold
+    )
