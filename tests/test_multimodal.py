@@ -91,3 +91,52 @@ def test_byte_histogram_features_exact(spark):
     assert out[2]["byte_entropy"] == 0.0 and out[2]["byte_hist"][7] == 1.0
     assert out[3]["byte_entropy"] == 0.0 and sum(out[3]["byte_hist"]) == 0.0
     assert all(len(r["byte_hist"]) == 256 for r in out.values())
+
+
+def test_resize_stub_batches_binary_in_binary_out(spark):
+    from vectorsearch_applications_spark.multimodal.binary import (
+        resize_media_batches,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in _media(spark)
+        .select("media_id", "payload")
+        .mapInPandas(
+            resize_media_batches(target_bytes=64),
+            schema="media_id bigint, orig_bytes bigint, out_bytes bigint, "
+            "payload binary",
+        )
+        .collect()
+    }
+    src = {r["media_id"]: bytes(r["payload"]) for r in _media(spark).collect()}
+    for mid, r in out.items():
+        b = src[mid]
+        k = max(1, -(-len(b) // 64))
+        assert r["orig_bytes"] == len(b)
+        assert bytes(r["payload"]) == b[::k]  # deterministic decimation
+        assert r["out_bytes"] <= 64  # the size contract a real resize has
+    # a second run is byte-identical (retry-stable)
+    again = {
+        r["media_id"]: bytes(r["payload"])
+        for r in _media(spark)
+        .select("media_id", "payload")
+        .mapInPandas(
+            resize_media_batches(target_bytes=64),
+            schema="media_id bigint, orig_bytes bigint, out_bytes bigint, "
+            "payload binary",
+        )
+        .collect()
+    }
+    assert again == {m: bytes(r["payload"]) for m, r in out.items()}
+
+
+def test_resize_real_path_gated(spark):
+    import pytest as _pytest
+
+    from vectorsearch_applications_spark.multimodal.binary import (
+        resize_media_batches,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        resize_media_batches(use_real_resizer=True)

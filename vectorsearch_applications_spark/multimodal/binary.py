@@ -135,3 +135,57 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+def resize_media_batches(
+    target_bytes: int = 1024,
+    use_real_resizer: bool = False,
+):
+    """mapInPandas function: (media_id, payload) → (media_id, orig_bytes,
+    out_bytes, payload) — the binary-IN/binary-OUT batch shape (decode
+    only reads bytes; resize must also WRITE a binary column through
+    Arrow, the part deployments get wrong first).
+
+    The deterministic stand-in is a stride decimation: keep every k-th
+    byte with k = ⌈n/target⌉ — a real byte transform with the exact
+    schema, batching, and size-bound contract a PIL/libav resize has
+    (output ≤ target_bytes, deterministic for a given input), minus the
+    pixel math this container cannot host. Gated exactly like
+    decode_image_batches.
+
+    Output schema: ``media_id bigint, orig_bytes bigint, out_bytes
+    bigint, payload binary``.
+    """
+    import pandas as pd
+
+    if use_real_resizer:
+        try:
+            from PIL import Image  # type: ignore  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image resize requires pillow; run with "
+                "use_real_resizer=False for the deterministic stub"
+            ) from e
+        raise NotImplementedError("real resizer wiring is deployment-specific")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            outs, orig_ns, out_ns = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = len(b)
+                k = max(1, -(-n // target_bytes))  # ceil, ≥1
+                out = b[::k]
+                outs.append(out)
+                orig_ns.append(n)
+                out_ns.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": orig_ns,
+                    "out_bytes": out_ns,
+                    "payload": outs,
+                }
+            )
+
+    return resize
