@@ -722,3 +722,65 @@ def test_scd2_increment_equals_rebuild_at_any_split(spark, ev, split):
     assert sorted(dim.collect(), key=key) == sorted(
         scd2_intervals(df).collect(), key=key
     )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(1, 60_000_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_matches_python_md5_model(spark, rows):
+    """sample_weighted_orders' integer inclusion rule == the pure-Python
+    md5 model: keep iff hash32(key)·w_max < w·2^32."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    wmax = max(w for _, w in rows)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    got = {
+        r["k"]
+        for r in df.crossJoin(
+            F.broadcast(df.agg(F.max("w").alias("wmax")))
+        )
+        .filter(h32 * F.col("wmax") < F.col("w") * F.lit(4294967296))
+        .collect()
+    }
+    expected = {
+        k
+        for k, w in rows
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) * wmax
+        < w * 2**32
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 1000), min_size=2, max_size=40),
+)
+def test_zscore_integer_rule_matches_float_zscore(spark, counts):
+    """The cross-multiplied BIGINT inequality (x·k−Σx)² > 4(k·Σx²−(Σx)²)
+    is exactly |x−μ| > 2σ (population σ) — verified against the float
+    form computed in Python with exact integer inputs."""
+    import math
+
+    k = len(counts)
+    sm = sum(counts)
+    ssq = sum(c * c for c in counts)
+    mu = sm / k
+    sigma = math.sqrt(max(ssq / k - mu * mu, 0.0))
+    for x in counts:
+        integer_rule = (x * k - sm) ** 2 > 4 * (k * ssq - sm * sm)
+        # compare to the float z-score away from the boundary (exactly ON
+        # the boundary the float form is rounding noise — the integer
+        # rule is the ground truth there)
+        if abs((x - mu) ** 2 - 4 * sigma * sigma) > 1e-6:
+            assert integer_rule == (abs(x - mu) > 2 * sigma)

@@ -114,3 +114,44 @@ def test_stream_fm_equals_batch_sketch(spark, tmp_path):
         for r in fm_distinct_sketch(df, "grp", "v", n_buckets=8).collect()
     }
     assert got == want
+
+
+def test_stream_histogram_equals_batch_bins(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 999)),) for _ in range(300)]
+    df, src = _src(spark, tmp_path, rows, "v double", 3)
+
+    from vectorsearch_applications_spark.streaming.sketches import (
+        stream_histogram_collection,
+    )
+
+    q = stream_histogram_collection(
+        spark,
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        str(tmp_path),
+        "hist",
+        str(tmp_path / "ck"),
+        value_col="v",
+        bin_width=100,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["bin"]: r["c"]
+        for r in spark.read.parquet(str(tmp_path / "hist")).collect()
+    }
+    want = {
+        r["bin"]: r["c"]
+        for r in df.select(
+            F.floor(F.col("v") / 100).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == 300

@@ -101,3 +101,43 @@ def stream_fm_collection(
     return fenced_fold_stream(
         spark, rows_stream, root, name, checkpoint_dir, fold
     )
+
+
+def stream_histogram_collection(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    value_col: str,
+    bin_width: int,
+):
+    """Fold a numeric stream into a persisted equi-width histogram at
+    ``root/name``: bins (bin, c) merge by + — the same additive partial
+    state that makes histogram_quantiles_binned one map-side-combined
+    aggregation in batch, accumulated across time instead. Quantile
+    reads off the streamed table use the identical cumulative-count rule,
+    so stream==batch histograms imply stream==batch quantiles
+    (test_stream_sketches.py). Returns the StreamingQuery."""
+
+    def fold(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        fresh = (
+            batch.select(
+                F.floor(F.col(value_col) / bin_width)
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        if current is None:
+            return fresh
+        return (
+            current.unionByName(fresh)
+            .groupBy("bin")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+
+    return fenced_fold_stream(
+        spark, rows_stream, root, name, checkpoint_dir, fold
+    )
