@@ -375,3 +375,25 @@ def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
     plan = _plan(semantic_dedup(emb, cents, threshold=0.5, n_blocks=8))
     assert "_jblk" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_embed_is_joinless_single_shuffle(spark):
+    """Corpus hash embedding (functions/embed.py hash_embed_ids): one
+    map-side-combined aggregation on the doc id and NOTHING else — no
+    vocab join stage (the formulation this replaced), no second
+    exchange. Guards the measured 40% win from regressing back."""
+    from vectorsearch_applications_spark.functions.embed import (
+        hash_embed_ids,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        hash_embed_ids(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan  # map-side combine before the one shuffle
