@@ -397,3 +397,41 @@ def test_collection_name_rejects_snapshot_and_staging_namespaces(
     for bad in ["x@y", "c__staging", "c__old"]:
         with _pytest.raises(ValueError):
             create_collection(spark, str(tmp_path), bad, df)
+
+
+def test_expire_snapshots_keeps_newest_and_protected(spark, tmp_path):
+    import os
+    import time
+
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        expire_snapshots,
+        list_snapshots,
+        rollback_collection,
+        snapshot_collection,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    create_collection(spark, root, "c", base)
+    for i, tag in enumerate(["a", "b", "c", "d"]):
+        snapshot_collection(root, "c", tag)
+        # mtime ordering must be unambiguous even on coarse filesystems
+        t = time.time() + i
+        os.utime(f"{root}/c@{tag}", (t, t))
+
+    removed = expire_snapshots(root, "c", keep_last=2)
+    assert removed == ["a", "b"]  # oldest first
+    assert list_snapshots(root, "c") == ["c", "d"]
+
+    # protected tags survive even outside the keep_last window
+    removed = expire_snapshots(root, "c", keep_last=0, keep=("d",))
+    assert removed == ["c"]
+    assert list_snapshots(root, "c") == ["d"]
+
+    # the surviving snapshot is still a valid rollback target (hard links
+    # of expired siblings never touched shared data files)
+    rollback_collection(root, "c", "d")
+    assert {r["text"] for r in spark.read.parquet(f"{root}/c").collect()} == {
+        "x"
+    }

@@ -110,6 +110,12 @@ class SparkSearchClient:
     def snapshots(self, name: str) -> list[str]:
         return _coll.list_snapshots(self.root, name)
 
+    def expire_snapshots(
+        self, name: str, keep_last: int = 3, keep: tuple[str, ...] = ()
+    ) -> list[str]:
+        """GC old tags (newest ``keep_last`` and ``keep`` survive)."""
+        return _coll.expire_snapshots(self.root, name, keep_last, keep)
+
     def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
         """What changed between tag and the live generation, per key."""
         from .operators.diff import snapshot_diff

@@ -443,6 +443,44 @@ def list_snapshots(root: str, name: str) -> list[str]:
     )
 
 
+def expire_snapshots(
+    root: str,
+    name: str,
+    keep_last: int = 3,
+    keep: tuple[str, ...] = (),
+) -> list[str]:
+    """Snapshot GC (the Iceberg ``expireSnapshots`` chore on plain
+    directories): delete all but the ``keep_last`` newest tags, never
+    touching tags listed in ``keep``. Age is the snapshot directory's
+    mtime (creation time — snapshots are never modified after linking),
+    not the tag string, so arbitrary tag names order correctly.
+
+    Deleting a snapshot only unlinks its hard links; data files still
+    referenced by the live generation or another snapshot keep their
+    other links — space is reclaimed exactly for the files ONLY the
+    expired tags referenced, the same refcount semantics a table
+    format's manifest GC provides. Returns the removed tags.
+    """
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    import shutil
+
+    tags = list_snapshots(root, name)
+    by_age = sorted(
+        tags,
+        key=lambda t: os.path.getmtime(os.path.join(root, f"{name}@{t}")),
+    )
+    protected = set(keep)
+    survivors = set(by_age[len(by_age) - keep_last :]) if keep_last else set()
+    removed = []
+    for t in by_age:
+        if t in protected or t in survivors:
+            continue
+        shutil.rmtree(os.path.join(root, f"{name}@{t}"))
+        removed.append(t)
+    return removed
+
+
 def rollback_collection(root: str, name: str, tag: str) -> None:
     """Restore the collection to a tagged snapshot (the snapshot remains).
     Same staged promotion as every other writer: link the snapshot into a
