@@ -435,3 +435,64 @@ def test_expire_snapshots_keeps_newest_and_protected(spark, tmp_path):
     assert {r["text"] for r in spark.read.parquet(f"{root}/c").collect()} == {
         "x"
     }
+
+
+def test_recover_collection_resolves_every_crash_state(spark, tmp_path):
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from vectorsearch_applications_spark.sources.collections import (
+        create_collection,
+        recover_collection,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame([(1, "old")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "new")], "doc_id long, text string")
+
+    def fresh(name):
+        create_collection(spark, root, name, base)
+        return os.path.join(root, name)
+
+    def read(name):
+        return {r["text"] for r in spark.read.parquet(f"{root}/{name}").collect()}
+
+    # clean
+    fresh("c0")
+    assert recover_collection(root, "c0") == "clean"
+
+    # crash BEFORE swap: staging written, live untouched -> discard staging
+    p = fresh("c1")
+    new.write.parquet(p + "__staging")
+    assert recover_collection(root, "c1") == "discarded_staging"
+    assert read("c1") == {"old"} and not os.path.isdir(p + "__staging")
+
+    # crash AFTER promotion, before cleanup -> discard old
+    p = fresh("c2")
+    new.write.parquet(p + "__staging")
+    os.rename(p, p + "__old")
+    os.rename(p + "__staging", p)
+    assert recover_collection(root, "c2") == "discarded_old"
+    assert read("c2") == {"new"} and not os.path.isdir(p + "__old")
+
+    # crash BETWEEN move-aside and promotion, staging complete -> finish
+    # the swap forward
+    p = fresh("c3")
+    new.write.parquet(p + "__staging")
+    os.rename(p, p + "__old")
+    assert recover_collection(root, "c3") == "promoted_staging"
+    assert read("c3") == {"new"} and not os.path.isdir(p + "__old")
+
+    # same window but staging INCOMPLETE (no _SUCCESS) -> roll back
+    p = fresh("c4")
+    new.write.parquet(p + "__staging")
+    os.remove(os.path.join(p + "__staging", "_SUCCESS"))
+    os.rename(p, p + "__old")
+    assert recover_collection(root, "c4") == "restored_old"
+    assert read("c4") == {"old"} and not os.path.isdir(p + "__staging")
+
+    # nothing to recover
+    with _pytest.raises(ValueError):
+        recover_collection(root, "nope")

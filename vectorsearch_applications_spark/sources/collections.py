@@ -481,6 +481,64 @@ def expire_snapshots(
     return removed
 
 
+def recover_collection(root: str, name: str) -> str:
+    """Resolve crash leftovers of the staged-swap protocol (stage →
+    move-aside → rename → delete) — the executable form of the
+    "a crash mid-swap leaves either the old or the new generation
+    recoverable" promise every writer here makes. Run it before reads
+    after an unclean shutdown (or from a janitor). Returns the action
+    taken:
+
+    - ``clean`` — live generation present, no leftovers.
+    - ``discarded_staging`` — crash before the swap: incomplete/unused
+      staging removed, live generation untouched.
+    - ``discarded_old`` — crash after promotion but before cleanup: the
+      moved-aside generation removed, live generation untouched.
+    - ``promoted_staging`` — crash between move-aside and promotion with
+      a COMPLETE staging (Spark's _SUCCESS marker): staging promoted,
+      old removed — finishes the interrupted swap forward.
+    - ``restored_old`` — same window but staging incomplete: the
+      moved-aside generation restored — rolls the swap back.
+
+    The _SUCCESS marker is the completeness criterion: Spark commits it
+    only after every task output is in place, so its presence means the
+    staging directory is a fully written generation.
+    """
+    import shutil
+
+    path = os.path.join(root, name)
+    tmp, old = path + "__staging", path + "__old"
+    has_path, has_tmp, has_old = (
+        os.path.isdir(path),
+        os.path.isdir(tmp),
+        os.path.isdir(old),
+    )
+    tmp_complete = has_tmp and os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+    if has_path:
+        action = "clean"
+        if has_tmp:
+            shutil.rmtree(tmp)
+            action = "discarded_staging"
+        if has_old:
+            shutil.rmtree(old)
+            action = "discarded_old" if action == "clean" else action
+        return action
+    if tmp_complete:
+        os.rename(tmp, path)
+        if has_old:
+            shutil.rmtree(old)
+        return "promoted_staging"
+    if has_old:
+        if has_tmp:
+            shutil.rmtree(tmp)
+        os.rename(old, path)
+        return "restored_old"
+    raise ValueError(
+        f"collection '{name}' has no live, staged, or moved-aside "
+        "generation to recover"
+    )
+
+
 def rollback_collection(root: str, name: str, tag: str) -> None:
     """Restore the collection to a tagged snapshot (the snapshot remains).
     Same staged promotion as every other writer: link the snapshot into a
