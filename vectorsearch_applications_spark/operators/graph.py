@@ -172,14 +172,19 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outd = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("odeg")
-    ).localCheckpoint(eager=False)
+    # out-degree is loop-invariant — attach it to the edge relation ONCE
+    # so each iteration is a single join + aggregation instead of
+    # rejoining degrees every round (the e⋈outd join repeated per
+    # iteration was pure waste: same inputs, same output, n_iter times).
+    # groupBy+join, not a src-partitioned window: a celebrity source's
+    # edges would all land in one window task, the exact skew shape this
+    # module bans elsewhere.
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e_deg = e.join(outd, "src").localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .join(outd, "src")
+            ranks.join(e_deg, ranks["node"] == e_deg["src"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank DIV odeg").alias("contrib"),
