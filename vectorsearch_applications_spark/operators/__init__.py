@@ -40,3 +40,9 @@ from .topk import pack_sequences
 from .bm25 import bm25_save_index, bm25_load_index, bm25_search_indexed
 from .mmr import mmr_diversify
 from .lsh import lsh_planes, lsh_bucket, lsh_search
+from .timeseries import (
+    peak_concurrency,
+    resample_ffill,
+    scd2_apply_increment,
+    scd2_intervals,
+)

@@ -1,3 +1,11 @@
+from .concurrency import stream_running_concurrency
+from .fenced import fenced_fold_stream
+from .scd2 import stream_scd2_collection
+from .sketches import (
+    stream_cms_collection,
+    stream_fm_collection,
+    stream_histogram_collection,
+)
 from .events import (
     tumbling_counts_batch,
     streaming_tumbling_counts,
@@ -8,4 +16,10 @@ __all__ = [
     "tumbling_counts_batch",
     "streaming_tumbling_counts",
     "stream_static_search_join",
+    "stream_running_concurrency",
+    "fenced_fold_stream",
+    "stream_scd2_collection",
+    "stream_cms_collection",
+    "stream_fm_collection",
+    "stream_histogram_collection",
 ]
