@@ -784,3 +784,130 @@ def test_zscore_integer_rule_matches_float_zscore(spark, counts):
         # rule is the ground truth there)
         if abs((x - mu) ** 2 - 4 * sigma * sigma) > 1e-6:
             assert integer_rule == (abs(x - mu) > 2 * sigma)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 100_000), min_size=1, max_size=60),
+    st.sampled_from([25, 50, 75, 90]),
+)
+def test_binned_quantile_brackets_exact_quantile(spark, values, q_pct):
+    """histogram_quantiles_binned's rule (first bin with cum·100 ≥ q·N)
+    returns the bin CONTAINING the exact order-statistic quantile — the
+    sketch's bracketing guarantee, checked against sorted ground truth."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    width = 100
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    h = (
+        df.select((F.col("v") / width).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    n = len(values)
+    est_bin = (
+        h.filter(F.col("cum") * 100 >= q_pct * n)
+        .agg(F.min("bin").alias("b"))
+        .collect()[0]["b"]
+    )
+    # exact order statistic at the same rank definition: ⌈q·N/100⌉-th
+    rank = -(-q_pct * n // 100)
+    exact = sorted(values)[rank - 1]
+    assert est_bin == exact // width  # the bin that holds the true value
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_two_hop_reach_matches_brute_force(spark, pairs):
+    from pyspark.sql import functions as F
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if not edges:
+        return
+    e = spark.createDataFrame(sorted(edges), "u long, v long")
+    s = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    s1 = s.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    s2 = s.select(F.col("src").alias("mid"), F.col("dst").alias("nb2"))
+    two = (
+        s1.join(s2, "mid")
+        .filter(F.col("nb2") != F.col("node"))
+        .select("node", "nb2")
+        .distinct()
+        .join(
+            s.select(F.col("src").alias("node"), F.col("dst").alias("nb2")),
+            ["node", "nb2"],
+            "left_anti",
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_2hop"))
+    )
+    got = {r["node"]: r["n_2hop"] for r in two.collect()}
+    # brute force
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        reach2 = set()
+        for m in nbrs:
+            reach2 |= adj[m]
+        reach2 -= {node}
+        reach2 -= nbrs
+        expect = len(reach2)
+        assert got.get(node, 0) == expect
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ABC"), st.sampled_from("pqrs")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_group_mode_matches_counter(spark, rows):
+    from collections import Counter
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, v string")
+    cnt = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["g"]: (r["v"], r["n"])
+        for r in cnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.desc("n"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    by_g: dict[str, Counter] = {}
+    for g, v in rows:
+        by_g.setdefault(g, Counter())[v] += 1
+    for g, c in by_g.items():
+        # tie-break: max count, then lexicographically smallest value
+        top_n = max(c.values())
+        expect_v = min(v for v, n in c.items() if n == top_n)
+        assert got[g] == (expect_v, top_n)
