@@ -116,6 +116,10 @@ class SparkSearchClient:
         """GC old tags (newest ``keep_last`` and ``keep`` survive)."""
         return _coll.expire_snapshots(self.root, name, keep_last, keep)
 
+    def recover(self, name: str) -> str:
+        """Resolve staged-swap crash leftovers; returns the action taken."""
+        return _coll.recover_collection(self.root, name)
+
     def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
         """What changed between tag and the live generation, per key."""
         from .operators.diff import snapshot_diff
