@@ -5,8 +5,11 @@ under a VANILLA SparkSession — exactly the environment the driver grades in
 summation order vs the test session, which is precisely the class of
 difference the bitwise hash compare exists to catch).
 
-Usage: python preflight.py [sf_dir]   (default /root/testdata/sf0.01)
-Exit code 0 iff every query matches rows + schema + bitwise values.
+Usage: python preflight.py [sf_dir] [--only name[,name...]]
+(default sf_dir /root/testdata/sf0.01; --only restricts the sweep to the
+named queries and prints a row-level diff preview on mismatch — the
+single-query debug loop).
+Exit code 0 iff every swept query matches rows + schema + bitwise values.
 """
 
 from __future__ import annotations
@@ -21,7 +24,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -32,6 +41,8 @@ def main() -> int:
     con = duckdb_con(sf_dir)
     failures: list[str] = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             if name not in oracles:
                 assert fn(spark, sf_dir).count() >= 0
@@ -54,7 +65,11 @@ def main() -> int:
         if not ok:
             failures.append(name)
             print(f"FAIL {name}")
-    print(f"preflight: {len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+            if only is not None and "r" in dir():
+                print("spark head:"); print(r.head(5))
+                print("oracle head:"); print(o.head(5))
+    n_swept = len(only) if only is not None else len(qs)
+    print(f"preflight: {n_swept - len(failures)}/{n_swept} ok; failures: {failures}")
     return 1 if failures else 0
 
 
