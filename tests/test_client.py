@@ -241,3 +241,33 @@ def test_ann_search_on_empty_collection_raises_clear_error(client, spark):
     client.create_collection("empty_vecs", empty)
     with _pytest.raises(ValueError, match="no rows"):
         client.vector_search("empty_vecs", "anything", backend="lsh")
+
+
+def test_collection_config_and_filter_builders(spark, tmp_path):
+    from vectorsearch_applications_spark.client import (
+        SparkSearchClient,
+        exact_match,
+        fuzzy_match,
+    )
+
+    c = SparkSearchClient(spark, root=str(tmp_path))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    c.create_collection("cfg", docs)
+
+    props = dict(c.show_collection_properties("cfg"))
+    assert props["doc_id"] == "bigint" and props["text"] == "string"
+    cfg = c.show_collection_config("cfg")
+    assert cfg["n_rows"] == 2 and cfg["n_files"] >= 1 and cfg["n_bytes"] > 0
+    assert cfg["snapshots"] == []
+
+    hits = c.keyword_search(
+        "cfg", "alpha gamma", filters=exact_match("lang", "de")
+    )
+    assert {r["doc_id"] for r in hits.collect()} == {2}
+    hits = c.keyword_search(
+        "cfg", "alpha gamma", filters=fuzzy_match("text", "lpha")
+    )
+    assert {r["doc_id"] for r in hits.collect()} == {1}

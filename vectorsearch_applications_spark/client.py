@@ -39,6 +39,19 @@ from .sources import collections as _coll
 _EMBED_DIM = 16
 
 
+def exact_match(prop: str, value) -> Column:
+    """Filter builder: property equals value (reference FilterFactory
+    exact_match, weaviate_interface_v4.py:511). Pass as ``filters=`` to
+    any search method; the predicate pushes down to the parquet scan."""
+    return F.col(prop) == F.lit(value)
+
+
+def fuzzy_match(prop: str, value: str) -> Column:
+    """Filter builder: property contains value (reference FilterFactory
+    fuzzy_match's *value* LIKE, weaviate_interface_v4.py:514)."""
+    return F.col(prop).like(f"%{value}%")
+
+
 class SparkSearchClient:
     """Collection lifecycle + the three searches over parquet collections.
 
@@ -94,6 +107,33 @@ class SparkSearchClient:
 
     def get_doc_count(self, name: str) -> int:
         return self._load(name).count()
+
+    def show_collection_properties(self, name: str) -> list[tuple[str, str]]:
+        """(column, type) pairs of a collection — the schema surface of the
+        reference's show_collection_properties
+        (weaviate_interface_v4.py:143)."""
+        return _coll.describe_collection(self.spark, self.root, name)
+
+    def show_collection_config(self, name: str) -> dict:
+        """Collection configuration summary (reference
+        weaviate_interface_v4.py:131): schema plus the physical facts a
+        plain-parquet collection has instead of index config — row count,
+        file count, bytes, and snapshot tags."""
+        path = os.path.join(self.root, name)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return {
+            "name": name,
+            "properties": self.show_collection_properties(name),
+            "n_rows": self.get_doc_count(name),
+            "n_files": len(files),
+            "n_bytes": sum(os.path.getsize(f) for f in files),
+            "snapshots": self.snapshots(name),
+        }
 
     def merge(self, name: str, changes: DataFrame, **kw) -> dict[str, int]:
         """CDC MERGE (upsert+delete change set, last-writer-wins) — see
