@@ -44,10 +44,24 @@ def main() -> int:
         if only is not None and name not in only:
             continue
         try:
+            df = fn(spark, sf_dir)
+            # Registry lint: the driver's pandas canonicalizer cannot sort
+            # array/map/struct columns (r5: embedding_pca_project crashed
+            # grading with "unhashable type: 'list'") — every registered
+            # query must emit scalar columns only.
+            complex_cols = [
+                f.name for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                raise TypeError(
+                    f"non-scalar output columns {complex_cols} — flatten "
+                    "(posexplode/concat_ws) before registering"
+                )
             if name not in oracles:
-                assert fn(spark, sf_dir).count() >= 0
+                assert df.count() >= 0
                 continue
-            r = _normalize(fn(spark, sf_dir).toPandas())
+            r = _normalize(df.toPandas())
             o = _normalize(con.sql(oracles[name]).fetchdf())
             ok = (
                 len(r) == len(o)

@@ -77,3 +77,21 @@ def test_no_unbounded_join_strategies(spark, name):
             f"{name}: unexpected nested-loop join — bound the broadcast "
             "side or add a join key (allowlist only designed plans)"
         )
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_registry_output_schema_is_scalar(spark, name):
+    """The driver's pandas canonicalizer sorts rows by value before
+    hashing; array/map/struct cells are unhashable and crash the grading
+    harness (r5: embedding_pca_project). Every registered query must
+    emit only scalar columns — flatten via posexplode / concat_ws."""
+    df = entry.queries()[name](spark, SF_SMOKE)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} break the "
+        "driver canonicalizer — flatten before registering"
+    )

@@ -6905,10 +6905,12 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
     pass of per-partition two-moment partials (count, Σx, X^T X) + a d×d
     driver eigendecomposition; project = literal-weight codegen folds,
-    zero shuffle. Returns each vector's 4-dim projection rounded to 1e-6
-    units as integers for stability-in-rows. Rows-only tier (float moment
-    sums are partition-order dependent); semantics pinned by numpy
-    equivalence tests (test_pca.py)."""
+    zero shuffle. Emits FLAT rows (vec_id, component, value_e6) via
+    posexplode — the grading canonicalizer cannot sort array columns, so
+    registered queries carry only scalar output columns (enforced by the
+    registry lint in preflight.py / test_plan_audit.py). Rows-only tier
+    (float moment sums are partition-order dependent); semantics pinned
+    by numpy equivalence tests (test_pca.py)."""
     from .operators.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6916,10 +6918,10 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pca_project(emb, comps, mean)
     return out.select(
         "vec_id",
-        F.transform(
-            "pca", lambda x: F.floor(x * 1_000_000).cast("long")
-        ).alias("pca_e6"),
-    )
+        F.posexplode(
+            F.transform("pca", lambda x: F.floor(x * 1_000_000).cast("long"))
+        ).alias("component", "value_e6"),
+    ).select("vec_id", F.col("component").cast("long"), "value_e6")
 
 
 @register("quality_classifier_fit")
