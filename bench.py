@@ -163,6 +163,10 @@ HEADLINE = [
     "join_key_skew_profile",
     "bm25_prf_search",
     "events_anomaly_zscore",
+    # round 6 additions
+    "classifier_score_frozen",
+    "ann_ivf_recall_exact",
+    "scd2_incremental_equivalence",
 ]
 
 

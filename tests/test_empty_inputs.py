@@ -29,6 +29,10 @@ PICKED = [
     "distinct_count_fm_sketch",
     "span_corruption_plan",
     "stream_attribution_batch_twin",
+    # r6 additions: centroid build + 1-row cut broadcast on empty inputs
+    "ann_ivf_recall_exact",
+    "scd2_incremental_equivalence",
+    "classifier_score_frozen",
 ]
 
 TABLES = [

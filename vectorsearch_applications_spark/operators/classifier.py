@@ -42,6 +42,16 @@ def logistic_score(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(feature_cols, weights)))
 
 
+def logistic_margin(feature_cols: list[str], weights: list[float]) -> Column:
+    """The raw margin w·x + b — sigmoid is monotone, so any probability
+    threshold is a margin threshold (P ≥ 0.5 ⟺ margin ≥ 0). Production
+    scoring ships the margin: with dyadic frozen weights over integer
+    features every product and left-to-right sum is IEEE-exact, making the
+    corpus-scoring pass bitwise reproducible across engines (the
+    hash-graded path; exp() is libm-dependent and stays in the GD loop)."""
+    return _margin(feature_cols, weights)
+
+
 def logistic_fit(
     df: DataFrame,
     feature_cols: list[str],

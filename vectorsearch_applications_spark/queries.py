@@ -3464,8 +3464,15 @@ def q_filtered_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     P6): the metadata predicate pre-filters BOTH retrieval arms — the BM25
     corpus (its stats shrink to the filtered set, exactly like Weaviate's
     filtered BM25) and the vector side (semi-join on the allowed ids) —
-    before any ranking."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    before any ranking. The predicate is built with the facade's
+    FilterFactory twin (client.exact_match, the reference's
+    weaviate_interface_v4.py:511 surface), driver-grading the builder
+    end to end; it compiles to a plain Column and pushes down to the scan."""
+    from .client import exact_match
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        exact_match("lang", "en")
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _search_queries_df(spark)
     kw = bm25_search(docs, qdf, limit=50)  # stats over the filtered corpus
@@ -3882,6 +3889,105 @@ def q_ann_ivf_kmeans_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("rank").cast("bigint").alias("rank"),
         (F.round("distance", 4) + F.lit(0.0)).alias("distance"),
+    )
+
+
+@register(
+    "ann_ivf_recall_exact",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+cs AS (SELECT vec_id, v FROM e WHERE vec_id % 7 = 3 ORDER BY vec_id LIMIT 8),
+cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                  AS centroid_id,
+                v AS cv
+         FROM cs),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY 1.0 - list_dot_product(e.v, c.cv) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - list_dot_product(q.qv, c.cv) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY 1.0 - list_dot_product(e.v, q.qv) ASC,
+                      a.vec_id ASC) AS rnk
+    FROM probes p
+    JOIN assign a USING (centroid_id)
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id) WHERE rnk <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - list_dot_product(e.v, q.qv) ASC,
+                      e.vec_id ASC) AS rnk
+    FROM e CROSS JOIN q) WHERE rnk <= 10
+)
+SELECT x.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+""",
+)
+def q_ann_ivf_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER recall@k for IVF at nprobe < n_centroids: the hit COUNT of
+    the IVF@nprobe=2 top-10 against the exact-kNN top-10 per query. Unlike
+    `ann_ivf_recall` (a float ratio, rows-only tier), both retrieval plans
+    here are fully SQL-restatable — the codebook is a deterministic
+    arithmetic stride sample (vec_id % 7 = 3, first 8 by id) instead of
+    ivf_build's xxhash64 sample, and the hit count is a BIGINT — so the
+    whole approximate pipeline (assign → probe → bucket-join → rank →
+    intersect) hash-grades end to end. Same id-tie-broken rankings on
+    identical IEEE dot products in both engines. Scale shape: assignment
+    and probe selection are broadcast argmins (corpus never shuffles to
+    pick buckets); the candidate join touches nprobe/C of the corpus."""
+    from .operators.ann import assign_nearest_centroid, ivf_search
+    from .operators.knn import knn_search_crossjoin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w = Window.orderBy(F.asc("vec_id"))  # ≤8 rows: harmless global window
+    centroids = (
+        emb.filter(F.col("vec_id") % 7 == 3)
+        .orderBy(F.asc("vec_id"))
+        .limit(8)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assignments = assign_nearest_centroid(emb, centroids)
+    approx = ivf_search(
+        emb, centroids, assignments, queries, k=10, nprobe=2
+    ).select("query_id", "vec_id", F.lit(1).alias("_found"))
+    exact = knn_search_crossjoin(emb, queries, k=10)
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_found", F.lit(0))).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
     )
 
 
@@ -6946,6 +7052,55 @@ def q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classifier_score_frozen",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_toks('text')}) AS n_tokens,
+         len(list_distinct({_toks('text')})) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       -0.5 + n_tokens * 0.0234375 + n_chars * -0.0048828125
+            + n_distinct * 0.02734375 AS score_margin,
+       (-0.5 + n_tokens * 0.0234375 + n_chars * -0.0048828125
+            + n_distinct * 0.02734375) > 0.0 AS keep
+FROM f
+""",
+)
+def q_classifier_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deploy half of the trainable quality classifier
+    (operators/classifier.py): score the corpus with FROZEN weights — the
+    GD fit (quality_classifier_fit, rows-only tier) happens offline; the
+    production pass is this codegen projection. Emitting the raw margin
+    instead of the sigmoid makes the pass hash-gradable: sigmoid is
+    monotone (P ≥ 0.5 ⟺ margin ≥ 0), the dyadic literal weights
+    (3/128, −5/1024, 7/256, bias −1/2) times integer text features are
+    IEEE-exact products, and the left-to-right sum is bitwise identical
+    in any engine. Zero shuffle — one scan-speed projection over 100 TB."""
+    from .operators.classifier import logistic_margin
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    margin = logistic_margin(
+        ["n_tokens", "n_chars", "n_distinct"],
+        [3 / 128, -5 / 1024, 7 / 256, -1 / 2],
+    )
+    return feats.select(
+        "doc_id",
+        margin.alias("score_margin"),
+        (margin > 0.0).alias("keep"),
+    )
+
+
+@register(
     "embedding_hygiene",
     """
 WITH e AS (
@@ -8446,6 +8601,80 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_incremental_equivalence",
+    """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                  epoch_ns(ts) // 1000 AS us, event_id FROM events),
+o AS (
+  SELECT *, lag(event_type)
+              OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM e
+),
+r AS (
+  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+                          THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_seq
+  FROM o
+),
+runs AS (
+  SELECT user_id, run_seq, event_type AS state,
+         CAST(min(us) AS BIGINT) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run_seq, event_type
+)
+SELECT user_id, run_seq, state, valid_from_us,
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to_us,
+       n_events
+FROM runs
+""",
+)
+def q_scd2_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance graded against the FULL REBUILD: the
+    event log splits at its midpoint instant, the first half builds the
+    dimension (scd2_intervals), the second half is applied as a CDC batch
+    (operators/timeseries.py scd2_apply_increment — close / extend / append
+    open runs, history untouched), and the merged dimension must equal the
+    one-shot rebuild bitwise — so the oracle IS the scd2_user_state SQL
+    over all events. This is the nightly-10-TB-dimension path: cost scales
+    with the batch + affected keys' open rows, never with history. The
+    midpoint is a 1-row integer aggregate broadcast into the split filters
+    (bounded BNLJ, allowlisted)."""
+    from .functions.time import epoch_micros
+    from .operators.timeseries import scd2_apply_increment, scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        epoch_micros(ev, "ts").alias("us"),
+        "event_id",
+    )
+    bounds = e.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("_cut")
+    )
+    split = e.crossJoin(F.broadcast(bounds))
+    base = split.filter(F.col("us") < F.col("_cut")).drop("_cut")
+    batch = split.filter(F.col("us") >= F.col("_cut")).drop("_cut")
+    kw = dict(
+        key_col="user_id", state_col="event_type",
+        order_col="us", tie_col="event_id",
+    )
+    dim = scd2_intervals(base, **kw)
+    merged = scd2_apply_increment(dim, batch, **kw)
+    return merged.select(
+        "user_id",
+        "run_seq",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
     "sample_weighted_orders",
     """
 WITH w AS (SELECT o_orderkey,
@@ -8959,108 +9188,78 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The driver grades the FIRST 50 entries of queries() at sf0.01; the
-# registry order below rotates every previously-ungraded query into that
-# window. _GRADE_FIRST: never yet driver-graded (r1/r2) + new this round.
-# _GRADE_LAST: rotated out — each one's operators have another in-window
-# representative (e.g. expanded_content covers expanded_content_w2's W1,
-# cube_order_stats covers order_priority_pivot/rollup_lineitem's grouping
-# sets, dedup_simhash covers dedup_simhash_pairs). All remain registered,
-# pytest-verified, and runnable; only the driver's 50-row cap excludes them.
+# The driver grades the FIRST 50 entries of queries() at sf0.01. Every
+# registered query has had a green (or by-design rows-only) driver row
+# since r5, so from r6 the window is a freshness rotation: new queries
+# this round first, then the OLDEST-graded vintage, prioritizing queries
+# whose underlying cores were reworked since their last grading (r6
+# verdict task #3). _GRADE_LAST: deferred to the next rotation. All
+# remain registered, pytest- and preflight-verified; only the driver's
+# 50-row cap excludes them.
 _GRADE_FIRST = [
-    # the 16 registered-but-never-driver-graded queries (VERDICT r4
-    # "What's missing" #1) plus the 34 round-5 additions: exactly 50
-    # never-graded entries filling the window. Once r5 grades them,
-    # every one of the 187 registered queries has at least one green
-    # driver row — the registered/graded gap closes to zero.
-    "split_leakage_audit",
-    "cluster_aware_split",
-    "embedding_drift_audit",
-    "customer_spend_balance_spearman",
-    "orders_constraint_audit",
-    "quality_composite_rank",
-    "orders_cohort_ltv",
-    "user_feature_store",
-    "events_decayed_trending",
-    "events_hourly_seasonality",
-    "dedup_survivorship_by_source",
-    "events_first_touch_attribution",
-    "supplier_scorecard",
-    "docs_source_profile",
-    "quality_classifier_fit",  # rows-only tier by nature (float GD sums)
-    "embedding_pca_project",  # rows-only tier by nature (float moments)
-    # round 5 additions (new this round, graded for the first time):
-    "stream_attribution_batch_twin",
-    "market_basket_pairs",
-    "docs_readability",
-    "events_transition_matrix",
-    "events_burst_users",
-    "curriculum_order",
-    "quality_score_quantile_norm",
-    "padding_waste_by_bucket",
-    "token_budget_allocation",
-    "lineitem_covariance_moments",
-    "ann_ivfpq_refined",
-    "customer_reorder_intervals",
-    "part_fuzzy_match",
-    "parttype_concentration_hhi",
-    "graph_triangle_count",
-    "gopher_quality_flags",
-    "span_corruption_plan",
-    "distinct_count_fm_sketch",
-    "heavy_hitters_cms",
-    "phrase_match_positional",
-    "dedup_cross_source_matrix",
-    "orders_unpivot_metrics",
-    "graph_triangle_count_oriented",
-    "parts_price_size_skyline",
-    # late round-5 additions: 8 new operator families filling the
-    # 50-slot grading window
-    "scd2_user_state",
-    "sample_weighted_orders",
-    "histogram_quantiles_binned",
-    "graph_2hop_reach",
-    "dedup_jaccard_prefix_filter",
-    "events_peak_concurrency",
-    "orders_mode_priority",
-    "join_key_skew_profile",
-    "bm25_prf_search",
-    "events_anomaly_zscore",
+    # new this round (never driver-graded):
+    "classifier_score_frozen",
+    "ann_ivf_recall_exact",
+    "scd2_incremental_equivalence",
+    # cores reworked in r5 AFTER their last grading — re-grade at HEAD
+    # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
+    # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
+    "bm25_search",
+    "bm25_multifield",
+    "knn_search",
+    "filtered_vector_search",
+    "filtered_hybrid_search",  # r6: filters now built via client.exact_match
+    "expanded_content",
+    "ann_pq_adc",
+    "ann_ivfpq_search",
+    "dedup_substring_spans",
+    "rerank_overlap",
+    # the r2-latest vintage (oldest driver rows in the record):
+    "cheapest_part_per_brand",
+    "chunk_documents",
+    "corpus_token_stats",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "doc_fingerprints",
+    "eval_multi_method",
+    "eval_retrieval_metrics",
+    "events_tumbling_agg",
+    "expanded_content_w2",
+    "generation_eval_polling",
+    "hybrid_search",
+    "multimodal_binary_meta",
+    "nation_revenue",
+    "order_priority_pivot",
+    "part_like_filter",
+    "prompt_assembly",
+    "qa_generation",
+    "quality_length_filter",
+    "rag_pipeline_eval",
+    "rollup_lineitem",
+    "route_classify",
+    "search_with_properties",
+    "segment_stats",
+    "semantic_text_search",
+    "text2sql_guarded",
+    "top_customer_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "train_val_split",
+    "window_running_total",
 ]
 _GRADE_LAST = [
-    "multimodal_binary_meta",  # multimodal family graded via multimodal_frame_plan
-    "quality_length_filter",  # P7 corpus-stat gate graded inside corpus_curation_pipeline
-    "qa_generation",  # F4 oversample→validate→dedup plan graded via qa_triplets (same pipeline + pairing)
-    "train_val_split",  # same md5-threshold split machinery graded via stratified_sample_mix
-    "events_tumbling_agg",  # tumbling = sliding with step==width; events_sliding_agg graded
-    "customers_with_big_orders",  # range/membership graded via tpch_q19 + q18
-    "part_like_filter",  # P4 LIKE graded via tpch_q13's NOT LIKE exclusion
-    "customers_without_orders",  # anti-join graded via tpch_q22_balance_opportunity
-    "semantic_text_search",  # Q2/Q7 kNN graded via knn_search + filtered_vector_search
-    "hybrid_search",  # Q3 fusion graded via filtered_hybrid_search
-    "eval_retrieval_metrics",  # A2/A3 graded via rag_pipeline_eval + generation_eval_polling
-    "dedup_exact",  # exact-dedup stage graded in-window via corpus_curation_pipeline
-    "corpus_token_stats",  # both token counters graded via corpus_bpe_token_stats
-    "text2sql_guarded",  # subsumed by text2sql_generated (generation + guard + execute)
-    "top_customer_revenue",  # O4 join+agg shape also graded via tpch_q18/q5/q7
-    "route_classify",  # Q5 scoring machinery graded via router_fit
-    "dedup_embedding_cosine",  # dedup family: minhash/simhash/exact stay graded
-    "dedup_ngram_jaccard",
-    "doc_fingerprints",
-    "expanded_content_w2",
-    "dedup_simhash_pairs",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
-    "cheapest_part_per_brand",
-    "order_priority_pivot",
-    "search_with_properties",
-    "window_running_total",
-    "nation_revenue",
-    "tpch_q3_shipping_priority",
-    "segment_stats",
-    "rollup_lineitem",
-    "eval_multi_method",
-    "ann_ivf_recall",
+    # r2-vintage names deferred to the r7 rotation (the window holds 50;
+    # these four are the lowest-risk re-grades — no core changes since r2):
+    "ann_ivf_recall",  # rows-only tier either way; superseded by ann_ivf_recall_exact
+    "event_scalar_functions",
+    "grouped_content_hash",
+    "segment_priority_union",
 ]
 
 
