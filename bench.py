@@ -215,13 +215,58 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full.json"),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump(full, fh)
     print(json.dumps(full))
+
+    # Round-over-round continuity (r5 verdict "What's missing" #3): the
+    # history snapshot is written BY the bench run itself so it can't be
+    # forgotten at round end, and the core-15 delta vs the previous
+    # round's snapshot prints alongside the detail. Round number = next
+    # after the driver-recorded BENCH_r{N}.json artifacts.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) if rounds else 0) + 1
+    hist_dir = os.path.join(here, "bench_history")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, f"r{rnd}_sf{sf}.json"), "w") as fh:
+        json.dump(full, fh)
+    prev_files = sorted(
+        (
+            int(m.group(1)), p
+        )
+        for p in glob.glob(os.path.join(hist_dir, f"r*_sf{sf}.json"))
+        if (m := re.search(r"r(\d+)_sf", os.path.basename(p)))
+        and int(m.group(1)) < rnd
+    )
+    if prev_files:
+        prev_rnd, prev_path = prev_files[-1]
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        delta = {
+            n: {
+                "prev": prev[n],
+                "now": timings[n],
+                "pct": round(100 * (timings[n] - prev[n]) / prev[n], 1),
+            }
+            for n in CORE
+            if n in prev and n in timings and prev[n] > 0
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": f"core_delta_vs_r{prev_rnd}",
+                    "queries": delta,
+                }
+            )
+        )
 
     slowest = dict(
         sorted(

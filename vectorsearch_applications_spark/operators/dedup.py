@@ -552,8 +552,13 @@ def duplicated_kgram_spans(
     # aggregation — the ADVICE r4 skew finding. Here stage 1 groups by
     # (g, id) — a hot gram's rows split across the docs containing it —
     # and stage 2 sums the already-combined per-doc counts by g; both
-    # shuffles carry partial aggregates. AQE reuses the (g, id) exchange
-    # for the count branch and the join-back probe.
+    # shuffles carry partial aggregates. per_doc feeds both the count
+    # branch and the join-back probe; neither ReuseExchange nor AQE
+    # dedupes the shared (g, id) exchange (measured: 2 corpus scans, 0
+    # ReusedExchange), so the frame is checkpointed — ONE tokenize +
+    # explode + partial-agg pass, two shuffle reads. Local cost ≈ noise
+    # (1.54 s vs 1.58 s at sf0.1); at 100 TB it halves the dominant scan
+    # (SCALE.md, r6 A/B).
     ex = grams.select(
         "id",
         F.size("grams").alias("n_kgrams"),
@@ -562,7 +567,7 @@ def duplicated_kgram_spans(
     per_doc = ex.groupBy("g", "id").agg(
         F.max("n_kgrams").alias("n_kgrams"),
         F.count(F.col("g")).alias("n_in_doc"),
-    )
+    ).localCheckpoint(eager=False)
     totals = (
         per_doc.filter(F.col("g").isNotNull())
         .groupBy("g")
