@@ -117,6 +117,38 @@ def test_peak_concurrency_identical_intervals_stack(spark):
     assert out[0]["peak_concurrent"] == 4 and out[0]["peak_at"] == 3
 
 
+def test_peak_concurrency_chunked_fallback_equals_default(spark):
+    # the giant-key fallback (range-partitioned running sum + prefix
+    # fix-up) must be result-identical to the single-window plan on a
+    # mixed workload, including a pathological single key carrying every
+    # interval (the shape the fallback exists for) and chunk counts that
+    # do not divide the time range evenly.
+    import random
+
+    rng = random.Random(7)
+    rows = [("hot", s := rng.randrange(0, 1000), s + rng.randrange(1, 60))
+            for _ in range(400)]
+    rows += [("cold", s := rng.randrange(0, 100), s + 5) for _ in range(10)]
+    iv = _iv(spark, rows)
+    want = sorted(map(tuple, peak_concurrency(iv, key_col="k").collect()))
+    for n in (1, 3, 8, 64):
+        got = sorted(
+            map(tuple, peak_concurrency(iv, key_col="k", n_chunks=n).collect())
+        )
+        assert got == want, f"n_chunks={n}"
+
+
+def test_peak_concurrency_chunked_bounds_task_input(spark):
+    # one key, many distinct instants: the fallback's running-sum window
+    # partitions on (key, chunk), so no task sees the whole key.
+    iv = _iv(spark, [("only", t, t + 3) for t in range(0, 3000, 2)])
+    df = peak_concurrency(iv, key_col="k", n_chunks=16)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_chunk" in plan  # chunked window actually in the plan
+    out = df.collect()
+    assert out[0]["peak_concurrent"] == 2  # [t,t+3) with stride 2 overlap
+
+
 # --- scd2_apply_increment: incremental == full rebuild ---
 
 from vectorsearch_applications_spark.operators.timeseries import (  # noqa: E402

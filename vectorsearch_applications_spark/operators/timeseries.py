@@ -139,6 +139,7 @@ def peak_concurrency(
     key_col: str = "event_type",
     start_col: str = "t0",
     end_col: str = "t1",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Sweep-line maximum interval overlap per key with EXACT
     end-exclusive [start, end) semantics: +1/−1 deltas are
@@ -149,9 +150,17 @@ def peak_concurrency(
     tie-break column.
 
     Returns (key, peak_concurrent, peak_at) — the max simultaneous
-    intervals and the first instant it is reached. The running sum
-    partitions by key; a single giant key falls back to range-partition
-    + per-partition prefix fix-up (see SCALE.md).
+    intervals and the first instant it is reached.
+
+    ``n_chunks=None`` (default) runs the per-key running sum as one
+    window — right whenever distinct instants per key fit a task.
+    ``n_chunks=N`` is the GIANT-KEY fallback (SCALE.md): each key's
+    time range splits into N value-range chunks, the running sum is
+    computed per (key, chunk) — task input is the chunk, not the key —
+    and chunk prefix totals (N rows per key) are joined back as
+    offsets. Identical results by construction (a prefix sum split at
+    chunk boundaries plus the sum of earlier chunks); proven equal in
+    test_timeseries.py, including a single pathological key.
     """
     pts = intervals.select(
         key_col, F.col(start_col).alias("t"), F.lit(1).alias("d")
@@ -161,14 +170,66 @@ def peak_concurrency(
         )
     )
     g = pts.groupBy(key_col, "t").agg(F.sum("d").alias("d"))
-    r = g.withColumn(
-        "conc",
-        F.sum("d").over(
-            Window.partitionBy(key_col)
-            .orderBy("t")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    if n_chunks is None:
+        r = g.withColumn(
+            "conc",
+            F.sum("d").over(
+                Window.partitionBy(key_col)
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    else:
+        # value-range chunking: deterministic (no quantile estimate), one
+        # bounds agg per key joined back on the key. floor arithmetic maps
+        # t ∈ [mn, mx] to chunk ∈ [0, n_chunks-1].
+        bounds = g.groupBy(key_col).agg(
+            F.min("t").alias("_mn"), F.max("t").alias("_mx")
+        )
+        c = (
+            g.join(bounds, key_col)
+            .withColumn(
+                "_chunk",
+                F.floor(
+                    (F.col("t") - F.col("_mn"))
+                    * F.lit(n_chunks)
+                    / (F.col("_mx") - F.col("_mn") + 1)
+                ).cast("bigint"),
+            )
+            .drop("_mn", "_mx")
+        )
+        local = c.withColumn(
+            "_local",
+            F.sum("d").over(
+                Window.partitionBy(key_col, "_chunk")
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        # chunk totals: ≤ n_chunks rows per key, so the prefix window over
+        # them is trivially bounded; offset = sum of STRICTLY EARLIER
+        # chunks' totals.
+        offsets = (
+            c.groupBy(key_col, "_chunk")
+            .agg(F.sum("d").alias("_tot"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_tot").over(
+                        Window.partitionBy(key_col)
+                        .orderBy("_chunk")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select(key_col, "_chunk", "_off")
+        )
+        r = (
+            local.join(offsets, [key_col, "_chunk"])
+            .withColumn("conc", F.col("_local") + F.col("_off"))
+            .drop("_chunk", "_local", "_off")
+        )
     p = r.groupBy(key_col).agg(F.max("conc").alias("peak"))
     return (
         r.join(p, key_col)
