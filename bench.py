@@ -167,6 +167,9 @@ HEADLINE = [
     "classifier_score_frozen",
     "ann_ivf_recall_exact",
     "scd2_incremental_equivalence",
+    "distinct_count_hll_registers",
+    "classifier_eval_auc",
+    "shard_assignment_rendezvous",
 ]
 
 

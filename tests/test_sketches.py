@@ -84,3 +84,60 @@ def test_fm_rho_determinism_same_inputs_same_sketch(spark):
         )
     )
     assert a == b  # partitioning-invariant (max/sum are order-free)
+
+
+# --- HyperLogLog registers (driver parity: distinct_count_hll_registers) ---
+
+from vectorsearch_applications_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_hll_shard_merge_equals_whole_build(spark):
+    ev = load_table(spark, SF, "events")
+    whole = {
+        (r["event_type"], r["register_id"]): r["rho_max"]
+        for r in hll_registers(ev, "event_type", "user_id", b=4).collect()
+    }
+    # split the stream into 3 disjoint shards, build each, merge with max
+    merged: dict = {}
+    for i in range(3):
+        shard = ev.filter(F.col("event_id") % 3 == i)
+        for r in hll_registers(shard, "event_type", "user_id", b=4).collect():
+            k = (r["event_type"], r["register_id"])
+            merged[k] = max(merged.get(k, 0), r["rho_max"])
+    assert merged == whole
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    regs = hll_registers(ev, "event_type", "user_id", b=4)
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(regs, "event_type", b=4).collect()
+    }
+    # m=16 gives ~26% standard error; accept 2 sigma
+    for et, nd in exact.items():
+        assert abs(est[et] - nd) / nd < 0.55, (et, nd, est[et])
+
+
+def test_hll_estimate_sum_is_dyadic_exact(spark):
+    # Σ 2^-rho over <=16 registers is exactly representable, so the
+    # estimate is partition-order independent: rebuild with different
+    # parallelism and compare bitwise.
+    ev = load_table(spark, SF, "events")
+    a = hll_estimate(
+        hll_registers(ev, "event_type", "user_id"), "event_type"
+    ).collect()
+    b = hll_estimate(
+        hll_registers(ev.repartition(13), "event_type", "user_id"),
+        "event_type",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

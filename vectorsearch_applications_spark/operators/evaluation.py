@@ -14,7 +14,7 @@ quality parity gate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,4 +81,51 @@ def retrieval_metrics(
                 F.when(F.col("hit_rank").isNull(), 1).otherwise(0)
             ).alias("total_misses"),
         )
+    )
+
+
+def auc_from_scores(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC-AUC as INTEGER-EXACT rank statistics — the classifier-quality
+    metric closing the quality-classifier loop (fit: classifier.py
+    logistic_fit; deploy: logistic_margin scoring; eval: here).
+
+    AUC = P(score_pos > score_neg) + ½·P(tie) = U / (P·N) with the
+    Mann-Whitney U. Emits one row (auc_num2 = 2U, n_pos, n_neg) — all
+    BIGINT, so the metric is bitwise reproducible and SQL-restatable;
+    the caller divides (auc = auc_num2 / (2·n_pos·n_neg)).
+
+    Scale shape (the group-mode pattern): ONE map-side-combinable
+    aggregation collapses the corpus to its distinct-score table
+    (|distinct scores| rows — bounded by the score expression's feature
+    granularity, not the corpus), then the cumulative-negatives window
+    and the final sum run over that value table. No global sort of raw
+    rows, no per-row window.
+    """
+    s = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("bigint")).alias("npos"),
+        (F.count(F.lit(1)) - F.sum(F.col(label_col).cast("bigint"))).alias(
+            "nneg"
+        ),
+    )
+    w = (
+        Window.orderBy("s")  # distinct-score table: bounded input
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn(
+        "cneg", F.coalesce(F.sum("nneg").over(w), F.lit(0))
+    )
+    # each positive at score s beats every lower-scored negative (×2) and
+    # half-ties with the nneg negatives at s (×1): 2U in one expression
+    return c.agg(
+        F.sum(
+            F.col("npos") * (F.lit(2) * F.col("cneg") + F.col("nneg"))
+        )
+        .cast("bigint")
+        .alias("auc_num2"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
     )

@@ -8217,6 +8217,142 @@ def q_distinct_count_fm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_count_hll_registers",
+    """
+WITH e AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+)
+SELECT event_type,
+       CAST(h % 16 AS BIGINT) AS register_id,
+       CAST(max(CASE WHEN h // 16 = 0 THEN 29
+                     ELSE 28 - length(bin(h // 16)) + 1 END)
+            AS BIGINT) AS rho_max
+FROM e GROUP BY event_type, h % 16
+""",
+)
+def q_distinct_count_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build per event type (operators/sketches.py
+    hll_registers): the industry-standard mergeable cardinality sketch —
+    16 registers/group, shards merge with per-cell max (proven
+    shard-merge == whole-build in test_sketches). The md5-prefix hash
+    makes every register value deterministic, so the MERGEABLE STATE
+    ITSELF is the hash-graded artifact; the float alpha·m²/Σ2^−rho
+    estimate is applied at read time (hll_estimate, test-tier). One
+    codegen projection + one map-side-combinable max aggregation."""
+    from .operators.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_registers(ev, "event_type", "user_id", b=4)
+
+
+@register(
+    "classifier_eval_auc",
+    f"""
+WITH f AS (
+  SELECT length(text) AS n_chars,
+         len({_toks('text')}) AS n_tokens,
+         len(list_distinct({_toks('text')})) AS n_distinct,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+m AS (
+  SELECT -0.5 + n_tokens * 0.0234375 + n_chars * -0.0048828125
+       + n_distinct * 0.02734375 AS s,
+         y
+  FROM f
+),
+s AS (SELECT s, CAST(sum(y) AS BIGINT) AS npos,
+             CAST(count(*) - sum(y) AS BIGINT) AS nneg
+      FROM m GROUP BY s),
+c AS (SELECT *, coalesce(sum(nneg) OVER (ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+      FROM s)
+SELECT CAST(sum(npos * (2 * cneg + nneg)) AS BIGINT) AS auc_num2,
+       CAST(sum(npos) AS BIGINT) AS n_pos,
+       CAST(sum(nneg) AS BIGINT) AS n_neg
+FROM c
+""",
+)
+def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the frozen quality classifier's margin against the
+    lang=='en' label, as integer-exact Mann-Whitney rank statistics
+    (operators/evaluation.py auc_from_scores): auc = auc_num2/(2·P·N),
+    ties counted half. Completes the classifier family's hash-graded
+    loop — fit (rows-only GD) → deploy (classifier_score_frozen) → eval
+    (here). Scale shape: the corpus collapses to its distinct-score
+    table in one map-side-combinable aggregation; the cumulative window
+    runs over that bounded value table, never over raw rows."""
+    from .operators.classifier import logistic_margin
+    from .operators.evaluation import auc_from_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    feats = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    scored = feats.select(
+        logistic_margin(
+            ["n_tokens", "n_chars", "n_distinct"],
+            [3 / 128, -5 / 1024, 7 / 256, -1 / 2],
+        ).alias("score_margin"),
+        "y",
+    )
+    return auc_from_scores(scored, "score_margin", "y")
+
+
+@register(
+    "shard_assignment_rendezvous",
+    """
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+sh AS (SELECT unnest(generate_series(0, 5)) AS s),
+sc AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(CAST(s AS VARCHAR) || '#' || k), 1, 8))
+           ::BIGINT AS w
+  FROM d CROSS JOIN sh
+),
+before AS (
+  SELECT doc_id, s AS shard_before FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY w DESC, s ASC) AS rn
+    FROM sc WHERE s < 5) WHERE rn = 1
+),
+after AS (
+  SELECT doc_id, s AS shard_after FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY w DESC, s ASC) AS rn
+    FROM sc WHERE s < 6) WHERE rn = 1
+)
+SELECT b.doc_id,
+       CAST(b.shard_before AS BIGINT) AS shard_before,
+       CAST(a.shard_after AS BIGINT) AS shard_after,
+       CAST(b.shard_before <> a.shard_after AS BIGINT) AS moved
+FROM before b JOIN after a USING (doc_id)
+""",
+)
+def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard routing + fleet-resize audit
+    (operators/sharding.py): every doc scores all shards with the
+    portable md5 hash and routes to the argmax, so growing the fleet
+    5→6 re-homes only the ~1/6 of keys the new shard wins — the
+    minimal-disruption layout property mod-hashing lacks (and the reason
+    a 100 TB serving tier can scale without reshuffling the corpus).
+    Pure projection, zero shuffle: the per-key argmax over scored
+    structs runs inside whole-stage codegen."""
+    from .operators.sharding import rebalance_moves
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return rebalance_moves(d, "doc_id", 5, 6)
+
+
+@register(
     "heavy_hitters_cms",
     f"""
 WITH tf AS (
@@ -9201,6 +9337,9 @@ _GRADE_FIRST = [
     "classifier_score_frozen",
     "ann_ivf_recall_exact",
     "scd2_incremental_equivalence",
+    "distinct_count_hll_registers",
+    "classifier_eval_auc",
+    "shard_assignment_rendezvous",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9215,10 +9354,8 @@ _GRADE_FIRST = [
     "dedup_substring_spans",
     "rerank_overlap",
     # the r2-latest vintage (oldest driver rows in the record):
-    "cheapest_part_per_brand",
     "chunk_documents",
     "corpus_token_stats",
-    "customers_with_big_orders",
     "customers_without_orders",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -9234,7 +9371,6 @@ _GRADE_FIRST = [
     "multimodal_binary_meta",
     "nation_revenue",
     "order_priority_pivot",
-    "part_like_filter",
     "prompt_assembly",
     "qa_generation",
     "quality_length_filter",
@@ -9255,11 +9391,14 @@ _GRADE_FIRST = [
 ]
 _GRADE_LAST = [
     # r2-vintage names deferred to the r7 rotation (the window holds 50;
-    # these four are the lowest-risk re-grades — no core changes since r2):
+    # these are the lowest-risk re-grades — no core changes since r2):
     "ann_ivf_recall",  # rows-only tier either way; superseded by ann_ivf_recall_exact
     "event_scalar_functions",
     "grouped_content_hash",
     "segment_priority_union",
+    "cheapest_part_per_brand",
+    "customers_with_big_orders",
+    "part_like_filter",
 ]
 
 
