@@ -170,6 +170,7 @@ HEADLINE = [
     "distinct_count_hll_registers",
     "classifier_eval_auc",
     "shard_assignment_rendezvous",
+    "bloom_filter_dim_prune",
 ]
 
 

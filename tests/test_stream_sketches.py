@@ -155,3 +155,42 @@ def test_stream_histogram_equals_batch_bins(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) == 300
+
+
+def test_stream_hll_equals_batch_registers(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.sketches import (
+        hll_registers,
+    )
+    from vectorsearch_applications_spark.streaming.sketches import (
+        stream_hll_collection,
+    )
+
+    rows = [("g1", f"u{i}") for i in range(60)] + [
+        ("g2", f"u{i}") for i in range(9)
+    ]
+    df, src = _src(spark, tmp_path, rows, "grp string, v string", 3)
+
+    q = stream_hll_collection(
+        spark,
+        spark.readStream.schema("grp string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        str(tmp_path),
+        "hll",
+        str(tmp_path / "ck_hll"),
+        group_col="grp",
+        value_col="v",
+        b=4,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["grp"], r["register_id"]): r["rho_max"]
+        for r in spark.read.parquet(str(tmp_path / "hll")).collect()
+    }
+    want = {
+        (r["grp"], r["register_id"]): r["rho_max"]
+        for r in hll_registers(df, "grp", "v", b=4).collect()
+    }
+    assert got == want

@@ -8353,6 +8353,86 @@ def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "bloom_filter_dim_prune",
+    """
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+dpos AS (
+  SELECT unnest(list_transform(generate_series(0, 2),
+           i -> ('0x' || substr(md5(CAST(i AS VARCHAR) || '#'
+                || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1024))
+         AS pos
+  FROM dim
+),
+words AS (
+  SELECT pos // 32 AS word_id,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM dpos GROUP BY pos // 32
+),
+opos AS (
+  SELECT o_orderkey, o_custkey,
+         unnest(list_transform(generate_series(0, 2),
+           i -> ('0x' || substr(md5(CAST(i AS VARCHAR) || '#'
+                || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 1024))
+         AS pos
+  FROM orders
+),
+hits AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits // (CAST(1 AS BIGINT)
+                        << CAST(o.pos % 32 AS INT))) % 2 = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM opos o LEFT JOIN words w ON w.word_id = o.pos // 32
+),
+probed AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(min(hit) AS BIGINT) AS maybe_member
+  FROM hits GROUP BY o_orderkey, o_custkey
+),
+actual AS (
+  SELECT p.maybe_member,
+         CAST(d.c_custkey IS NOT NULL AS BIGINT) AS actual_member
+  FROM probed p LEFT JOIN dim d ON d.c_custkey = p.o_custkey
+)
+SELECT maybe_member, actual_member,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM actual GROUP BY maybe_member, actual_member
+""",
+)
+def q_bloom_filter_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit (operators/bloom.py): build a
+    deterministic 1024-bit/3-hash filter over the BUILDING-segment
+    customer keys, probe every order WITHOUT shuffling or exploding the
+    fact (one broadcast map row + a per-row forall inside codegen), then
+    cross-tab probe verdict × exact membership. The graded contract is
+    Bloom's theorem made integer: the (maybe=0, actual=1) cell must not
+    exist — no false negatives, ever — while the (1, 0) cell counts the
+    exact, deterministic false positives this filter admits. At 100 TB
+    this is the runtime-filter that shrinks the fact shuffle by the
+    dimension's selectivity before the real join runs."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey", n_bits=1024, k=3)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    probed = bloom_probe(orders, "o_custkey", bloom, n_bits=1024, k=3)
+    actual = probed.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "_m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    )
+    return actual.groupBy(
+        "maybe_member",
+        F.col("_m").isNotNull().cast("bigint").alias("actual_member"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+@register(
     "heavy_hitters_cms",
     f"""
 WITH tf AS (
@@ -9340,6 +9420,7 @@ _GRADE_FIRST = [
     "distinct_count_hll_registers",
     "classifier_eval_auc",
     "shard_assignment_rendezvous",
+    "bloom_filter_dim_prune",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9370,7 +9451,6 @@ _GRADE_FIRST = [
     "hybrid_search",
     "multimodal_binary_meta",
     "nation_revenue",
-    "order_priority_pivot",
     "prompt_assembly",
     "qa_generation",
     "quality_length_filter",
@@ -9399,6 +9479,7 @@ _GRADE_LAST = [
     "cheapest_part_per_brand",
     "customers_with_big_orders",
     "part_like_filter",
+    "order_priority_pivot",
 ]
 
 

@@ -141,3 +141,37 @@ def stream_histogram_collection(
     return fenced_fold_stream(
         spark, rows_stream, root, name, checkpoint_dir, fold
     )
+
+
+def stream_hll_collection(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    b: int = 4,
+):
+    """Fold a value stream into persisted per-group HyperLogLog registers
+    at ``root/name``: state rows (group, register_id, rho_max) merge by
+    max() — HLL's defining mergeability, applied across micro-batches
+    instead of partitions. Register maxima are replay-idempotent, but the
+    fold rides the same fenced harness as the additive sketches (one
+    correctness argument). Read the estimate off the persisted table with
+    operators/sketches.hll_estimate. Returns the StreamingQuery."""
+    from ..operators.sketches import hll_registers
+
+    def fold(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        fresh = hll_registers(batch, group_col, value_col, b=b)
+        if current is None:
+            return fresh
+        return (
+            current.unionByName(fresh)
+            .groupBy(group_col, "register_id")
+            .agg(F.max("rho_max").cast("bigint").alias("rho_max"))
+        )
+
+    return fenced_fold_stream(
+        spark, rows_stream, root, name, checkpoint_dir, fold
+    )
