@@ -171,6 +171,7 @@ HEADLINE = [
     "classifier_eval_auc",
     "shard_assignment_rendezvous",
     "bloom_filter_dim_prune",
+    "table_profile_stats",
 ]
 
 

@@ -8353,6 +8353,89 @@ def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "table_profile_stats",
+    """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(o_orderdate AS VARCHAR) AS o_orderdate_s,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_centi
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_s
+FROM src
+UNION ALL
+SELECT 'o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM src
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM src
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM src
+UNION ALL
+SELECT 'o_orderdate_s',
+       CAST(sum(CASE WHEN o_orderdate_s IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate_s) AS BIGINT),
+       min(o_orderdate_s), max(o_orderdate_s)
+FROM src
+UNION ALL
+SELECT 'o_totalprice_centi',
+       CAST(sum(CASE WHEN o_totalprice_centi IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice_centi) AS BIGINT),
+       CAST(min(o_totalprice_centi) AS VARCHAR),
+       CAST(max(o_totalprice_centi) AS VARCHAR)
+FROM src
+""",
+)
+def q_table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE twin (operators/profiling.py): per-column null
+    count, exact distinct count, and canonical min/max for the orders
+    table — the statistics pass every cost-based choice in this engine
+    (broadcast thresholds, skew salting, bucketing keys, bloom sizing)
+    reads from. ONE scan, ONE aggregation computing all columns at once,
+    then an in-plan stack unpivot; the float price column is
+    centi-bucketed to BIGINT first per the repo's no-raw-float-output
+    rule. Swap countDistinct for hll_registers per column when exact NDV
+    is unaffordable."""
+    from .operators.profiling import profile_columns
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("o_totalprice_centi"),
+    )
+    return profile_columns(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate_s",
+            "o_totalprice_centi",
+        ],
+    )
+
+
+@register(
     "bloom_filter_dim_prune",
     """
 WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -9421,6 +9504,7 @@ _GRADE_FIRST = [
     "classifier_eval_auc",
     "shard_assignment_rendezvous",
     "bloom_filter_dim_prune",
+    "table_profile_stats",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9449,7 +9533,6 @@ _GRADE_FIRST = [
     "expanded_content_w2",
     "generation_eval_polling",
     "hybrid_search",
-    "multimodal_binary_meta",
     "nation_revenue",
     "prompt_assembly",
     "qa_generation",
@@ -9480,6 +9563,7 @@ _GRADE_LAST = [
     "customers_with_big_orders",
     "part_like_filter",
     "order_priority_pivot",
+    "multimodal_binary_meta",
 ]
 
 
