@@ -172,6 +172,7 @@ HEADLINE = [
     "shard_assignment_rendezvous",
     "bloom_filter_dim_prune",
     "table_profile_stats",
+    "zorder_layout_orders",
 ]
 
 

@@ -8353,6 +8353,55 @@ def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "zorder_layout_orders",
+    """
+WITH src AS (
+  SELECT o_orderkey,
+         (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 65536 AS x,
+         o_custkey % 65536 AS y
+  FROM orders
+),
+m AS (
+  SELECT o_orderkey,
+         CAST(list_sum(list_transform(generate_series(0, 15),
+           i -> ((x // CAST(2 ** i AS BIGINT)) % 2)
+                  * CAST(2 ** (2 * i) AS BIGINT)
+              + ((y // CAST(2 ** i AS BIGINT)) % 2)
+                  * CAST(2 ** (2 * i + 1) AS BIGINT)))
+         AS BIGINT) AS morton
+  FROM src
+)
+SELECT o_orderkey, morton,
+       CAST(morton // 1048576 AS BIGINT) AS zbucket
+FROM m
+""",
+)
+def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys for the orders fact (operators/layout.py):
+    interleave (order day, customer key) bits into a Morton code and
+    take its top 12 bits as the layout bucket — the OPTIMIZE ZORDER
+    primitive that makes zone maps prune files for time predicates AND
+    key predicates at once (each bucket is a rectangle on the grid;
+    test_layout.py measures the box-query pruning win vs a row-major
+    layout). Encoding is exact div/mod integer arithmetic — zero
+    shuffle to compute; the one repartition by zbucket is the
+    write-once layout cost."""
+    from .functions.time import epoch_seconds
+    from .operators.layout import zorder_layout
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        ((epoch_seconds(o, "o_orderdate") / 86400).cast("bigint") % 65536)
+        .alias("x"),
+        (F.col("o_custkey") % 65536).alias("y"),
+    )
+    return zorder_layout(src, "x", "y", bits=16, bucket_bits=12).select(
+        "o_orderkey", "morton", "zbucket"
+    )
+
+
+@register(
     "table_profile_stats",
     """
 WITH src AS (
@@ -9505,6 +9554,7 @@ _GRADE_FIRST = [
     "shard_assignment_rendezvous",
     "bloom_filter_dim_prune",
     "table_profile_stats",
+    "zorder_layout_orders",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9549,7 +9599,6 @@ _GRADE_FIRST = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
-    "train_val_split",
     "window_running_total",
 ]
 _GRADE_LAST = [
@@ -9564,6 +9613,7 @@ _GRADE_LAST = [
     "part_like_filter",
     "order_priority_pivot",
     "multimodal_binary_meta",
+    "train_val_split",
 ]
 
 
