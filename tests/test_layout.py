@@ -1,4 +1,5 @@
-"""Z-order layout (operators/layout.py). Driver parity via the
+"""Z-order encoding (sources/collections.py zorder_value — the Morton
+primitive under zorder_collection). Driver parity via the
 zorder_layout_orders oracle; these tests pin the encoding against a
 pure-Python bit-interleave and measure the pruning property the layout
 exists for: a box predicate touches far fewer z-buckets than row-major
@@ -8,10 +9,21 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from vectorsearch_applications_spark.operators.layout import (
-    morton_interleave,
-    zorder_layout,
-)
+from vectorsearch_applications_spark.sources.collections import zorder_value
+
+
+def morton_interleave(x, y, bits=16):
+    return zorder_value(x, y, bits).cast("bigint")
+
+
+def zorder_layout(df, x_col, y_col, bits=16, bucket_bits=12):
+    m = morton_interleave(F.col(x_col), F.col(y_col), bits)
+    return df.withColumn("morton", m).withColumn(
+        "zbucket",
+        F.floor(F.col("morton") / (1 << (2 * bits - bucket_bits))).cast(
+            "bigint"
+        ),
+    )
 
 
 def _py_morton(x: int, y: int, bits: int = 16) -> int:

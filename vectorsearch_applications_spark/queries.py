@@ -8377,17 +8377,19 @@ FROM m
 """,
 )
 def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout keys for the orders fact (operators/layout.py):
-    interleave (order day, customer key) bits into a Morton code and
-    take its top 12 bits as the layout bucket — the OPTIMIZE ZORDER
-    primitive that makes zone maps prune files for time predicates AND
-    key predicates at once (each bucket is a rectangle on the grid;
-    test_layout.py measures the box-query pruning win vs a row-major
-    layout). Encoding is exact div/mod integer arithmetic — zero
-    shuffle to compute; the one repartition by zbucket is the
-    write-once layout cost."""
+    """Z-order layout keys for the orders fact
+    (sources/collections.py zorder_value — the same Morton primitive
+    zorder_collection lays files out with): interleave (order day,
+    customer key) bits into a z-code and take its top 12 bits as the
+    layout bucket — the OPTIMIZE ZORDER primitive that makes zone maps
+    prune files for time predicates AND key predicates at once (each
+    bucket is a rectangle on the grid; test_layout.py measures the
+    box-query pruning win vs a row-major layout). The oracle restates
+    the bit interleave as div/mod arithmetic — bit-identical to the
+    codegen shift form. Zero shuffle to compute; the one repartition by
+    zbucket is the write-once layout cost."""
     from .functions.time import epoch_seconds
-    from .operators.layout import zorder_layout
+    from .sources.collections import zorder_value
 
     o = load_table(spark, sf_dir, "orders")
     src = o.select(
@@ -8396,8 +8398,11 @@ def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         (F.col("o_custkey") % 65536).alias("y"),
     )
-    return zorder_layout(src, "x", "y", bits=16, bucket_bits=12).select(
-        "o_orderkey", "morton", "zbucket"
+    m = zorder_value(F.col("x"), F.col("y"), bits=16).cast("bigint")
+    return src.select(
+        "o_orderkey",
+        m.alias("morton"),
+        F.floor(m / F.lit(1048576)).cast("bigint").alias("zbucket"),
     )
 
 
