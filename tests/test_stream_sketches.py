@@ -194,3 +194,35 @@ def test_stream_hll_equals_batch_registers(spark, tmp_path):
         for r in hll_registers(df, "grp", "v", b=4).collect()
     }
     assert got == want
+
+
+def test_stream_bloom_equals_batch_build(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.bloom import bloom_build
+    from vectorsearch_applications_spark.streaming.sketches import (
+        stream_bloom_collection,
+    )
+
+    rows = [(i * 3,) for i in range(120)]
+    df, src = _src(spark, tmp_path, rows, "k long", 3)
+
+    q = stream_bloom_collection(
+        spark,
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        str(tmp_path),
+        "bloom",
+        str(tmp_path / "ck_bloom"),
+        key_col="k",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["word_id"]: r["bits"]
+        for r in spark.read.parquet(str(tmp_path / "bloom")).collect()
+    }
+    want = {
+        r["word_id"]: r["bits"] for r in bloom_build(df, "k").collect()
+    }
+    assert got == want

@@ -175,3 +175,37 @@ def stream_hll_collection(
     return fenced_fold_stream(
         spark, rows_stream, root, name, checkpoint_dir, fold
     )
+
+
+def stream_bloom_collection(
+    spark: SparkSession,
+    keys_stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    key_col: str,
+    n_bits: int = 1024,
+    k: int = 3,
+):
+    """Fold a key stream into a persisted Bloom filter at ``root/name``:
+    words (word_id, bits) merge by bit_or — the runtime-filter build
+    maintained incrementally, so the dimension-side filter a nightly
+    join probes is always current without rescanning the dimension.
+    Set-bit merges are replay-idempotent (like HLL's maxima) but ride
+    the same fenced harness. Probe the persisted table with
+    operators/bloom.bloom_probe. Returns the StreamingQuery."""
+    from ..operators.bloom import bloom_build
+
+    def fold(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        fresh = bloom_build(batch, key_col, n_bits=n_bits, k=k)
+        if current is None:
+            return fresh
+        return (
+            current.unionByName(fresh)
+            .groupBy("word_id")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
+    return fenced_fold_stream(
+        spark, keys_stream, root, name, checkpoint_dir, fold
+    )
