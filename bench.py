@@ -173,6 +173,7 @@ HEADLINE = [
     "bloom_filter_dim_prune",
     "table_profile_stats",
     "zorder_layout_orders",
+    "join_size_cms_estimate",
 ]
 
 

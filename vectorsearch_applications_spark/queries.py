@@ -8353,6 +8353,77 @@ def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "join_size_cms_estimate",
+    """
+WITH rows_j AS (SELECT unnest(range(0, 4)) AS j),
+ocnt AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY o_custkey),
+ccnt AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY c_custkey),
+osk AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#'
+              || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS INT) AS bucket,
+         CAST(sum(c) AS BIGINT) AS count
+  FROM ocnt CROSS JOIN rows_j GROUP BY 1, 2
+),
+csk AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#'
+              || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS INT) AS bucket,
+         CAST(sum(c) AS BIGINT) AS count
+  FROM ccnt CROSS JOIN rows_j GROUP BY 1, 2
+),
+dots AS (
+  SELECT o.j, CAST(sum(o.count * c.count) AS BIGINT) AS dot
+  FROM osk o JOIN csk c ON c.j = o.j AND c.bucket = o.bucket
+  GROUP BY o.j
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS cms_join_estimate FROM dots),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT cms_join_estimate, exact_join_size FROM est, ex
+""",
+)
+def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (the AMS/CMS inner-
+    product bound, Alon-Matias-Szegedy '96 / Cormode-Muthukrishnan '05 —
+    public): |R ⋈ S| ≤ min over hash rows of Σ_bucket cms_R·cms_S, an
+    upper bound that is exact when no keys collide. This is the
+    stats-pass that lets a planner size a 100 TB join from two d·w
+    integer tables WITHOUT running it — the sketches are the same
+    mergeable cms_counts state the heavy-hitters query persists. Both
+    the estimate (deterministic md5 buckets) and the exact join size are
+    BIGINT, so the planner contract itself is hash-graded. Plan: two
+    map-side-combinable key-count aggs + d·w-sized sketch join; the
+    exact side is one equi-join count for the audit only."""
+    from .operators.sketches import cms_counts
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ocnt = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ccnt = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    osk = cms_counts(ocnt, "k", d=4, w=4096, weight_col="c")
+    csk = cms_counts(ccnt, "k", d=4, w=4096, weight_col="c")
+    dots = (
+        osk.alias("o")
+        .join(csk.alias("cs"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("o.count") * F.col("cs.count")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("cms_join_estimate"))
+    exact = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
     "zorder_layout_orders",
     """
 WITH src AS (
@@ -9560,6 +9631,7 @@ _GRADE_FIRST = [
     "bloom_filter_dim_prune",
     "table_profile_stats",
     "zorder_layout_orders",
+    "join_size_cms_estimate",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9591,7 +9663,6 @@ _GRADE_FIRST = [
     "nation_revenue",
     "prompt_assembly",
     "qa_generation",
-    "quality_length_filter",
     "rag_pipeline_eval",
     "rollup_lineitem",
     "route_classify",
@@ -9619,6 +9690,7 @@ _GRADE_LAST = [
     "order_priority_pivot",
     "multimodal_binary_meta",
     "train_val_split",
+    "quality_length_filter",
 ]
 
 
