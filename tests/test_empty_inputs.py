@@ -33,6 +33,10 @@ PICKED = [
     "ann_ivf_recall_exact",
     "scd2_incremental_equivalence",
     "classifier_score_frozen",
+    "bloom_filter_dim_prune",     # probe against an EMPTY bloom word map
+    "join_size_cms_estimate",     # min/count over empty sketch tables
+    "table_profile_stats",        # agg row over zero rows, stack unpivot
+    "classifier_eval_auc",        # empty distinct-score table
 ]
 
 TABLES = [
@@ -52,9 +56,15 @@ def empty_sf(spark, tmp_path_factory):
     return dst
 
 
-# fit-summary queries legitimately emit their fixed-shape parameter rows
-# (zero weights / zero accuracy) even for an empty training frame
-EXPECTED_ROWS = {"quality_classifier_fit": 4}  # f1, f2, f3, _bias
+# fit-summary / global-aggregate queries legitimately emit their
+# fixed-shape rows even over empty inputs (one agg row, or one row per
+# profiled column) — the oracle side aggregates to the same shape
+EXPECTED_ROWS = {
+    "quality_classifier_fit": 4,   # f1, f2, f3, _bias
+    "classifier_eval_auc": 1,      # (auc_num2, n_pos, n_neg) agg row
+    "join_size_cms_estimate": 1,   # estimate × exact audit row
+    "table_profile_stats": 6,      # one stats row per profiled column
+}
 
 
 @pytest.mark.parametrize("name", PICKED)
