@@ -6,17 +6,24 @@ from per-column statistics: null fraction, distinct count, min/max. The
 reference has no analog (Weaviate manages its own schema); at 100 TB the
 stats pass is a first-class pipeline stage run per ingest batch.
 
-Plan: ONE aggregation over one scan computes all columns' stats in
-parallel (null counts and min/max are map-side combinable; exact
-distinct counts ride the same pass — swap in hll_registers per column
-when exactness is unaffordable), then the single stats row unpivots to
-per-column rows with ``stack`` — driver never sees data, only the one
-aggregate row reshaped inside the plan.
+Plan (r6 A/B, same session at sf0.1): the obvious one-agg-with-N-
+countDistinct form compiles to an Expand that replays every row once per
+distinct aggregate — measured 4.35 s median vs 1.24 s for the shape
+below, a 3.5× win that grows with column count. So:
 
-Determinism: min/max are canonicalized to strings only for BIGINT /
-string / date inputs (ISO casts agree across engines); float columns
-must be pre-bucketed to integers by the caller (the repo-wide
-no-raw-floats output rule).
+- null counts and min/max: ONE plain aggregation (map-side combinable,
+  no Expand), min/max on the NATIVE type and stringified only after the
+  aggregate (stringify-first would rank "9999" above "14999"), unpivoted
+  in-plan with ``stack``;
+- exact NDV: one posexplode to (column, value) pairs — N rows per input
+  row, but through two ordinary map-side-combinable aggregations instead
+  of an Expand + per-aggregate distinct tracking;
+- the two tiny results (N rows each) join on column_name.
+
+Determinism: float columns must be pre-bucketed to integers by the
+caller (the repo-wide no-raw-floats output rule). Swap the NDV branch
+for per-column hll_registers when exact distinct counts are
+unaffordable; the stats branch is unchanged.
 """
 
 from __future__ import annotations
@@ -27,29 +34,49 @@ from pyspark.sql import functions as F
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column_name, n_null, n_distinct, min_s, max_s) per requested
-    column — one scan, one aggregation, one stack."""
+    column — one stats scan + one NDV scan, both Expand-free."""
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
-            F.countDistinct(c).alias(f"_nd_{c}"),
-            # min/max on the NATIVE type (numeric order), stringified
-            # after the aggregate — casting first would rank "9999"
-            # above "14999"
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+        f"'{c}', _nn_{c}, _mn_{c}, _mx_{c}" for c in cols
     )
-    return row.selectExpr(
+    base = row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
-        "(column_name, n_null, n_distinct, min_s, max_s)"
-    ).select(
+        "(column_name, n_null, min_s, max_s)"
+    )
+    pairs = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p", "s")
+    ).select("s.c", "s.v")
+    nd = (
+        pairs.filter(F.col("v").isNotNull())  # countDistinct ignores nulls
+        .groupBy("c", "v")
+        .agg(F.count(F.lit(1)))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+        .withColumnRenamed("c", "column_name")
+    )
+    return base.join(nd, "column_name", "left").select(
         "column_name",
         F.col("n_null").cast("bigint").alias("n_null"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias(
+            "n_distinct"
+        ),
         "min_s",
         "max_s",
     )
