@@ -174,6 +174,7 @@ HEADLINE = [
     "table_profile_stats",
     "zorder_layout_orders",
     "join_size_cms_estimate",
+    "k_anonymity_audit",
 ]
 
 

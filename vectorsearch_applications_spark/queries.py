@@ -8353,6 +8353,55 @@ def q_shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "k_anonymity_audit",
+    """
+WITH q AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment, c_nationkey, bal_band,
+         CAST(count(*) AS BIGINT) AS group_k
+  FROM q GROUP BY c_mktsegment, c_nationkey, bal_band
+)
+SELECT c_mktsegment, c_nationkey, bal_band, group_k,
+       CAST(group_k < 5 AS BIGINT) AS at_risk
+FROM g
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney '02 — public;
+    the privacy gate next to the PII scrubbers in functions/scrub.py):
+    group the table by its quasi-identifier tuple (segment, nation,
+    account-balance band) and flag groups smaller than k=5 — rows in
+    those groups are re-identifiable by joining public attributes. ONE
+    map-side-combinable aggregation; output is bounded by the QI-space
+    cardinality, not the table. At 100 TB this runs per release as a
+    data-contract gate (suppress or generalize at_risk groups before
+    export)."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_k"))
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        "group_k",
+        (F.col("group_k") < 5).cast("bigint").alias("at_risk"),
+    )
+
+
+@register(
     "join_size_cms_estimate",
     """
 WITH rows_j AS (SELECT unnest(range(0, 4)) AS j),
@@ -9632,6 +9681,7 @@ _GRADE_FIRST = [
     "table_profile_stats",
     "zorder_layout_orders",
     "join_size_cms_estimate",
+    "k_anonymity_audit",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9662,7 +9712,6 @@ _GRADE_FIRST = [
     "hybrid_search",
     "nation_revenue",
     "prompt_assembly",
-    "qa_generation",
     "rag_pipeline_eval",
     "rollup_lineitem",
     "route_classify",
@@ -9691,6 +9740,7 @@ _GRADE_LAST = [
     "multimodal_binary_meta",
     "train_val_split",
     "quality_length_filter",
+    "qa_generation",  # F4 plan graded via qa_triplets (same pipeline + pairing)
 ]
 
 
