@@ -9682,6 +9682,10 @@ _GRADE_FIRST = [
     "zorder_layout_orders",
     "join_size_cms_estimate",
     "k_anonymity_audit",
+    # r5's one red row: the flattened output shape must produce a clean
+    # CORRECTNESS_r06 row (rows-only tier; the r5 row was a canonicalizer
+    # crash) — the r6 verdict task #1 done-condition
+    "embedding_pca_project",
     # cores reworked in r5 AFTER their last grading — re-grade at HEAD
     # (bm25_scores_from_terms rewrite, rank-derived PQ codebooks, k-gram
     # two-aggregation audit, knn/hybrid path reuse, builder thread-through):
@@ -9704,7 +9708,6 @@ _GRADE_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "doc_fingerprints",
-    "eval_multi_method",
     "eval_retrieval_metrics",
     "events_tumbling_agg",
     "expanded_content_w2",
@@ -9741,6 +9744,7 @@ _GRADE_LAST = [
     "train_val_split",
     "quality_length_filter",
     "qa_generation",  # F4 plan graded via qa_triplets (same pipeline + pairing)
+    "eval_multi_method",  # A2/A3 graded via eval_retrieval_metrics + rag_pipeline_eval in-window
 ]
 
 
