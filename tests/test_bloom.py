@@ -63,3 +63,27 @@ def test_bloom_probe_plan_never_shuffles_the_fact(spark):
         and "word_id" not in ln
     ]
     assert not fact_exchanges, fact_exchanges
+
+
+def test_bloom_fp_rate_tracks_fill_factor_ladder(spark):
+    # measured sizing ladder (the SCALE.md fill-factor math): FP rate
+    # ~ (1 - e^(-kn/m))^k, so growing m collapses the FP rate. 500
+    # member keys, 2000 probes, k=3.
+    import math
+
+    members = spark.range(0, 5000, 10).withColumnRenamed("id", "k")  # 500
+    probes = spark.range(5000, 7000).withColumnRenamed("id", "k")  # disjoint
+    measured = {}
+    for m in (2048, 8192, 32768):
+        bloom = bloom_build(members, "k", n_bits=m, k=3)
+        fp = (
+            bloom_probe(probes, "k", bloom, n_bits=m, k=3)
+            .filter(F.col("maybe_member") == 1)
+            .count()
+        )
+        measured[m] = fp / 2000
+        predicted = (1 - math.exp(-3 * 500 / m)) ** 3
+        # within 3x of theory (small-sample noise) and monotone in m
+        assert measured[m] <= max(3 * predicted, 0.01), (m, measured[m], predicted)
+    assert measured[2048] >= measured[8192] >= measured[32768]
+    assert measured[32768] < 0.005  # ~0.0001 predicted; must be tiny
