@@ -175,6 +175,12 @@ HEADLINE = [
     "zorder_layout_orders",
     "join_size_cms_estimate",
     "k_anonymity_audit",
+    "merge_upsert_orders",
+    "compaction_bin_packing",
+    "dedup_sorted_neighborhood",
+    "category_target_encoding",
+    "zonemap_prune_estimate",
+    "temporal_split_embargo",
 ]
 
 

@@ -37,6 +37,10 @@ PICKED = [
     "join_size_cms_estimate",     # min/count over empty sketch tables
     "table_profile_stats",        # agg row over zero rows, stack unpivot
     "classifier_eval_auc",        # empty distinct-score table
+    # late-r6 additions: empty change set / empty zone audit rows
+    "merge_upsert_orders",
+    "zonemap_prune_estimate",
+    "temporal_split_embargo",
 ]
 
 TABLES = [
@@ -64,6 +68,7 @@ EXPECTED_ROWS = {
     "classifier_eval_auc": 1,      # (auc_num2, n_pos, n_neg) agg row
     "join_size_cms_estimate": 1,   # estimate × exact audit row
     "table_profile_stats": 6,      # one stats row per profiled column
+    "zonemap_prune_estimate": 2,   # one audit row per layout
 }
 
 

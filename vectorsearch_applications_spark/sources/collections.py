@@ -344,6 +344,47 @@ def zorder_collection(
     shutil.rmtree(old)
 
 
+def merge_frame(
+    target: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE INTO as a pure DataFrame plan (the core merge_collection
+    executes, factored out so batch queries can grade it without disk
+    I/O): reduce the change set to one last-writer-wins winner per key
+    (ties on seq break toward the delete so replays cannot resurrect a
+    deleted row), then target ⟕anti changed-keys ∪ upsert-winners.
+
+    The window runs on the CHANGE SET only (micro-batch-sized); the
+    target is touched by exactly one anti-join keyed on the merge key —
+    at 100 TB the target never shuffles beyond that key exchange, and
+    with a small change set AQE turns the anti-join broadcast."""
+    latest = merge_winners(changes, key_col, op_col, seq_col)
+    upserts = latest.filter(F.col(op_col) == "upsert").select(*target.columns)
+    keys = latest.select(key_col)
+    return target.join(keys, key_col, "left_anti").unionByName(upserts)
+
+
+def merge_winners(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Last-writer-wins reduction of a change set: one row per key, ties
+    on seq breaking toward the delete (replay-safe)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(seq_col), F.desc((F.col(op_col) == "delete").cast("int"))
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_collection(
     spark: SparkSession,
     root: str,
@@ -374,17 +415,9 @@ def merge_collection(
     path = os.path.join(root, name)
     target = spark.read.parquet(path)
 
-    w = Window.partitionBy(key_col).orderBy(
-        F.desc(seq_col), F.desc((F.col(op_col) == "delete").cast("int"))
-    )
-    latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    latest = merge_winners(changes, key_col, op_col, seq_col)
     upserts = latest.filter(F.col(op_col) == "upsert").select(*target.columns)
-    keys = latest.select(key_col)
-    merged = target.join(keys, key_col, "left_anti").unionByName(upserts)
+    merged = merge_frame(target, changes, key_col, op_col, seq_col)
 
     n_up = upserts.count()
     # 'deleted' counts rows actually REMOVED from the target, not
