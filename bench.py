@@ -181,6 +181,8 @@ HEADLINE = [
     "category_target_encoding",
     "zonemap_prune_estimate",
     "temporal_split_embargo",
+    "eval_rank_agreement",
+    "incremental_agg_equivalence",
 ]
 
 

@@ -41,6 +41,8 @@ PICKED = [
     "merge_upsert_orders",
     "zonemap_prune_estimate",
     "temporal_split_embargo",
+    "eval_rank_agreement",
+    "incremental_agg_equivalence",
 ]
 
 TABLES = [

@@ -44,6 +44,8 @@ BOUNDED_BNLJ = {
     "bloom_filter_dim_prune",  # 1-row broadcast bloom word-map
     "join_size_cms_estimate",  # 1-row estimate × 1-row exact audit
     "temporal_split_embargo",  # 1-row midpoint-cut broadcast
+    "eval_rank_agreement",  # 3-query + 3-row k-ladder broadcasts
+    "incremental_agg_equivalence",  # 1-row midpoint-cut broadcast
     "eval_retrieval_metrics",
     "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
     "token_budget_allocation",  # 1-row grand-total broadcast

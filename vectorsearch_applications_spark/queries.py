@@ -10102,6 +10102,218 @@ def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_rank_agreement",
+    """
+WITH a0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+             AS scale
+  FROM embeddings),
+c AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> CAST(floor(
+           (CASE WHEN scale = 0 THEN 0.0 ELSE x / scale END) + 0.5
+         ) AS INT)) AS codes
+  FROM a0),
+dq AS (SELECT vec_id, scale, unnest(codes) AS dc,
+              generate_subscripts(codes, 1) AS i FROM c),
+qq AS (SELECT vec_id AS query_id, scale AS qscale, unnest(codes) AS qc,
+              generate_subscripts(codes, 1) AS i FROM c WHERE vec_id < 3),
+dots AS (
+  SELECT qq.query_id, dq.vec_id,
+         (dq.scale * qq.qscale) * (sum(dq.dc * qq.qc)::BIGINT) AS score
+  FROM dq JOIN qq USING (i)
+  GROUP BY qq.query_id, dq.vec_id, dq.scale, qq.qscale),
+qranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM dots),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e2.vec_id,
+         1.0 - list_dot_product(e2.embedding::DOUBLE[], q.qv) AS distance
+  FROM embeddings e2 CROSS JOIN q),
+eranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rnk
+  FROM scored),
+j AS (
+  SELECT er.query_id, er.rnk AS ra, qr.rnk AS rb
+  FROM eranked er JOIN qranked qr
+    ON qr.query_id = er.query_id AND qr.vec_id = er.vec_id
+  WHERE er.rnk <= 10 AND qr.rnk <= 10),
+ks AS (SELECT unnest([1, 5, 10]) AS k),
+cnt AS (
+  SELECT j.query_id, ks.k, CAST(count(*) AS BIGINT) AS n
+  FROM j JOIN ks ON j.ra <= ks.k AND j.rb <= ks.k
+  GROUP BY j.query_id, ks.k),
+grid AS (SELECT query_id, k FROM q CROSS JOIN ks)
+SELECT g.query_id, CAST(g.k AS BIGINT) AS k,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_overlap
+FROM grid g LEFT JOIN cnt ON cnt.query_id = g.query_id AND cnt.k = g.k
+""",
+)
+def q_eval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-agreement audit between the exact-cosine kNN and the
+    int8-quantized scorer (operators/knn.py:71 vs quantize.py:29):
+    overlap@k for k ∈ {1, 5, 10} per query — the integer-exact form of
+    the recall-vs-compression question every quantized serving tier has
+    to answer before swapping 4×-smaller codes into the hot path (the
+    same contract ann_ivf_recall_exact grades for IVF pruning). Both
+    rankings are engine-side (top-k windows over bounded query
+    broadcasts); the agreement join touches only the two k·|Q|-row hit
+    lists, so the audit's cost is the two searches, not the corpus."""
+    from .operators.quantize import quantize_embeddings, quantized_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_search(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").alias("ra")
+    )
+
+    qz = quantize_embeddings(emb)
+    qqueries = qz.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("codes").alias("qcodes"),
+    )
+    scored = qz.crossJoin(F.broadcast(qqueries)).select(
+        "query_id",
+        "vec_id",
+        quantized_dot(
+            F.col("codes"), F.col("qcodes"), F.col("scale"), F.col("qscale")
+        ).alias("score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    quant = (
+        scored.withColumn("rb", F.row_number().over(wq))
+        .filter(F.col("rb") <= 10)
+        .select("query_id", "vec_id", "rb")
+    )
+
+    j = exact.join(quant, ["query_id", "vec_id"])
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    cnt = (
+        j.crossJoin(F.broadcast(ks))
+        .filter((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = queries.select("query_id").crossJoin(F.broadcast(ks))
+    return grid.join(cnt, ["query_id", "k"], "left").select(
+        "query_id",
+        F.col("k").cast("bigint").alias("k"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+    )
+
+
+@register(
+    "incremental_agg_equivalence",
+    """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 AS es,
+         CAST(floor(value * 100) AS BIGINT) AS v100
+  FROM events),
+c AS (SELECT (min(es) + max(es)) // 2 AS cut FROM e),
+base AS (
+  SELECT event_type, es // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(v100) AS BIGINT) AS s
+  FROM e, c WHERE es < cut GROUP BY event_type, day),
+delta AS (
+  SELECT event_type, es // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(v100) AS BIGINT) AS s
+  FROM e, c WHERE es >= cut GROUP BY event_type, day),
+maintained AS (
+  SELECT event_type, day, CAST(sum(n) AS BIGINT) AS n_inc,
+         CAST(sum(s) AS BIGINT) AS sum_inc_v100
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY event_type, day),
+rebuilt AS (
+  SELECT event_type, es // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n_full,
+         CAST(sum(v100) AS BIGINT) AS sum_full_v100
+  FROM e GROUP BY event_type, day)
+SELECT m.event_type, CAST(m.day AS BIGINT) AS day,
+       m.n_inc, r.n_full, m.sum_inc_v100, r.sum_full_v100,
+       CAST(m.n_inc = r.n_full AND m.sum_inc_v100 = r.sum_full_v100
+            AS BIGINT) AS is_equal
+FROM maintained m JOIN rebuilt r
+  ON r.event_type = m.event_type AND r.day = m.day
+""",
+)
+def q_incremental_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the materialized-view delta
+    law: agg(base ⊎ delta) == merge(agg(base), agg(delta)) for
+    commutative monoids — the identity every streaming rollup in
+    streaming/events.py and sketch fold in streaming/sketches.py relies
+    on): maintain the per-(type, day) event rollup by merging partial
+    aggregates across a midpoint split, grade it cell-for-cell against
+    the full rebuild. Sums are integer (floor-cents of value) so the
+    merge is exact regardless of partitioning or merge order — the
+    property that makes the rollup safely resumable at 100 TB where a
+    rebuild is a full-log scan but the delta is one micro-batch."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        epoch_seconds(ev, "ts").alias("es"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    cut = e.agg(
+        F.expr("(min(es) + max(es)) DIV 2").cast("bigint").alias("cut")
+    )
+    tagged = e.crossJoin(F.broadcast(cut)).withColumn(
+        "day", F.expr("es DIV 86400")
+    )
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v100").cast("bigint").alias("s"),
+        )
+
+    base = part_agg(tagged.filter(F.col("es") < F.col("cut")))
+    delta = part_agg(tagged.filter(F.col("es") >= F.col("cut")))
+    maintained = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_inc"),
+            F.sum("s").cast("bigint").alias("sum_inc_v100"),
+        )
+    )
+    rebuilt = (
+        e.withColumn("day", F.expr("es DIV 86400"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_full"),
+            F.sum("v100").cast("bigint").alias("sum_full_v100"),
+        )
+    )
+    return maintained.join(rebuilt, ["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "n_inc",
+        "n_full",
+        "sum_inc_v100",
+        "sum_full_v100",
+        (
+            (F.col("n_inc") == F.col("n_full"))
+            & (F.col("sum_inc_v100") == F.col("sum_full_v100"))
+        )
+        .cast("bigint")
+        .alias("is_equal"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
 # since r5, so from r6 the window is a freshness rotation: new queries
@@ -10113,6 +10325,8 @@ def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRADE_FIRST = [
     # new this round (never driver-graded):
     "merge_upsert_orders",
+    "eval_rank_agreement",
+    "incremental_agg_equivalence",
     "compaction_bin_packing",
     "dedup_sorted_neighborhood",
     "category_target_encoding",
@@ -10166,13 +10380,13 @@ _GRADE_FIRST = [
     "rollup_lineitem",
     "route_classify",
     "search_with_properties",
-    "segment_stats",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
 ]
 _GRADE_LAST = [
     # r2-vintage names deferred to the r7 rotation (the window holds 50;
     # these are the lowest-risk re-grades — no core changes since r2):
+    "segment_stats",
+    "tpch_q3_shipping_priority",
     "semantic_text_search",
     "text2sql_guarded",
     "top_customer_revenue",
