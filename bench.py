@@ -183,6 +183,8 @@ HEADLINE = [
     "temporal_split_embargo",
     "eval_rank_agreement",
     "incremental_agg_equivalence",
+    "perplexity_bucket_sample",
+    "events_path_trigrams",
 ]
 
 

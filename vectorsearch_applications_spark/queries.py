@@ -10314,6 +10314,152 @@ def q_incremental_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "perplexity_bucket_sample",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM d
+),
+c12 AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY gram),
+c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1
+  FROM grams GROUP BY split_part(gram, ' ', 1)
+),
+sc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum((c12.c12 * 1000000) // c1.c1) AS BIGINT) AS microprob_sum
+  FROM grams g
+  JOIN c12 ON c12.gram = g.gram
+  JOIN c1 ON c1.w1 = split_part(g.gram, ' ', 1)
+  GROUP BY g.doc_id
+),
+b AS (
+  SELECT doc_id,
+         ntile(4) OVER (ORDER BY microprob_sum // n_bigrams, doc_id)
+             AS bucket
+  FROM sc
+),
+k AS (
+  SELECT doc_id, bucket,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+              < (CASE bucket WHEN 4 THEN 8 WHEN 3 THEN 4
+                             WHEN 2 THEN 2 ELSE 1 END)
+              AS BIGINT) AS kept
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM k GROUP BY bucket
+""",
+)
+def q_perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed corpus sampling (the CCNet recipe — Wenzek
+    '20, public: split the corpus into fluency quartiles under a corpus
+    LM, keep the head and downsample the tail): buckets come from the
+    integer bigram-LM fluency score (operators/textstats.py
+    bigram_lm_scores — already engine-exact), the keep decision is the
+    retry-stable md5-threshold idiom (no RNG state), with keep rates
+    8/8, 4/8, 2/8, 1/8 from most to least fluent. ntile's equal-split
+    semantics agree between Spark and DuckDB given the (score, doc_id)
+    total order. The ntile window is a single global sort of the
+    doc-level SCORE table (corpus-count-sized, not token-sized); at
+    100 TB swap ntile for the pre-aggregated score-histogram cut the
+    quality_score_quantile_norm query grades — the keep logic is
+    unchanged."""
+    from .operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = bigram_lm_scores(docs)
+    b = sc.select(
+        "doc_id",
+        F.ntile(4)
+        .over(
+            Window.orderBy(
+                F.expr("microprob_sum DIV n_bigrams"), F.col("doc_id")
+            )
+        )
+        .alias("bucket"),
+    )
+    rate = (
+        F.when(F.col("bucket") == 4, 8)
+        .when(F.col("bucket") == 3, 4)
+        .when(F.col("bucket") == 2, 2)
+        .otherwise(1)
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    k = b.select(
+        "bucket", ((h % 8) < rate).cast("bigint").alias("kept")
+    )
+    return k.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "events_path_trigrams",
+    """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_ns(ts) // 1000 AS eus, event_id
+  FROM events),
+p AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY eus, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY eus, event_id) AS t3
+  FROM e)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+""",
+)
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path trigrams (the product-analytics flow query
+    next to events_transition_matrix's first-order view): each user's
+    event stream in time order, sliding a 3-gram window via two leads,
+    counting occurrences and distinct users per path. The window
+    partitions by user — per-partition state is one user's (bounded)
+    history, never global; the output is bounded by |event_types|³.
+    Ties inside one user's stream break on event_id so every engine and
+    run sees the same sequence."""
+    from .functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        epoch_micros(ev, "ts").alias("eus"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    p = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        p.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
 # since r5, so from r6 the window is a freshness rotation: new queries
@@ -10327,6 +10473,8 @@ _GRADE_FIRST = [
     "merge_upsert_orders",
     "eval_rank_agreement",
     "incremental_agg_equivalence",
+    "perplexity_bucket_sample",
+    "events_path_trigrams",
     "compaction_bin_packing",
     "dedup_sorted_neighborhood",
     "category_target_encoding",
@@ -10377,14 +10525,14 @@ _GRADE_FIRST = [
     "nation_revenue",
     "prompt_assembly",
     "rag_pipeline_eval",
-    "rollup_lineitem",
     "route_classify",
-    "search_with_properties",
     "tpch_q1_pricing_summary",
 ]
 _GRADE_LAST = [
     # r2-vintage names deferred to the r7 rotation (the window holds 50;
     # these are the lowest-risk re-grades — no core changes since r2):
+    "search_with_properties",
+    "rollup_lineitem",
     "segment_stats",
     "tpch_q3_shipping_priority",
     "semantic_text_search",
