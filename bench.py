@@ -185,6 +185,7 @@ HEADLINE = [
     "incremental_agg_equivalence",
     "perplexity_bucket_sample",
     "events_path_trigrams",
+    "dedup_minhash_jaccard_estimate",
 ]
 
 
