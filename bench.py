@@ -186,6 +186,7 @@ HEADLINE = [
     "perplexity_bucket_sample",
     "events_path_trigrams",
     "dedup_minhash_jaccard_estimate",
+    "events_anomaly_mad",
 ]
 
 

@@ -181,6 +181,36 @@ def test_merge_collection_upsert_delete_lww(spark, tmp_path):
     assert stats["rows"] == 3
 
 
+def test_merge_frame_replay_idempotent(spark):
+    """Applying the same change batch twice must equal applying it once
+    (the retry contract merge_upsert_orders grades at query level):
+    deletes cannot resurrect, upserts overwrite to the same winner."""
+    from vectorsearch_applications_spark.sources.collections import merge_frame
+
+    target = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "TWO-v2", "upsert", 2),
+            (3, None, "delete", 1),
+            (4, "four", "upsert", 1),
+            (5, "ghost", "upsert", 1),
+            (5, None, "delete", 1),  # tie on seq -> delete wins
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    once = merge_frame(target, changes)
+    twice = merge_frame(once, changes)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+    assert {r["doc_id"]: r["text"] for r in once.collect()} == {
+        1: "one",
+        2: "TWO-v2",
+        4: "four",
+    }
+
+
 def test_export_jsonl_shards_deterministic_and_lossless(spark, tmp_path):
     import os
 

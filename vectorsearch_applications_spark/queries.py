@@ -10600,6 +10600,72 @@ def q_dedup_minhash_jaccard_estimate(
     )
 
 
+@register(
+    "events_anomaly_mad",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS es FROM events),
+h AS (SELECT event_type, es // 3600 AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, hour),
+med AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(n::DOUBLE, 0.5) AS BIGINT) AS med2
+  FROM h GROUP BY event_type),
+dev AS (
+  SELECT h.event_type, h.hour, h.n, abs(2 * h.n - m.med2) AS dev2
+  FROM h JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(dev2::DOUBLE, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(d.hour * 3600 AS BIGINT) AS hour_start_es,
+       d.n AS n_events
+FROM dev d JOIN mad m USING (event_type)
+WHERE 2 * d.dev2 > 3 * m.mad4 AND m.mad4 > 0
+""",
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flagging over hourly event volumes — the
+    ROBUST sibling of events_anomaly_zscore: mean and variance are
+    themselves dragged by the outliers they're meant to detect, while
+    the median absolute deviation has a 50% breakdown point (Hampel
+    '74, public). Zero float comparisons despite interpolated medians:
+    an even-count median lands on .5, so the plan carries 2×median and
+    2×MAD (exactly integer — an IEEE double at x.5 doubles exactly) and
+    flags via the scaled inequality 2·|2n − med2| > 3·mad4
+    ⇔ |n − med| > 3·MAD. Per-type medians sort hour-count tables
+    (bounded by hours per type, not events); two narrow joins back."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", epoch_seconds(ev, "ts").alias("es"))
+        .withColumn("hour", F.expr("es DIV 3600"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = h.groupBy("event_type").agg(
+        (2 * F.percentile(F.col("n"), F.lit(0.5))).cast("bigint").alias("med2")
+    )
+    dev = h.join(med, "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.percentile(F.col("dev2"), F.lit(0.5)))
+        .cast("bigint")
+        .alias("mad4")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter((2 * F.col("dev2") > 3 * F.col("mad4")) & (F.col("mad4") > 0))
+        .select(
+            "event_type",
+            (F.col("hour") * 3600).cast("bigint").alias("hour_start_es"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
 # since r5, so from r6 the window is a freshness rotation: new queries
@@ -10616,6 +10682,7 @@ _GRADE_FIRST = [
     "perplexity_bucket_sample",
     "events_path_trigrams",
     "dedup_minhash_jaccard_estimate",
+    "events_anomaly_mad",
     "compaction_bin_packing",
     "dedup_sorted_neighborhood",
     "category_target_encoding",
@@ -10661,7 +10728,6 @@ _GRADE_FIRST = [
     "doc_fingerprints",
     "eval_retrieval_metrics",
     "events_tumbling_agg",
-    "expanded_content_w2",
     "generation_eval_polling",
     "hybrid_search",
     "rag_pipeline_eval",
@@ -10675,6 +10741,7 @@ _GRADE_LAST = [
     "rollup_lineitem",
     "prompt_assembly",
     "nation_revenue",
+    "expanded_content_w2",
     "segment_stats",
     "tpch_q3_shipping_priority",
     "semantic_text_search",
