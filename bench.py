@@ -187,6 +187,9 @@ HEADLINE = [
     "events_path_trigrams",
     "dedup_minhash_jaccard_estimate",
     "events_anomaly_mad",
+    "events_salted_agg",
+    "events_daily_trend_fit",
+    "events_cusum_changepoint",
 ]
 
 

@@ -10666,6 +10666,194 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_salted_agg",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v100,
+       CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_es,
+       CAST(max(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_es
+FROM events GROUP BY event_type
+""",
+)
+def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation graded end-to-end
+    (operators/skew.py salted_aggregate): the event log groups by
+    event_type — a handful of hot keys, the canonical skew shape — so
+    the plan salts the key, partial-aggregates per (key, salt) with
+    map-side combine, then final-aggregates per key. The oracle is the
+    PLAIN GROUP BY: equality IS the proof that salting preserves every
+    decomposable aggregate (count re-summed; sum/min/max re-applied) —
+    integer sums make it bit-exact regardless of how rows landed in
+    salt cells. At 100 TB the hot key's rows spread over n_salts
+    reducers instead of melting one task."""
+    from .functions.time import epoch_seconds
+    from .operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        epoch_seconds(ev, "ts").alias("es"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("count", "es"),
+            "sum_v100": ("sum", "v100"),
+            "first_es": ("min", "es"),
+            "last_es": ("max", "es"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_v100").cast("bigint").alias("sum_v100"),
+        F.col("first_es").cast("bigint").alias("first_es"),
+        F.col("last_es").cast("bigint").alias("last_es"),
+    )
+
+
+@register(
+    "events_daily_trend_fit",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day
+           FROM events),
+d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, day)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(*) * sum(day * n) - sum(day) * sum(n) AS BIGINT)
+           AS slope_num,
+       CAST(count(*) * sum(day * day) - sum(day) * sum(day) AS BIGINT)
+           AS slope_den
+FROM d GROUP BY event_type
+""",
+)
+def q_events_daily_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend as an exact-integer OLS fit: slope of daily
+    event counts over the day index emitted as the closed-form
+    numerator/denominator pair (N·Σxy − Σx·Σy, N·Σx² − (Σx)²) — the
+    growth/decay detector a pipeline dashboard fits per series, with no
+    float division so every engine hashes identically. Two
+    map-side-combinable aggregations (daily rollup, then per-type
+    moments); output is |event_types| rows. The same moments feed a
+    correlation or R² downstream without rescanning."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (epoch_seconds(ev, "ts") / 86400).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("day") * F.col("n"))
+            - F.sum("day") * F.sum("n")
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("day") * F.col("day"))
+            - F.sum("day") * F.sum("day")
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day
+           FROM events),
+d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, day),
+w AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(n) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM d),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS BIGINT) AS s FROM d GROUP BY event_type),
+dev AS (
+  SELECT w.event_type, w.day,
+         abs(t.nd * w.p - w.k * t.s) AS dev_abs
+  FROM w JOIN t USING (event_type)),
+r AS (
+  SELECT event_type, day, dev_abs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev_abs DESC, day ASC) AS rn
+  FROM dev)
+SELECT event_type, CAST(day AS BIGINT) AS change_day,
+       CAST(dev_abs AS BIGINT) AS dev_abs
+FROM r WHERE rn = 1
+""",
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page '54 — public) in exact integer
+    arithmetic: the day where the cumulative deviation from the series
+    mean peaks, per event type. The float CUSUM |P_k − k·μ| is scaled
+    by N (μ = S/N) into |N·P_k − k·S| — same argmax, zero division, so
+    the detected changepoint is engine- and partitioning-exact. One
+    daily rollup, a per-type prefix-sum window (bounded by days per
+    type, not events), a |types|-row totals join, and an argmax window.
+    The argmax ties break on the earlier day."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (epoch_seconds(ev, "ts") / 86400).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wk = Window.partitionBy("event_type").orderBy("day")
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(wk).alias("k"),
+        F.sum("n")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    dev = w.join(t, "event_type").select(
+        "event_type",
+        "day",
+        F.abs(F.col("nd") * F.col("p") - F.col("k") * F.col("s")).alias(
+            "dev_abs"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("dev_abs"), F.asc("day")
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("bigint").alias("change_day"),
+            F.col("dev_abs").cast("bigint").alias("dev_abs"),
+        )
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
 # since r5, so from r6 the window is a freshness rotation: new queries
@@ -10683,6 +10871,9 @@ _GRADE_FIRST = [
     "events_path_trigrams",
     "dedup_minhash_jaccard_estimate",
     "events_anomaly_mad",
+    "events_salted_agg",
+    "events_daily_trend_fit",
+    "events_cusum_changepoint",
     "compaction_bin_packing",
     "dedup_sorted_neighborhood",
     "category_target_encoding",
@@ -10720,15 +10911,12 @@ _GRADE_FIRST = [
     # the r2-latest vintage (oldest driver rows in the record):
     "chunk_documents",
     "corpus_token_stats",
-    "customers_without_orders",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "doc_fingerprints",
     "eval_retrieval_metrics",
     "events_tumbling_agg",
-    "generation_eval_polling",
     "hybrid_search",
     "rag_pipeline_eval",
     "route_classify",
@@ -10742,6 +10930,9 @@ _GRADE_LAST = [
     "prompt_assembly",
     "nation_revenue",
     "expanded_content_w2",
+    "customers_without_orders",
+    "doc_fingerprints",
+    "generation_eval_polling",
     "segment_stats",
     "tpch_q3_shipping_priority",
     "semantic_text_search",
