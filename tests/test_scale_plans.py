@@ -347,18 +347,18 @@ def test_fuzzy_match_broadcasts_query_trigrams(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_market_basket_pair_join_is_equi_on_order(spark):
-    # the pair self-join keys on l_orderkey (bounded per-order fanout),
-    # which must compile to a hash/merge equi-join
+def test_market_basket_pairs_is_joinless_two_exchanges(spark):
+    # r6 rewrite: collect_set baskets + double explode — pairs come from
+    # the basket array, so the plan must contain NO join at all and
+    # exactly two exchanges (basket key, pair key). A reappearing join
+    # means the 3-shuffle distinct+self-join shape regressed.
     from vectorsearch_applications_spark.queries import get_queries
 
     df = get_queries()["market_basket_pairs"](spark, SF_SMOKE)
     plan = _plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Generate explode" in plan
 
 
 def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
