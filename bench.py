@@ -190,6 +190,10 @@ HEADLINE = [
     "events_salted_agg",
     "events_daily_trend_fit",
     "events_cusum_changepoint",
+    "classifier_calibration_bins",
+    "embedding_truncation_recall",
+    "events_autocorrelation",
+    "mixture_token_allocation",
 ]
 
 

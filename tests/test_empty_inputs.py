@@ -40,6 +40,11 @@ PICKED = [
     # late-r6 additions: empty change set / empty zone audit rows
     "merge_upsert_orders",
     "zonemap_prune_estimate",
+    # this session: div-by-zero guard on empty total / empty lag join
+    "mixture_token_allocation",
+    "embedding_truncation_recall",
+    "events_autocorrelation",
+    "classifier_calibration_bins",
     "temporal_split_embargo",
     "eval_rank_agreement",
     "incremental_agg_equivalence",

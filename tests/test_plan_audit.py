@@ -46,6 +46,7 @@ BOUNDED_BNLJ = {
     "temporal_split_embargo",  # 1-row midpoint-cut broadcast
     "eval_rank_agreement",  # 3-query + 3-row k-ladder broadcasts
     "incremental_agg_equivalence",  # 1-row midpoint-cut broadcast
+    "embedding_truncation_recall",  # two ≤8-row query-vector broadcasts
     "eval_retrieval_metrics",
     "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
     "token_budget_allocation",  # 1-row grand-total broadcast

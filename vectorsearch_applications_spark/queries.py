@@ -10854,6 +10854,325 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "classifier_calibration_bins",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_toks('text')}) AS n_tokens,
+         len(list_distinct({_toks('text')})) AS n_distinct
+  FROM documents
+),
+s AS (
+  SELECT -0.5 + n_tokens * 0.0234375 + n_chars * -0.0048828125
+              + n_distinct * 0.02734375 AS margin,
+         CASE WHEN n_distinct * 4 >= n_tokens * 3 THEN 1 ELSE 0 END AS label
+  FROM f
+)
+SELECT least(greatest(CAST(floor(margin * 2) AS BIGINT) + 8, 0), 15) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(sum(CAST(floor(margin * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_margin_e6
+FROM s GROUP BY 1
+""",
+)
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the frozen-weight quality classifier
+    (operators/classifier.py logistic_margin — the deploy path
+    classifier_score_frozen grades): corpus scored once, margins bucketed
+    into 16 fixed-width bins (width 0.5, clamped), and per bin the count,
+    the observed positive count for a deterministic vocabulary-richness
+    label, and the summed margin in exact 1e-6 units (floored PER ROW to
+    BIGINT before the sum, so the aggregate is order-independent — a raw
+    float sum would hash differently per partitioning). Downstream ECE /
+    reliability curves divide these integers. One scan + one 16-group
+    aggregation; the same shape profiles a trillion-row corpus because
+    the margin is a codegen projection and the groupBy is map-side
+    combinable into ≤16 groups."""
+    from .operators.classifier import logistic_margin
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    feats = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    margin = logistic_margin(
+        ["n_tokens", "n_chars", "n_distinct"],
+        [3 / 128, -5 / 1024, 7 / 256, -1 / 2],
+    )
+    s = feats.select(
+        margin.alias("margin"),
+        (F.col("n_distinct") * 4 >= F.col("n_tokens") * 3)
+        .cast("bigint")
+        .alias("label"),
+    )
+    bin_c = F.least(
+        F.greatest(
+            F.floor(F.col("margin") * 2) + F.lit(8).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(15).cast("bigint"),
+    )
+    return (
+        s.select(
+            bin_c.alias("bin"),
+            "label",
+            F.floor(F.col("margin") * 1000000).cast("bigint").alias("m_e6"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum("m_e6").cast("bigint").alias("sum_margin_e6"),
+        )
+    )
+
+
+@register(
+    "embedding_truncation_recall",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+trunc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - list_dot_product(e.v[1:16], q.qv[1:16]) ASC,
+                      e.vec_id ASC) AS rnk
+    FROM e CROSS JOIN q) WHERE rnk <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - list_dot_product(e.v, q.qv) ASC,
+                      e.vec_id ASC) AS rnk
+    FROM e CROSS JOIN q) WHERE rnk <= 10
+)
+SELECT x.query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k
+FROM exact x
+LEFT JOIN trunc t ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+GROUP BY x.query_id
+""",
+)
+def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall: top-10 by dot product
+    on the FIRST 16 of 64 embedding dimensions vs the full-dimension exact
+    top-10, emitted as integer hit counts per query (the
+    ann_ivf_recall_exact contract). This is the measurement that justifies
+    the cheapest scale lever a vector pipeline has — truncating dims cuts
+    FLOPs, shuffle bytes, and index footprint by dim_out/dim_in with NO
+    bucketing error, and prefix-truncation is exactly how
+    Matryoshka-trained embedding models are served. Both rankings are
+    id-tie-broken on identical IEEE dot products (fixed fold order in both
+    engines), so the whole comparison hash-grades. Plan: two broadcast
+    crossJoin top-k passes over the same scan (queries are the ≤8-row
+    side; the corpus never shuffles), then an 80-row join."""
+    from .operators.knn import knn_search_crossjoin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    q_full = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    q16 = emb16.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_search_crossjoin(emb, q_full, k=10)
+    trunc = knn_search_crossjoin(emb16, q16, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("_found")
+    )
+    return (
+        exact.join(trunc, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_found", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+
+
+@register(
+    "events_autocorrelation",
+    """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day
+           FROM events),
+d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, day),
+l AS (SELECT unnest([1, 2, 3]) AS lag),
+p AS (
+  SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+  FROM d a CROSS JOIN l
+  JOIN d b ON b.event_type = a.event_type AND b.day = a.day - l.lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy
+FROM p GROUP BY event_type, lag
+""",
+)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation moments of the daily event-count series, per
+    event type, lags 1–3 — the seasonality/momentum probe that complements
+    events_daily_trend_fit's OLS slope. Calendar-lag semantics (pair
+    (t, t−k) exists only when BOTH days have events — a row-offset lag()
+    window would silently pair across gaps), so the pairing is a
+    self-join on the derived day key, not a window. All five moments are
+    exact integer sums; Pearson r at each lag divides them downstream
+    with no rescan. Plan: one map-side-combinable daily rollup shuffles
+    the events table once; everything after operates on the tiny
+    |types|×|days| frame (a ×3 lag explode, a self-join, a 15-group
+    agg)."""
+    from .functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            (epoch_seconds(ev, "ts") / 86400).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = d.withColumn(
+        "lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    ).select(
+        "event_type",
+        "lag",
+        F.col("day").alias("aday"),
+        F.col("n").alias("x"),
+    )
+    b = d.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("bday"),
+        F.col("n").alias("y"),
+    )
+    p = a.join(
+        b,
+        (a["event_type"] == b["b_et"])
+        & (b["bday"] == a["aday"] - a["lag"]),
+    )
+    return p.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_yy"),
+    ).select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        "sum_xy",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_yy",
+    )
+
+
+@register(
+    "mixture_token_allocation",
+    f"""
+WITH s AS (
+  SELECT source, CAST(sum(len({_toks('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+  FROM s
+),
+q AS (
+  SELECT source, n_tokens,
+         (1000000 * n_tokens) // nullif(total, 0) AS alloc_floor,
+         (1000000 * n_tokens) % nullif(total, 0) AS rem
+  FROM t
+),
+r AS (
+  SELECT source, n_tokens, alloc_floor, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         1000000 - sum(alloc_floor) OVER () AS shortfall
+  FROM q
+)
+SELECT source,
+       n_tokens,
+       CAST(alloc_floor AS BIGINT) AS alloc_floor,
+       CAST(CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(alloc_floor + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+""",
+)
+def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture apportionment by the largest-remainder (Hamilton)
+    method: split a 1M-token sampling budget across document sources
+    proportional to their exact token mass — floor the integer quota
+    B·tok_i div total, then hand the Σfloor shortfall out one token at a
+    time by descending remainder (source-name tie-break). This is the
+    deterministic core of every data-mixture recipe (DoReMi-style weight
+    tables, per-domain epoch budgeting): apportionment must sum EXACTLY
+    to B and be reproducible across engines, which float shares can't
+    guarantee. All arithmetic is BIGINT (div/mod, no division). Plan: one
+    map-side-combinable token rollup shuffles documents once; the
+    windows run on the ~|sources|-row frame (bounded global window, the
+    ≤8-row idiom), so the allocation itself is free at any corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", token_count("text").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    t = s.withColumn(
+        "total", F.sum("n_tokens").over(w_all).cast("bigint")
+    )
+    q = t.select(
+        "source",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) DIV nullif(total, 0)").alias(
+            "alloc_floor"
+        ),
+        ((F.lit(1000000) * F.col("n_tokens")) % F.nullif(F.col("total"), F.lit(0)))
+        .alias("rem"),
+    )
+    w_rk = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "n_tokens",
+        "alloc_floor",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(1000000) - F.sum("alloc_floor").over(w_all)).alias(
+            "shortfall"
+        ),
+    )
+    extra = (F.col("rk") <= F.col("shortfall")).cast("bigint")
+    return r.select(
+        "source",
+        "n_tokens",
+        F.col("alloc_floor").cast("bigint").alias("alloc_floor"),
+        extra.alias("extra"),
+        (F.col("alloc_floor") + extra).cast("bigint").alias("alloc"),
+    )
+
+
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
 # since r5, so from r6 the window is a freshness rotation: new queries
@@ -10864,6 +11183,10 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50-row cap excludes them.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
+    "classifier_calibration_bins",
+    "embedding_truncation_recall",
+    "events_autocorrelation",
+    "mixture_token_allocation",
     "merge_upsert_orders",
     "eval_rank_agreement",
     "incremental_agg_equivalence",
@@ -10916,15 +11239,15 @@ _GRADE_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "eval_retrieval_metrics",
-    "events_tumbling_agg",
     "hybrid_search",
-    "rag_pipeline_eval",
-    "route_classify",
-    "tpch_q1_pricing_summary",
 ]
 _GRADE_LAST = [
     # r2-vintage names deferred to the r7 rotation (the window holds 50;
     # these are the lowest-risk re-grades — no core changes since r2):
+    "events_tumbling_agg",
+    "rag_pipeline_eval",
+    "route_classify",
+    "tpch_q1_pricing_summary",
     "search_with_properties",
     "rollup_lineitem",
     "prompt_assembly",
