@@ -375,6 +375,12 @@ def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
     plan = _plan(semantic_dedup(emb, cents, threshold=0.5, n_blocks=8))
     assert "_jblk" in plan
     assert "CartesianProduct" not in plan
+    # r6: the corpus must reach the pair join through the shuffle-free
+    # broadcast-argmin projection (keep_vec), NOT a corpus⋈assignment
+    # self-join — the only hash exchanges left are the blocked pair
+    # join's two sides (3.3 s → 2.0 s at sf0.1 with the once-per-row
+    # double cast; guards both from regressing)
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_hash_embed_is_joinless_single_shuffle(spark):

@@ -24,8 +24,19 @@ def _as_double(arr: Column) -> Column:
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in double precision, left-to-right (matches the DuckDB
     oracle's list_dot_product to ~1e-12)."""
+    return dot_double(_as_double(a), _as_double(b))
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """``dot`` for arrays ALREADY cast to double — skips the per-
+    evaluation element casts. In a pair join the cast otherwise re-runs
+    per PAIR (three array allocations each time); projecting the cast
+    once per ROW before the join and folding raw here measured
+    2.24 s → 1.37 s on the semantic-dedup pair join at sf0.1 (same-
+    session A/B). Identical values and fold order, so bitwise-equal
+    results."""
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -72,25 +72,33 @@ def ivf_build(
 
 
 def _assign(
-    rows: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    rows: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, centroid_id) nearest-centroid map for ``rows`` — the
-    shuffle-free projection shared by the full build and ivf_append."""
+    shuffle-free projection shared by the full build and ivf_append.
+    ``keep_vec=True`` carries the vector through as ``_v`` so callers
+    that need (id, vector, centroid) on one row (SemDeDup's pair join)
+    don't have to join the corpus back against its own assignment —
+    that join is a full corpus shuffle the argmin projection never
+    needed."""
+    picked = F.array_min(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                cosine_distance(F.col("_v"), c["centroid"]).alias("d"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+    )["centroid_id"].alias("centroid_id")
+    out = ["vec_id"] + (["_v"] if keep_vec else [])
     return (
         rows.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(_centroid_array(centroids)))
-        .select(
-            "vec_id",
-            F.array_min(
-                F.transform(
-                    "_cents",
-                    lambda c: F.struct(
-                        cosine_distance(F.col("_v"), c["centroid"]).alias("d"),
-                        c["centroid_id"].alias("centroid_id"),
-                    ),
-                )
-            )["centroid_id"].alias("centroid_id"),
-        )
+        .select(*out, picked)
     )
 
 
@@ -99,10 +107,11 @@ def assign_nearest_centroid(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Public alias of the broadcast-argmin assignment — shared by IVF and
     the SemDeDup clustering step (operators/dedup.py semantic_dedup)."""
-    return _assign(rows, centroids, id_col, vec_col)
+    return _assign(rows, centroids, id_col, vec_col, keep_vec=keep_vec)
 
 
 def ivf_refine(
