@@ -141,6 +141,18 @@ def test_ivf_build_and_probe_never_shuffle_corpus(spark):
     # exactly one hash shuffle: the final rank over probed candidates
     assert hplan.count("Exchange hashpartitioning") == 1
 
+    # r6 keep_vec path: the assignment carries the vector, so the
+    # corpus⋈assignment id join disappears STRUCTURALLY (the ==1 pin
+    # above only held at test scale because the tiny join broadcast;
+    # at 100 TB it would have been two corpus-wide exchanges). With
+    # keep_vec there must be no sort-merge join anywhere and still just
+    # the one ranking exchange.
+    cents2, asg2 = ivf_build(emb, n_centroids=4, keep_vec=True)
+    hits2 = ivf_search(emb, cents2, asg2, queries, k=5, nprobe=2)
+    hplan2 = _plan(hits2)
+    assert hplan2.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in hplan2
+
 
 def test_interval_join_is_hash_not_nested_loop(spark):
     """The bucketed range-join rewrite must plan as a broadcast HASH join

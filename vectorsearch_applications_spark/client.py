@@ -385,7 +385,7 @@ class SparkSearchClient:
                     self.spark, self.root, collection, corpus, q,
                     k=limit, nprobe=nprobe,
                 )
-            cents, asg = ivf_build(corpus, n_centroids=16)
+            cents, asg = ivf_build(corpus, n_centroids=16, keep_vec=True)
             return ivf_search(
                 corpus, cents, asg, q, k=limit, nprobe=nprobe
             )

@@ -30,13 +30,16 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids, assignments).
 
     centroids: (centroid_id, centroid) — deterministic stride sample.
     assignments: (vec_id, centroid_id) — nearest-centroid partition map.
     Persist both next to the collection; incremental appends only re-assign
-    the new rows.
+    the new rows. ``keep_vec=True`` adds the vector as ``_v`` so an
+    in-plan ivf_search skips the corpus⋈assignment id join (one whole
+    corpus shuffle); leave False for the persisted/streamed index format.
     """
     # one full count (the documented index-build scan) sizes the sampling
     # rate; the centroid sample is a distributed filter + partial top-k —
@@ -68,7 +71,9 @@ def ivf_build(
     # asc-distance, asc-id tie-break). The windowed alternative shuffles
     # corpus × C rows — at 100 TB that shuffle IS the index-build cost;
     # this plan never shuffles the corpus at all.
-    return centroids, _assign(corpus, centroids, id_col, vec_col)
+    return centroids, _assign(
+        corpus, centroids, id_col, vec_col, keep_vec=keep_vec
+    )
 
 
 def _assign(
@@ -297,9 +302,17 @@ def ivf_search(
         )
         .select("query_id", F.col("_p.centroid_id").alias("centroid_id"), "qv")
     )
-    bucketed = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).join(assignments, "vec_id")
+    # Fast path (r6): assignments built with keep_vec already carry the
+    # vector — the corpus⋈assignment id join (a full corpus shuffle on
+    # BOTH sides) disappears and the candidate scan is a pure broadcast
+    # join. The join path stays for persisted/external assignment tables
+    # (ivf_search_indexed), whose stored map is (vec_id, centroid_id).
+    if "_v" in assignments.columns:
+        bucketed = assignments
+    else:
+        bucketed = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ).join(assignments, "vec_id")
     cand = bucketed.join(F.broadcast(probes), "centroid_id").withColumn(
         "distance", cosine_distance(F.col("_v"), F.col("qv"))
     )

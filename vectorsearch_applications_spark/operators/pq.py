@@ -188,20 +188,27 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<int>): nearest sub-code per subspace, computed
     as M broadcast argmins inside one projection — no shuffle, no explode.
     ``codes`` is the persisted PQ index row (M bytes per vector at real
-    code widths)."""
+    code widths). ``carry`` passes extra input columns through unchanged,
+    so a caller that already computed e.g. the IVF centroid_id on the
+    same row gets the combined (id, carry…, codes) index in ONE
+    projection instead of a codes⋈assignment id join."""
     sub_dim = dim // n_sub
     v = F.transform(F.col("_raw"), lambda x: x.cast("double"))
     return (
         corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_raw")
+            F.col(id_col).alias("vec_id"),
+            *[F.col(c) for c in (carry or [])],
+            F.col(vec_col).alias("_raw"),
         )
         .crossJoin(F.broadcast(_codebook_array(codebook)))
         .select(
             "vec_id",
+            *(carry or []),
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_sub - 1)),
                 lambda m: F.array_min(
@@ -306,9 +313,18 @@ def ivfpq_search(
     from .ann import _centroid_array, assign_nearest_centroid
     from ..functions.vectors import cosine_distance
 
-    asg = assign_nearest_centroid(corpus, centroids, id_col, vec_col)
-    codes = pq_encode(corpus, codebook, n_sub, dim, id_col, vec_col)
-    index = codes.join(asg, "vec_id")
+    # One projection builds the whole (vec_id, centroid_id, codes) index
+    # row (r6): the argmin assignment keeps the vector on the row
+    # (keep_vec) and pq_encode carries centroid_id through — the former
+    # codes⋈assignment id join shuffled the corpus twice for a frame
+    # both halves computed from the same scan.
+    asgv = assign_nearest_centroid(
+        corpus, centroids, id_col, vec_col, keep_vec=True
+    )
+    index = pq_encode(
+        asgv, codebook, n_sub, dim, id_col="vec_id", vec_col="_v",
+        carry=["centroid_id"],
+    )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -3834,7 +3834,7 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    centroids, assignments = ivf_build(emb, n_centroids=8)
+    centroids, assignments = ivf_build(emb, n_centroids=8, keep_vec=True)
     hits = ivf_search(
         emb, centroids, assignments, queries, k=10, nprobe=8
     )
@@ -3882,7 +3882,7 @@ def q_ann_ivf_kmeans_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids, _ = ivf_build(emb, n_centroids=8)
     refined = ivf_refine(emb, centroids, iterations=2)
-    assignments = _assign(emb, refined, "vec_id", "embedding")
+    assignments = _assign(emb, refined, "vec_id", "embedding", keep_vec=True)
     hits = ivf_search(emb, refined, assignments, queries, k=10, nprobe=8)
     return hits.select(
         "query_id",
@@ -3974,7 +3974,7 @@ def q_ann_ivf_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("centroid"),
         )
     )
-    assignments = assign_nearest_centroid(emb, centroids)
+    assignments = assign_nearest_centroid(emb, centroids, keep_vec=True)
     approx = ivf_search(
         emb, centroids, assignments, queries, k=10, nprobe=2
     ).select("query_id", "vec_id", F.lit(1).alias("_found"))
