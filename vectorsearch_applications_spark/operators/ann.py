@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_distance, l2_normalize
+from ..functions.vectors import l2_normalize
 from .knn import knn_search_crossjoin
 
 
@@ -89,19 +89,33 @@ def _assign(
     that need (id, vector, centroid) on one row (SemDeDup's pair join)
     don't have to join the corpus back against its own assignment —
     that join is a full corpus shuffle the argmin projection never
-    needed."""
+    needed.
+
+    ``_v`` is cast to double ONCE in the input projection; the argmin
+    then folds raw against the (also pre-cast) codebook — the old
+    per-centroid cosine_distance re-cast the row vector C times per
+    row. Bitwise-identical: cast-then-fold is the same fold."""
+    from ..functions.vectors import dot_double
+
     picked = F.array_min(
         F.transform(
             "_cents",
             lambda c: F.struct(
-                cosine_distance(F.col("_v"), c["centroid"]).alias("d"),
+                (F.lit(1.0) - dot_double(F.col("_v"), c["centroid"])).alias(
+                    "d"
+                ),
                 c["centroid_id"].alias("centroid_id"),
             ),
         )
     )["centroid_id"].alias("centroid_id")
     out = ["vec_id"] + (["_v"] if keep_vec else [])
     return (
-        rows.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        rows.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
         .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(*out, picked)
     )
@@ -143,22 +157,9 @@ def ivf_refine(
     Lineage is cut per round with localCheckpoint so plans stay flat.
     """
     for _ in range(iterations):
-        assigned = (
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-            .crossJoin(F.broadcast(_centroid_array(centroids)))
-            .select(
-                F.array_min(
-                    F.transform(
-                        "_cents",
-                        lambda c: F.struct(
-                            cosine_distance(F.col("_v"), c["centroid"]).alias("d"),
-                            c["centroid_id"].alias("centroid_id"),
-                        ),
-                    )
-                )["centroid_id"].alias("centroid_id"),
-                "_v",
-            )
-        )
+        assigned = _assign(
+            corpus, centroids, id_col, vec_col, keep_vec=True
+        ).select("centroid_id", "_v")
         means = (
             assigned.select(
                 "centroid_id", F.posexplode("_v").alias("pos", "x")
@@ -215,14 +216,21 @@ def kmeans_objective(
 ) -> float:
     """Mean nearest-centroid cosine distance over the corpus — the k-means
     objective Lloyd iterations monotonically non-increase (test harness)."""
+    from ..functions.vectors import dot_double
+
     return (
-        corpus.select(F.col(vec_col).alias("_v"))
+        corpus.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            )
+        )
         .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(
             F.array_min(
                 F.transform(
                     "_cents",
-                    lambda c: cosine_distance(F.col("_v"), c["centroid"]),
+                    lambda c: F.lit(1.0)
+                    - dot_double(F.col("_v"), c["centroid"]),
                 )
             ).alias("d")
         )
@@ -252,9 +260,20 @@ def _centroid_array(centroids: DataFrame) -> DataFrame:
     array<struct<centroid_id,centroid>> (sorted by id for determinism).
     Broadcast-crossjoined so per-row distance loops run without any join or
     shuffle."""
+    # centroid vectors are cast to double HERE, once per codebook row —
+    # every downstream distance loop then folds raw (dot_double) instead
+    # of re-casting per (row × centroid) evaluation. Struct order is
+    # unchanged: array_sort compares centroid_id (unique) first.
     return centroids.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "centroid"))
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.transform(
+                        "centroid", lambda x: x.cast("double")
+                    ).alias("centroid"),
+                )
+            )
         ).alias("_cents")
     )
 
@@ -272,8 +291,13 @@ def ivf_search(
     nprobe: int = 4,
 ) -> DataFrame:
     """Probe the nprobe nearest buckets per query, exact-rank within them."""
+    from ..functions.vectors import dot_double
+
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
     )
     # Probe selection is the same map-side argmin trick as ivf_build's
     # assignment, generalized to top-nprobe: sort the per-row
@@ -290,7 +314,10 @@ def ivf_search(
                         F.transform(
                             "_cents",
                             lambda c: F.struct(
-                                cosine_distance(F.col("qv"), c["centroid"]).alias("d"),
+                                (
+                                    F.lit(1.0)
+                                    - dot_double(F.col("qv"), c["centroid"])
+                                ).alias("d"),
                                 c["centroid_id"].alias("centroid_id"),
                             ),
                         )
@@ -311,10 +338,13 @@ def ivf_search(
         bucketed = assignments
     else:
         bucketed = corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
         ).join(assignments, "vec_id")
     cand = bucketed.join(F.broadcast(probes), "centroid_id").withColumn(
-        "distance", cosine_distance(F.col("_v"), F.col("qv"))
+        "distance", F.lit(1.0) - dot_double(F.col("_v"), F.col("qv"))
     )
     ww = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
     return (

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash64, tokenize
-from ..functions.vectors import cosine_similarity
 
 
 def exact_duplicates(
@@ -446,13 +445,17 @@ def embedding_neardup_pairs_bucketed(
     raise n_probe-style overlap by lowering n_centroids for higher recall).
     """
     from .ann import ivf_build
+    from ..functions.vectors import dot_double
 
-    _, assignments = ivf_build(
-        vectors, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    # keep_vec assignments carry the (double-cast) vector — no
+    # corpus⋈assignment id join, and the pair cosine folds raw (r6)
+    _, slim = ivf_build(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        keep_vec=True,
     )
-    slim = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).join(assignments, "vec_id")
     a = slim.alias("a")
     b = slim.alias("b")
     return (
@@ -462,7 +465,7 @@ def embedding_neardup_pairs_bucketed(
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(
-            "cosine", cosine_similarity(F.col("a._v"), F.col("b._v"))
+            "cosine", dot_double(F.col("a._v"), F.col("b._v"))
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -484,15 +487,18 @@ def embedding_neardup_pairs(
     Brute-force O(n²) — correctness oracle for bounded subsets; the scale
     path buckets by LSH/IVF (operators/ann.py) before the pair join.
     """
+    from ..functions.vectors import dot_double
+
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a = vectors.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("vec_a"), dv.alias("_va")
     ).alias("a")
     b = vectors.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("vec_b"), dv.alias("_vb")
     ).alias("b")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot_double(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -653,12 +659,8 @@ def semantic_dedup(
     #    join the cast re-runs per PAIR (S²/2 per cluster instead of S)
     #    — 2.24 s → 1.37 s at sf0.1, bitwise-identical results (cast-
     #    then-fold is the same fold either way).
-    pre = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("_dv"),
-    )
     b = assign_nearest_centroid(
-        pre, centroids, id_col="_id", vec_col="_dv", keep_vec=True
+        corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
     ).withColumn(
         "_blk",
         (F.crc32(F.col("vec_id").cast("string")) % n_blocks).cast("int"),

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_distance
+from ..functions.vectors import dot_double
 
 
 def knn_search_crossjoin(
@@ -48,17 +48,29 @@ def knn_search_crossjoin(
     """Reference-shaped exact kNN as one declarative plan."""
     if pre_filter is not None:
         corpus = corpus.filter(pre_filter)
+    # cast both sides to double once per ROW — cosine_distance inside the
+    # crossjoin would re-cast the corpus vector once per QUERY (|Q|×) and
+    # allocate two temp arrays per pair (same fold, bitwise-equal output)
     scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
         .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
-                    F.col(query_vec_col).alias("_q"),
+                    F.transform(
+                        F.col(query_vec_col), lambda x: x.cast("double")
+                    ).alias("_q"),
                 )
             )
         )
-        .withColumn("distance", cosine_distance(F.col("_v"), F.col("_q")))
+        .withColumn(
+            "distance", F.lit(1.0) - dot_double(F.col("_v"), F.col("_q"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
     return (

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot
+from ..functions.vectors import dot_double
 
 DIST_SCALE = 1_000_000
 
@@ -43,9 +43,14 @@ def _sub(vec, m, sub_dim: int):
 
 
 def _d_int(xs, cs):
-    """floor((<c,c> - 2<x,c>) * 1e6) — the exact-integer L2 surrogate."""
+    """floor((<c,c> - 2<x,c>) * 1e6) — the exact-integer L2 surrogate.
+
+    Inputs must ALREADY be double arrays (every call site pre-casts once
+    per row / at codebook build); folding raw skips the per-evaluation
+    re-cast the encode loop would otherwise pay M·K times per vector."""
     return F.floor(
-        (dot(cs, cs) - F.lit(2.0) * dot(xs, cs)) * F.lit(float(DIST_SCALE))
+        (dot_double(cs, cs) - F.lit(2.0) * dot_double(xs, cs))
+        * F.lit(float(DIST_SCALE))
     ).cast("long")
 
 
@@ -311,7 +316,7 @@ def ivfpq_search(
     so the whole composition is oracle-expressible.
     """
     from .ann import _centroid_array, assign_nearest_centroid
-    from ..functions.vectors import cosine_distance
+    from ..functions.vectors import dot_double
 
     # One projection builds the whole (vec_id, centroid_id, codes) index
     # row (r6): the argmin assignment keeps the vector on the row
@@ -341,7 +346,7 @@ def ivfpq_search(
                         F.transform(
                             "_cents",
                             lambda c: F.struct(
-                                cosine_distance(qv, c["centroid"]).alias("d"),
+                                (F.lit(1.0) - dot_double(qv, c["centroid"])).alias("d"),
                                 c["centroid_id"].alias("centroid_id"),
                             ),
                         )
@@ -470,7 +475,7 @@ def ivfpq_search_indexed(
     import os
 
     from .ann import _centroid_array
-    from ..functions.vectors import cosine_distance
+    from ..functions.vectors import dot_double
 
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
@@ -494,7 +499,7 @@ def ivfpq_search_indexed(
                         F.transform(
                             "_cents",
                             lambda c: F.struct(
-                                cosine_distance(qv, c["centroid"]).alias("d"),
+                                (F.lit(1.0) - dot_double(qv, c["centroid"])).alias("d"),
                                 c["centroid_id"].alias("centroid_id"),
                             ),
                         )
