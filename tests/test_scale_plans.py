@@ -390,9 +390,12 @@ def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
     # r6: the corpus must reach the pair join through the shuffle-free
     # broadcast-argmin projection (keep_vec), NOT a corpus⋈assignment
     # self-join — the only hash exchanges left are the blocked pair
-    # join's two sides (3.3 s → 2.0 s at sf0.1 with the once-per-row
-    # double cast; guards both from regressing)
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # join's (at most) two sides plus the deliberate REPARTITION_BY_NUM
+    # that pins scoring parallelism to the (centroid, block) keys (the
+    # quadratic join OUTPUT is invisible to AQE's input-size coalescer;
+    # tuned-session A/B 3.27 → 1.49 s at sf0.1)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_hash_embed_is_joinless_single_shuffle(spark):

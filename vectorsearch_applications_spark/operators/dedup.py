@@ -457,7 +457,16 @@ def embedding_neardup_pairs_bucketed(
         keep_vec=True,
     )
     a = slim.alias("a")
-    b = slim.alias("b")
+    # pin the probe side's distribution on the bucket key with an
+    # explicit partition count: the pair join's quadratic OUTPUT is
+    # invisible to size-based planning AND to AQE's coalescer (which
+    # only sees the tiny pre-join input), so without this the scoring
+    # can stream at scan parallelism — one task for a one-file corpus
+    # (same finding as semantic_dedup, measured 3.27 → 1.49 s there)
+    n_parts = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    b = slim.repartition(n_parts, "centroid_id").alias("b")
     return (
         a.join(
             b,
@@ -665,18 +674,34 @@ def semantic_dedup(
         "_blk",
         (F.crc32(F.col("vec_id").cast("string")) % n_blocks).cast("int"),
     )
+    # The hi (probe) side is EXPLICITLY repartitioned on the join keys:
+    # the pair join's cost is its OUTPUT (S² dot products per cluster),
+    # which is invisible to size-based planning — when the planner
+    # broadcasts the replicated lo side, the quadratic scoring streams
+    # at the PROBE side's parallelism, which for an un-shuffled corpus
+    # is the scan's (one task for a single-file corpus). The explicit
+    # hash distribution pins scoring parallelism to the (centroid,
+    # block) key space under ANY join strategy — exactly the guarantee
+    # the secondary-hash block design is for.
     x = b.select(
         F.col("vec_id").alias("lo_id"),
         F.col("_v").alias("lo_v"),
         "centroid_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_jblk"),
     )
+    # numPartitions is pinned explicitly (REPARTITION_BY_NUM): a
+    # column-only repartition is an AQE-coalescible hint, and AQE sees
+    # only the tiny pre-join input — it would coalesce back to one
+    # partition and re-serialize the scoring.
+    n_parts = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     y = b.select(
         F.col("vec_id").alias("hi_id"),
         F.col("_v").alias("hi_v"),
         "centroid_id",
         F.col("_blk").alias("_jblk"),
-    )
+    ).repartition(n_parts, "centroid_id", "_jblk")
     dups = (
         x.join(y, ["centroid_id", "_jblk"])
         .filter(F.col("lo_id") < F.col("hi_id"))
