@@ -205,12 +205,15 @@ def simhash_fingerprints(
     )
     # One wide aggregation with `bits` sum columns instead of exploding
     # (doc, term) × bits — the shuffle carries |terms| rows, not |terms|·bits.
-    # Bit test via floor(h / 2^j) % 2: portable arithmetic (h ≥ 0), exactly
-    # reproducible in the SQL oracle.
+    # Bit test via shiftright(h, j) & 1: integer ops beat the float
+    # div+floor+mod form ~20% on the |doc,term|×bits hot loop (r6 tuned-
+    # session A/B 2.10→1.66 s at sf0.1) and return the SAME values for
+    # the 32-bit-range hash, so the arithmetic SQL oracle
+    # (floor(h / 2^j) % 2) is unchanged.
     bit_sums = [
         F.sum(
             F.when(
-                (F.floor(F.col("h") / F.lit(float(2**j))).cast("bigint") % 2) == 1,
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
                 F.col("tf"),
             ).otherwise(-F.col("tf"))
         ).alias(f"_s{j}")
