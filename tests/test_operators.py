@@ -125,6 +125,32 @@ def test_knn_pre_filter_semantics(spark):
     assert [r["rank"] for r in sorted(hits, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
 
 
+def test_keep_vec_assignment_equivalence(spark):
+    """keep_vec=True must change ONLY the plan (vector carried through the
+    broadcast argmin), never the assignment itself — the invariant every
+    r6 self-join-free rewrite (semantic_dedup, ivf_search fast path,
+    IVFPQ fused index) leans on. Also pins that the carried `_v` is the
+    double-cast input vector, element for element."""
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    plain = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_nearest_centroid(emb, cents).collect()
+    }
+    kept = assign_nearest_centroid(emb, cents, keep_vec=True).collect()
+    assert {(r["vec_id"], r["centroid_id"]) for r in kept} == plain
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in kept:
+        assert r["_v"] == [float(x) for x in raw[r["vec_id"]]]
+
+
 def test_ivf_build_sparse_ids(spark):
     """Hash-mod centroid sampling must produce a full centroid set even
     when ids are sparse/offset (a stride `id % k == 0` filter picks ~0
