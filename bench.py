@@ -197,6 +197,20 @@ HEADLINE = [
 ]
 
 
+N_RUNS = 3  # interleaved timed sweeps per query; medians reported
+
+
+def _round_arg() -> int | None:
+    """Explicit round from --round N / SPARK_GRAFT_ROUND — the BENCH_r*
+    inference below is only a fallback (re-running bench after the current
+    round's BENCH_rNN.json lands would otherwise mislabel the snapshot
+    under the NEXT round and diff against the wrong base)."""
+    if "--round" in sys.argv:
+        return int(sys.argv[sys.argv.index("--round") + 1])
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    return int(env) if env else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -218,7 +232,7 @@ def main() -> None:
     # from noise. Interleaving the sweeps (q1..qN, q1..qN, q1..qN) spreads
     # any transient load spike across queries instead of poisoning one.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(3):
+    for _ in range(N_RUNS):
         for name in HEADLINE:
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
@@ -241,6 +255,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # snapshot provenance (r6 verdict "what's wrong" #2): each figure
+        # is the median of n_runs interleaved sweeps; per_run_totals shows
+        # the sweep-to-sweep spread so a noisy box is visible in the record.
+        "n_runs": N_RUNS,
+        "per_run_totals": [
+            round(sum(ts[i] for ts in runs.values()), 3)
+            for i in range(N_RUNS)
+        ],
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as fh:
@@ -255,16 +277,29 @@ def main() -> None:
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    rnd = (max(rounds) if rounds else 0) + 1
+    rnd = _round_arg()
+    if rnd is None:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
     hist_dir = os.path.join(here, "bench_history")
     os.makedirs(hist_dir, exist_ok=True)
-    with open(os.path.join(hist_dir, f"r{rnd}_sf{sf}.json"), "w") as fh:
-        json.dump(full, fh)
+    hist_path = os.path.join(hist_dir, f"r{rnd}_sf{sf}.json")
+    if os.path.exists(hist_path) and _round_arg() is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "history_skipped",
+                    "reason": f"{hist_path} exists; pass --round to replace",
+                }
+            )
+        )
+    else:
+        with open(hist_path, "w") as fh:
+            json.dump(full, fh)
     prev_files = sorted(
         (
             int(m.group(1)), p

@@ -289,8 +289,18 @@ def ivf_search(
     query_vec_col: str = "query_vec",
     k: int = 10,
     nprobe: int = 4,
+    keep_vec: bool | None = None,
 ) -> DataFrame:
-    """Probe the nprobe nearest buckets per query, exact-rank within them."""
+    """Probe the nprobe nearest buckets per query, exact-rank within them.
+
+    ``keep_vec`` makes the fast-path contract explicit: True requires the
+    assignment table to carry the vector as ``_v`` (ivf_build(keep_vec=
+    True)); False always rejoins the corpus; None (default) auto-detects,
+    accepting ``_v`` only when it is actually an array<double> — a
+    persisted/external assignment table with an unrelated ``_v`` column
+    must not be scored as vectors."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
     from ..functions.vectors import dot_double
 
     q = queries.select(
@@ -334,7 +344,23 @@ def ivf_search(
     # BOTH sides) disappears and the candidate scan is a pure broadcast
     # join. The join path stays for persisted/external assignment tables
     # (ivf_search_indexed), whose stored map is (vec_id, centroid_id).
-    if "_v" in assignments.columns:
+    def _is_vec(col: str) -> bool:
+        if col not in assignments.columns:
+            return False
+        dt = assignments.schema[col].dataType
+        return isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, DoubleType
+        )
+
+    if keep_vec is None:
+        keep_vec = _is_vec("_v")
+    elif keep_vec and not _is_vec("_v"):
+        raise ValueError(
+            "ivf_search(keep_vec=True) requires an assignment table built "
+            "with ivf_build(keep_vec=True) — no array<double> `_v` column "
+            f"found (columns: {assignments.columns})"
+        )
+    if keep_vec:
         bucketed = assignments
     else:
         bucketed = corpus.select(
@@ -342,7 +368,7 @@ def ivf_search(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
                 "_v"
             ),
-        ).join(assignments, "vec_id")
+        ).join(assignments.drop("_v"), "vec_id")
     cand = bucketed.join(F.broadcast(probes), "centroid_id").withColumn(
         "distance", F.lit(1.0) - dot_double(F.col("_v"), F.col("qv"))
     )

@@ -350,6 +350,7 @@ def merge_frame(
     key_col: str = "doc_id",
     op_col: str = "op",
     seq_col: str = "seq",
+    winners: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE INTO as a pure DataFrame plan (the core merge_collection
     executes, factored out so batch queries can grade it without disk
@@ -357,11 +358,19 @@ def merge_frame(
     (ties on seq break toward the delete so replays cannot resurrect a
     deleted row), then target ⟕anti changed-keys ∪ upsert-winners.
 
+    ``winners`` accepts a pre-reduced change set (merge_winners output) so
+    callers that also need the winner table — merge_collection counts
+    upserts and deletes off it — build the window exactly once.
+
     The window runs on the CHANGE SET only (micro-batch-sized); the
     target is touched by exactly one anti-join keyed on the merge key —
     at 100 TB the target never shuffles beyond that key exchange, and
     with a small change set AQE turns the anti-join broadcast."""
-    latest = merge_winners(changes, key_col, op_col, seq_col)
+    latest = (
+        winners
+        if winners is not None
+        else merge_winners(changes, key_col, op_col, seq_col)
+    )
     upserts = latest.filter(F.col(op_col) == "upsert").select(*target.columns)
     keys = latest.select(key_col)
     return target.join(keys, key_col, "left_anti").unionByName(upserts)
@@ -415,9 +424,16 @@ def merge_collection(
     path = os.path.join(root, name)
     target = spark.read.parquet(path)
 
-    latest = merge_winners(changes, key_col, op_col, seq_col)
+    # One winner window, reused across all three actions below (upsert
+    # count, delete semi-join, merged write) — localCheckpoint pins the
+    # micro-batch-sized reduction so no action recomputes it.
+    latest = merge_winners(changes, key_col, op_col, seq_col).localCheckpoint(
+        eager=False
+    )
     upserts = latest.filter(F.col(op_col) == "upsert").select(*target.columns)
-    merged = merge_frame(target, changes, key_col, op_col, seq_col)
+    merged = merge_frame(
+        target, changes, key_col, op_col, seq_col, winners=latest
+    )
 
     n_up = upserts.count()
     # 'deleted' counts rows actually REMOVED from the target, not
