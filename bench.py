@@ -194,6 +194,10 @@ HEADLINE = [
     "embedding_truncation_recall",
     "events_autocorrelation",
     "mixture_token_allocation",
+    # round 7 additions
+    "bpe_encode_corpus",
+    "eval_decontamination",
+    "embedding_project_frozen",
 ]
 
 

@@ -48,6 +48,10 @@ PICKED = [
     "temporal_split_embargo",
     "eval_rank_agreement",
     "incremental_agg_equivalence",
+    # r7: empty merge list / empty benchmark-gram array / frozen rotation
+    "bpe_encode_corpus",
+    "eval_decontamination",
+    "embedding_project_frozen",
 ]
 
 TABLES = [

@@ -28,7 +28,6 @@ from .conftest import SF_SMOKE
 BOUNDED_BNLJ = {
     "ann_ivf_exhaustive",
     "ann_ivf_kmeans_exhaustive",
-    "ann_ivf_recall",
     "ann_ivfpq_search",
     "ann_pq_adc",
     "ann_quantized_search",
@@ -47,6 +46,7 @@ BOUNDED_BNLJ = {
     "eval_rank_agreement",  # 3-query + 3-row k-ladder broadcasts
     "incremental_agg_equivalence",  # 1-row midpoint-cut broadcast
     "embedding_truncation_recall",  # two ≤8-row query-vector broadcasts
+    "eval_decontamination",  # 1-row benchmark-gram-array broadcast
     "eval_retrieval_metrics",
     "events_decayed_trending",  # 1-row corpus-max-timestamp broadcast
     "token_budget_allocation",  # 1-row grand-total broadcast

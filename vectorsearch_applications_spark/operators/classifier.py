@@ -18,7 +18,8 @@ zero shuffle, runs inside whole-stage codegen at scan speed.
 Float gradient sums are partition-order dependent (unlike the engine's
 oracle-graded integer ops), so the fit is verified by a property test
 against an identical NumPy model (tolerance), not a SQL oracle — the same
-weaker-check tier as ann_ivf_recall.
+weaker-check tier as the PCA fit; the deploy half (frozen-weight scoring)
+is hash-graded by classifier_score_frozen.
 """
 
 from __future__ import annotations

@@ -336,6 +336,50 @@ def decontaminate(
     )
 
 
+def decontaminate_audit(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination with a verdict for EVERY document: the
+    GPT-3/Gopher 13-gram screen (Brown et al. 2020 appendix C — drop any
+    training doc sharing a 13-gram with an eval example), emitting
+    (doc_id, n_contaminated_grams, keep) so the clean corpus is one
+    filter, not an anti-join against a hits-only table (cf.
+    ``decontaminate`` above, the hits-only variant).
+
+    Scale shape — ZERO corpus shuffle: the benchmark's distinct n-gram
+    set (eval suites are KB-MB, bounded by definition) collapses to one
+    array row, broadcast; each doc computes |distinct-own-grams ∩
+    benchmark| inside a single codegen projection (array_intersect).
+    One corpus scan, no explode, no join on the corpus side, no
+    aggregation — the cheapest possible contamination pass. If a
+    benchmark ever outgrows a single in-memory array, fall back to
+    ``decontaminate``'s broadcast-join shape (left join + zero-fill).
+    """
+    bench_arr = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(ngrams(tokenize(bench_text_col), n))
+            ).alias("gram")
+        )
+        .agg(F.collect_set("gram").alias("_bg"))
+    )
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ngrams(tokenize(text_col), n)), F.col("_bg")
+        )
+    ).cast("bigint")
+    return docs.crossJoin(F.broadcast(bench_arr)).select(
+        F.col(id_col).alias("doc_id"),
+        hits.alias("n_contaminated_grams"),
+        (hits == 0).cast("bigint").alias("keep"),
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame,
     n: int = 5,
