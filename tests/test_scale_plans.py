@@ -396,6 +396,28 @@ def test_semantic_dedup_block_join_keys_include_secondary_hash(spark):
     # tuned-session A/B 3.27 → 1.49 s at sf0.1)
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "REPARTITION_BY_NUM" in plan
+    # r7: pin the COUNT, not just the hint — REPARTITION_BY_NUM must land
+    # on the (centroid_id, _jblk) keys with the explicit partition count
+    # (a column-only repartition is AQE-coalescible back to 1 task)
+    import re
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert re.search(
+        rf"hashpartitioning\(centroid_id#\d+, _jblk#\d+, {n_parts}\), "
+        rf"REPARTITION_BY_NUM",
+        plan,
+    ), plan
+    # r7: cast-once pin — the quadratic pair-scoring condition folds the
+    # PRE-CAST lo_v/hi_v arrays directly; a cast inside the scoring
+    # lambda would re-convert both vectors per pair evaluation (the r6
+    # A/B: 2.24 → 1.37 s on the SemDeDup pair join)
+    score_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "lo_v" in ln and "hi_v" in ln and "aggregate(zip_with" in ln
+    ]
+    assert score_lines, plan
+    assert all("cast(" not in ln for ln in score_lines), score_lines
 
 
 def test_hash_embed_is_joinless_single_shuffle(spark):
