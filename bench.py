@@ -196,6 +196,7 @@ HEADLINE = [
     "mixture_token_allocation",
     # round 7 additions
     "bpe_encode_corpus",
+    "tokenizer_fertility_by_source",
     "eval_decontamination",
     "embedding_project_frozen",
 ]

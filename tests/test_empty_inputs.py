@@ -50,6 +50,7 @@ PICKED = [
     "incremental_agg_equivalence",
     # r7: empty merge list / empty benchmark-gram array / frozen rotation
     "bpe_encode_corpus",
+    "tokenizer_fertility_by_source",
     "eval_decontamination",
     "embedding_project_frozen",
 ]

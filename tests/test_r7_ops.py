@@ -59,6 +59,40 @@ def test_decontaminate_audit_short_docs_keep(spark):
     assert out[1]["keep"] == 1 and out[2]["keep"] == 1
 
 
+def test_fertility_counts_zero_token_docs(spark):
+    # a doc whose text tokenizes to nothing must still count toward
+    # n_docs / n_chars with zero word/token mass (left join + zero-fill)
+    from vectorsearch_applications_spark.operators.bpe import encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "web"), (2, "...", "web"), (3, "cd", "books")],
+        "doc_id long, text string, source string",
+    )
+    enc = encode_corpus(docs, [("a", "b")]).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    from pyspark.sql import functions as F
+
+    per_doc = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    ).join(enc, "doc_id", "left")
+    out = {
+        r["source"]: r
+        for r in per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_words", F.lit(0))).alias("n_words"),
+            F.sum(F.coalesce("n_bpe_tokens", F.lit(0))).alias("n_bpe"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    }
+    assert out["web"]["n_docs"] == 2  # the '...' doc still counts
+    assert out["web"]["n_words"] == 2 and out["web"]["n_bpe"] == 2
+    assert out["web"]["n_chars"] == 5 + 3
+    assert out["books"]["n_words"] == 1 and out["books"]["n_bpe"] == 2
+
+
 def test_frozen_projection_matches_numpy(spark):
     import numpy as np
 
