@@ -168,7 +168,12 @@ def encode_corpus(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
     )
-    enc = encode_vocab(words.select("word").distinct(), merges)
+    # the encode map feeds two consumers (symbol-id table, per-word
+    # stats); localCheckpoint pins the vocabulary-sized fold output so
+    # the corpus-distinct + merge-fold chain runs once, not per branch
+    enc = encode_vocab(
+        words.select("word").distinct(), merges
+    ).localCheckpoint(eager=False)
     sym_ids = (
         enc.select(F.explode(F.split("syms", " ")).alias("sym"))
         .distinct()
