@@ -198,6 +198,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "tokenizer_fertility_by_source",
     "eval_decontamination",
+    "eval_decontamination_fuzzy",
     "embedding_project_frozen",
 ]
 

@@ -52,6 +52,7 @@ PICKED = [
     "bpe_encode_corpus",
     "tokenizer_fertility_by_source",
     "eval_decontamination",
+    "eval_decontamination_fuzzy",
     "embedding_project_frozen",
 ]
 

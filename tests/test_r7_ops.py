@@ -59,6 +59,66 @@ def test_decontaminate_audit_short_docs_keep(spark):
     assert out[1]["keep"] == 1 and out[2]["keep"] == 1
 
 
+def test_decontaminate_fuzzy_catches_paraphrase(spark):
+    # a lightly-edited copy of a benchmark doc shares most 5-shingles
+    # (fuzzy contamination) but NO 13-gram run — the exact screen misses
+    # it, the Jaccard screen must not
+    from vectorsearch_applications_spark.operators.textstats import (
+        decontaminate_fuzzy,
+    )
+
+    toks = _BENCH.split()  # 20 tokens
+    # swap tokens at positions 6 and 13: longest common run = 6 < 13
+    edited = list(toks)
+    edited[6], edited[13] = "EDIT1", "EDIT2"
+    paraphrase = " ".join(edited)
+    bench = _frame(spark, [(0, _BENCH)])
+    docs = _frame(
+        spark,
+        [
+            (1, paraphrase),
+            (2, "entirely unrelated clean words that overlap with nothing"),
+        ],
+    )
+    exact = {
+        r["doc_id"]: r["keep"]
+        for r in decontaminate_audit(docs, bench, n=13).collect()
+    }
+    assert exact == {1: 1, 2: 1}  # 13-gram screen blind to the paraphrase
+    # bench doc: 16 5-shingles; paraphrase keeps runs [0:6],[7:13],[14:20]
+    # -> shared shingles = (6-4)+(6-4)+(6-4) = 6 of its 16; J = 6/26 —
+    # catch it at a lower threshold (1/4): 5*6 >= 1*(16+16) ⟺ 30 ≥ 32 is
+    # false... use num/den 1/5: 6*6=36 >= 1*32 ✓ and clean doc shares 0
+    fuzzy = {
+        r["doc_id"]: r["keep"]
+        for r in decontaminate_fuzzy(
+            docs, bench, shingle_n=5, threshold_num=1, threshold_den=5
+        ).collect()
+    }
+    assert fuzzy == {1: 0, 2: 1}
+
+
+def test_decontaminate_fuzzy_integer_threshold_boundary(spark):
+    # J exactly at the threshold must flag (>=, cross-multiplied):
+    # A = B's first 10 shingles of 20 -> inter=10, na=10, nb=20, J=1/2
+    from vectorsearch_applications_spark.operators.textstats import (
+        decontaminate_fuzzy,
+    )
+
+    toks = _BENCH.split() + ["uno", "dos", "tres", "cuatro"]  # 24 tokens
+    bench = _frame(spark, [(0, " ".join(toks))])  # 20 5-shingles
+    doc = " ".join(toks[0:14])  # 10 5-shingles, all shared
+    docs = _frame(spark, [(1, doc)])
+    at = decontaminate_fuzzy(
+        docs, bench, shingle_n=5, threshold_num=1, threshold_den=2
+    ).collect()[0]
+    assert (at["n_bench_matches"], at["keep"]) == (1, 0)
+    above = decontaminate_fuzzy(
+        docs, bench, shingle_n=5, threshold_num=51, threshold_den=100
+    ).collect()[0]
+    assert (above["n_bench_matches"], above["keep"]) == (0, 1)
+
+
 def test_fertility_counts_zero_token_docs(spark):
     # a doc whose text tokenizes to nothing must still count toward
     # n_docs / n_chars with zero word/token mass (left join + zero-fill)

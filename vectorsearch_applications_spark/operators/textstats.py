@@ -380,6 +380,75 @@ def decontaminate_audit(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate half of the
+    Gopher/GPT-3 hygiene pass (exact 13-gram screens miss paraphrases;
+    the companion test is shingle-set Jaccard against each eval doc).
+    A corpus doc is contaminated when its word-``shingle_n``-gram set
+    has Jaccard ≥ threshold_num/threshold_den with ANY benchmark doc.
+
+    Integer-exact threshold (no float division): J ≥ p/q ⟺
+    (q+p)·|∩| ≥ p·(|A|+|B|) since |∪| = |A|+|B|−|∩|.
+
+    Scale shape: the benchmark shingle table is tiny → broadcast; the
+    corpus explodes its distinct shingles once and only MATCHING rows
+    survive into the (doc, bench_doc) intersection count — the corpus
+    never shuffles; the final verdict joins the contamination-sized
+    match table back (broadcast) onto a plain corpus scan so every doc
+    gets a row.
+    """
+    from .dedup import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    bsh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.array_distinct(shingles(bench_text_col, shingle_n)).alias("bsh"),
+    ).filter(F.size("bsh") > 0)
+    bench_shingles = bsh.select(
+        "bench_id",
+        F.size("bsh").alias("nb"),
+        F.explode("bsh").alias("shingle"),
+    )
+    inter = (
+        sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("na"), F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id", "bench_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    p, q = threshold_num, threshold_den
+    matches = (
+        inter.filter(
+            (q + p) * F.col("inter") >= p * (F.col("na") + F.col("nb"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    n = F.coalesce("n_matches", F.lit(0)).cast("bigint")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(matches), "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_bench_matches"),
+            (n == 0).cast("bigint").alias("keep"),
+        )
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame,
     n: int = 5,

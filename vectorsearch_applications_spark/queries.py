@@ -3850,6 +3850,59 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_decontamination_fuzzy",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+ds AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 0)),
+           i -> array_to_string(toks[i : i + 4], ' '))) AS sh
+  FROM d
+),
+bs AS (
+  SELECT doc_id AS bench_id, sh AS bsh FROM ds
+  WHERE doc_id IN (3, 7, 11, 19) AND len(sh) > 0
+),
+m AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM ds c CROSS JOIN bs b
+  WHERE len(c.sh) > 0
+    AND 9 * len(list_intersect(c.sh, b.bsh))
+        >= 4 * (len(c.sh) + len(b.bsh))
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_bench_matches,
+       CAST(CASE WHEN coalesce(m.n_matches, 0) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM d LEFT JOIN m ON m.doc_id = d.doc_id
+""",
+)
+def q_eval_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate half of benchmark decontamination (paraphrase
+    contamination the exact 13-gram screen misses): flag corpus docs
+    whose 5-shingle set has Jaccard ≥ 4/5 with any eval doc
+    (operators/textstats.py:decontaminate_fuzzy). The threshold is an
+    integer cross-multiplication — 9·|∩| ≥ 4·(|A|+|B|) — so the verdict
+    hash-grades. Corpus shingles explode once and only benchmark-matching
+    rows reach the intersection count; the corpus never shuffles (the
+    oracle restates the same test with list_intersect over a 4-row
+    benchmark cross join)."""
+    from .operators.textstats import decontaminate_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id").isin(3, 7, 11, 19)).select(
+        "doc_id", "text"
+    )
+    return decontaminate_fuzzy(
+        docs, benchmark, shingle_n=5, threshold_num=4, threshold_den=5
+    )
+
+
+@register(
     "ann_ivf_exhaustive",
     """
 WITH q AS (
@@ -11446,6 +11499,7 @@ _GRADE_FIRST = [
     "bpe_encode_corpus",
     "tokenizer_fertility_by_source",
     "eval_decontamination",
+    "eval_decontamination_fuzzy",
     "embedding_project_frozen",
     # promoted: cores reworked in r6 after their last (r2) grading
     "semantic_text_search",
@@ -11497,12 +11551,12 @@ _GRADE_FIRST = [
     "qa_triplets",
     "router_fit",
     "text2sql_generated",
-    "llm_field_extraction",
 ]
 _GRADE_LAST = [
     # r3-vintage names deferred to the r8 rotation (lowest-risk: plain
     # relational TPC-H shapes and stand-alone aggregates whose cores are
     # untouched since r3):
+    "llm_field_extraction",
     "token_budget_prune",
     "llm_cost_accounting",
     "multimodal_frame_plan",
