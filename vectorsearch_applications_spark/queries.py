@@ -5693,25 +5693,43 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     folds, one corpus scan) and aggregate exact integer mass per source.
     Ratios stay as (numerator, denominator) pairs per the repo's
     no-rounded-division rule; zero-token docs still count toward n_docs /
-    n_chars (left join + zero-fill)."""
-    from .operators.bpe import encode_corpus, learn_bpe_merges
+    n_chars (source-level outer join + zero-fill).
+
+    Unlike bpe_encode_corpus this needs NO token ids and NO per-doc
+    ordered stream, so the mass aggregates straight to the source key:
+    one exploded-token scan joined to the per-word token-count map plus
+    one plain doc-stats scan — integer sums are associative, so skipping
+    the per-doc intermediate is value-identical (the oracle keeps the
+    per-doc restatement as independent evidence of exactly that)."""
+    from .operators.bpe import encode_vocab, learn_bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
     learned = learn_bpe_merges(spark, d, n_merges=5).orderBy("merge_rank")
     merges = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
-    enc = encode_corpus(d, merges).select(
-        "doc_id", "n_words", "n_bpe_tokens"
+    words = d.select("source", F.explode(tokenize("text")).alias("word"))
+    word_toks = encode_vocab(words.select("word").distinct(), merges).select(
+        "word", F.size(F.split("syms", " ")).alias("n_toks")
     )
-    per_doc = d.select(
-        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
-    ).join(enc, "doc_id", "left")
-    return per_doc.groupBy("source").agg(
+    mass = (
+        words.join(F.broadcast(word_toks), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    stats = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.coalesce("n_words", F.lit(0))).cast("bigint").alias("n_words"),
-        F.sum(F.coalesce("n_bpe_tokens", F.lit(0)))
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    return stats.join(mass, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0))
         .cast("bigint")
         .alias("n_bpe_tokens"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        "n_chars",
     )
 
 
