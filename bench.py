@@ -200,6 +200,7 @@ HEADLINE = [
     "eval_decontamination",
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
+    "classifier_pr_curve",
 ]
 
 

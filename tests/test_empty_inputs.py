@@ -54,6 +54,7 @@ PICKED = [
     "eval_decontamination",
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
+    "classifier_pr_curve",
 ]
 
 TABLES = [
@@ -82,6 +83,7 @@ EXPECTED_ROWS = {
     "join_size_cms_estimate": 1,   # estimate × exact audit row
     "table_profile_stats": 6,      # one stats row per profiled column
     "zonemap_prune_estimate": 2,   # one audit row per layout
+    "classifier_pr_curve": 7,      # one zero-filled row per ladder step
 }
 
 

@@ -175,6 +175,41 @@ def test_frozen_projection_matches_numpy(spark):
         assert np.allclose(got[vid], exp, atol=1e-12), (vid, got[vid], exp)
 
 
+def test_confusion_ladder_strict_gt_and_counts(spark):
+    from vectorsearch_applications_spark.operators.evaluation import (
+        confusion_ladder,
+    )
+
+    scored = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.25, 1), (-0.25, 0)],
+        "score_margin double, y int",
+    )
+    out = {
+        r["threshold_e6"]: r
+        for r in confusion_ladder(
+            scored, "score_margin", "y", [0.25, 0.5]
+        ).collect()
+    }
+    # t=0.25: predicted positive means score > 0.25 STRICTLY
+    r = out[250000]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+    r = out[500000]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 2, 2)
+
+
+def test_confusion_ladder_zero_fills_on_empty(spark):
+    from vectorsearch_applications_spark.operators.evaluation import (
+        confusion_ladder,
+    )
+
+    empty = spark.createDataFrame([], "score_margin double, y int")
+    rows = confusion_ladder(empty, "score_margin", "y", [0.0, 1.0]).collect()
+    assert len(rows) == 2
+    assert all(
+        (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0) for r in rows
+    )
+
+
 def test_frozen_rotation_weights_are_dyadic():
     from vectorsearch_applications_spark.queries import _FROZEN_ROT
 

@@ -129,3 +129,47 @@ def auc_from_scores(
         F.sum("npos").cast("bigint").alias("n_pos"),
         F.sum("nneg").cast("bigint").alias("n_neg"),
     )
+
+
+def confusion_ladder(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall curve material: confusion counts at a fixed
+    threshold ladder (predicted positive ⟺ score > t, matching the
+    frozen scorer's keep rule). The industry pass behind choosing a
+    quality-filter operating point.
+
+    Scale shape: ONE map-side-combinable aggregation computes all
+    4·|ladder| conditional sums over the corpus (no per-threshold scan,
+    no shuffle beyond the single 1-row agg), then an in-plan stack
+    unpivot emits one row per threshold. Thresholds should be dyadic so
+    the e6-scaled key and every comparison are engine-exact.
+
+    Output: (threshold_e6, tp, fp, fn, tn) — all BIGINT.
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("bigint")
+
+    def _c(col, name):  # zero-fill so an empty corpus yields 0-rows, not nulls
+        return F.coalesce(F.sum(col), F.lit(0)).cast("bigint").alias(name)
+
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (s > F.lit(float(t))).cast("bigint")
+        aggs += [
+            _c(pred * y, f"tp_{i}"),
+            _c(pred * (1 - y), f"fp_{i}"),
+            _c((1 - pred) * y, f"fn_{i}"),
+            _c((1 - pred) * (1 - y), f"tn_{i}"),
+        ]
+    one = scored.agg(*aggs)
+    stack = ", ".join(
+        f"bigint({round(t * 1_000_000)}), tp_{i}, fp_{i}, fn_{i}, tn_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    return one.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS "
+        "(threshold_e6, tp, fp, fn, tn)"
+    )

@@ -8631,6 +8631,72 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_from_scores(scored, "score_margin", "y")
 
 
+_PR_LADDER = [-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0]  # dyadic ladder
+
+
+def _pr_curve_oracle() -> str:
+    sel = []
+    for t in _PR_LADDER:
+        e6 = round(t * 1_000_000)
+        sel.append(
+            f"SELECT CAST({e6} AS BIGINT) AS threshold_e6,\n"
+            f"  CAST(sum(CASE WHEN s > {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,\n"
+            f"  CAST(sum(CASE WHEN s > {t!r} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,\n"
+            f"  CAST(sum(CASE WHEN s <= {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,\n"
+            f"  CAST(sum(CASE WHEN s <= {t!r} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn\n"
+            f"FROM m"
+        )
+    body = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH f AS (
+  SELECT length(text) AS n_chars,
+         len({_toks('text')}) AS n_tokens,
+         len(list_distinct({_toks('text')})) AS n_distinct,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+m AS (
+  SELECT -0.5 + n_tokens * 0.0234375 + n_chars * -0.0048828125
+       + n_distinct * 0.02734375 AS s,
+         y
+  FROM f
+)
+{body}
+"""
+
+
+@register("classifier_pr_curve", _pr_curve_oracle())
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the frozen quality classifier: exact
+    confusion counts (tp/fp/fn/tn) at a 7-step dyadic threshold ladder
+    over the margin, vs the lang=='en' label — the precision/recall
+    curve every quality-filter deployment reads before picking its keep
+    threshold (operators/evaluation.py:confusion_ladder). ONE map-side-
+    combinable aggregation computes all 28 conditional sums over the
+    corpus, then an in-plan stack unpivot emits one row per threshold —
+    zero shuffle beyond the 1-row agg at 100 TB. Dyadic thresholds ×
+    the bitwise-reproducible margin make every comparison engine-exact."""
+    from .operators.classifier import logistic_margin
+    from .operators.evaluation import confusion_ladder
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    feats = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    scored = feats.select(
+        logistic_margin(
+            ["n_tokens", "n_chars", "n_distinct"],
+            [3 / 128, -5 / 1024, 7 / 256, -1 / 2],
+        ).alias("score_margin"),
+        "y",
+    )
+    return confusion_ladder(scored, "score_margin", "y", _PR_LADDER)
+
+
 @register(
     "shard_assignment_rendezvous",
     """
@@ -11519,6 +11585,7 @@ _GRADE_FIRST = [
     "eval_decontamination",
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
+    "classifier_pr_curve",
     # promoted: cores reworked in r6 after their last (r2) grading
     "semantic_text_search",
     "rag_pipeline_eval",
@@ -11568,9 +11635,9 @@ _GRADE_FIRST = [
     "corpus_curation_pipeline",
     "qa_triplets",
     "router_fit",
-    "text2sql_generated",
 ]
 _GRADE_LAST = [
+    "text2sql_generated",
     # r3-vintage names deferred to the r8 rotation (lowest-risk: plain
     # relational TPC-H shapes and stand-alone aggregates whose cores are
     # untouched since r3):
