@@ -125,6 +125,35 @@ def test_encode_corpus_counts_and_stream(spark):
     assert out[1]["token_fp"] == hashlib.md5(b"x y").hexdigest()
 
 
+def test_encode_vocab_spells_every_corpus_word(spark):
+    # lossless-encode invariant over the REAL corpus vocabulary: for
+    # every distinct word, concatenating its symbols (spaces removed)
+    # must reproduce the word exactly — merges regroup, never rewrite
+    from vectorsearch_applications_spark.operators.bpe import (
+        encode_vocab,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(spark, docs, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    from vectorsearch_applications_spark.functions.text import tokenize
+
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    enc = encode_vocab(vocab, merges)
+    bad = enc.filter(
+        F.translate(F.col("syms"), " ", "") != F.col("word")
+    ).count()
+    assert bad == 0
+
+
 def test_encode_corpus_empty_merge_list_is_char_tokens(spark):
     docs = _docs(spark, ["ab ba"])
     (row,) = encode_corpus(docs, []).collect()
