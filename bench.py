@@ -201,6 +201,8 @@ HEADLINE = [
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
     "classifier_pr_curve",
+    "benchmark_contamination_report",
+    "dedup_token_savings",
 ]
 
 

@@ -43,6 +43,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
+        r = o = None  # per-query frames for the mismatch preview
         try:
             df = fn(spark, sf_dir)
             # Registry lint: the driver's pandas canonicalizer cannot sort
@@ -79,7 +80,10 @@ def main() -> int:
         if not ok:
             failures.append(name)
             print(f"FAIL {name}")
-            if only is not None and "r" in dir():
+            # diff preview only when BOTH sides materialized this
+            # iteration (an oracle error after the spark side assigned r
+            # would otherwise UnboundLocalError on o and kill the sweep)
+            if only is not None and r is not None and o is not None:
                 print("spark head:"); print(r.head(5))
                 print("oracle head:"); print(o.head(5))
     n_swept = len(only) if only is not None else len(qs)

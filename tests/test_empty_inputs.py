@@ -55,6 +55,8 @@ PICKED = [
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
     "classifier_pr_curve",
+    "benchmark_contamination_report",
+    "dedup_token_savings",
 ]
 
 TABLES = [

@@ -559,6 +559,71 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(withdups)
 
 
+@register(
+    "dedup_token_savings",
+    f"""
+WITH all_docs AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id < 50
+),
+d AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         len({_toks('text')}) AS nt
+  FROM all_docs
+),
+k AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY fp)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(nt) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN nt ELSE 0 END) AS BIGINT)
+           AS tokens_dropped
+FROM d JOIN k USING (fp)
+GROUP BY source
+""",
+)
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number dedup decisions are actually made on: exact-duplicate
+    TOKEN savings per source (keep-first-by-id survivorship, same
+    md5(text) key and planted duplicates as dedup_exact). A 100 TB
+    curation plan is budgeted in tokens, not documents — this emits
+    per-source (docs, dup docs, total tokens, droppable tokens) as exact
+    BIGINTs. Plan: one scan computes (fp, token count), one hash
+    exchange on fp resolves the keeper (any exact dedup pays exactly
+    this shuffle), then a map-side-combinable per-source aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    withdups = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    d = withdups.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        token_count("text").alias("nt"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    flagged = d.select(
+        "source",
+        "nt",
+        (F.col("doc_id") != keeper).cast("bigint").alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("nt").cast("bigint").alias("tokens_total"),
+        F.sum(F.col("is_dup") * F.col("nt"))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+    )
+
+
 _MINHASH_SQL = f"""
 WITH d AS (
   SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 300
@@ -3847,6 +3912,86 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text"
     )
     return decontaminate_audit(docs, benchmark, n=13)
+
+
+@register(
+    "benchmark_contamination_report",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+dg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 12, 0)),
+           i -> array_to_string(toks[i : i + 12], ' ')))) AS gram
+  FROM d
+),
+bg AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id IN (3, 7, 11, 19)),
+hits AS (
+  SELECT b.bench_id, b.gram, c.doc_id
+  FROM bg b JOIN dg c ON c.gram = b.gram AND c.doc_id <> b.bench_id
+),
+agg AS (
+  SELECT bench_id,
+         CAST(count(DISTINCT gram) AS BIGINT) AS n_compromised_grams,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminating_docs
+  FROM hits GROUP BY bench_id
+),
+sizes AS (
+  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM bg GROUP BY bench_id
+)
+SELECT s.bench_id, s.n_grams,
+       CAST(coalesce(a.n_compromised_grams, 0) AS BIGINT)
+           AS n_compromised_grams,
+       CAST(coalesce(a.n_contaminating_docs, 0) AS BIGINT)
+           AS n_contaminating_docs
+FROM sizes s LEFT JOIN agg a USING (bench_id)
+""",
+)
+def q_benchmark_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EVAL-side view of contamination (the table a benchmark owner
+    publishes — GPT-3 appendix C reports exactly this): per eval doc, how
+    many of its 13-grams appear elsewhere in the training corpus and how
+    many distinct corpus docs carry them. Complements
+    eval_decontamination's corpus-side verdict. Scale shape: benchmark
+    grams broadcast; the corpus's distinct grams stream through the
+    broadcast join and only matching rows reach the two-distinct
+    aggregation (contamination-sized); self-matches excluded by id."""
+    from .operators.textstats import ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    dg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(toks, 13))).alias("gram"),
+    )
+    bg = dg.filter(F.col("doc_id").isin(3, 7, 11, 19)).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    hits = dg.join(F.broadcast(bg), "gram").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    agg = hits.groupBy("bench_id").agg(
+        F.countDistinct("gram").cast("bigint").alias("n_compromised_grams"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_contaminating_docs"),
+    )
+    sizes = bg.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return sizes.join(agg, "bench_id", "left").select(
+        "bench_id",
+        "n_grams",
+        F.coalesce("n_compromised_grams", F.lit(0))
+        .cast("bigint")
+        .alias("n_compromised_grams"),
+        F.coalesce("n_contaminating_docs", F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminating_docs"),
+    )
 
 
 @register(
@@ -11586,6 +11731,8 @@ _GRADE_FIRST = [
     "eval_decontamination_fuzzy",
     "embedding_project_frozen",
     "classifier_pr_curve",
+    "benchmark_contamination_report",
+    "dedup_token_savings",
     # promoted: cores reworked in r6 after their last (r2) grading
     "semantic_text_search",
     "rag_pipeline_eval",
@@ -11633,10 +11780,10 @@ _GRADE_FIRST = [
     "langid_ngram",
     "quality_repetition_filter",
     "corpus_curation_pipeline",
-    "qa_triplets",
-    "router_fit",
 ]
 _GRADE_LAST = [
+    "qa_triplets",
+    "router_fit",
     "text2sql_generated",
     # r3-vintage names deferred to the r8 rotation (lowest-risk: plain
     # relational TPC-H shapes and stand-alone aggregates whose cores are
