@@ -215,9 +215,20 @@ def _round_arg() -> int | None:
     round's BENCH_rNN.json lands would otherwise mislabel the snapshot
     under the NEXT round and diff against the wrong base)."""
     if "--round" in sys.argv:
-        return int(sys.argv[sys.argv.index("--round") + 1])
+        i = sys.argv.index("--round") + 1
+        if i >= len(sys.argv):
+            sys.exit("usage: bench.py [--round N]  (--round needs a value)")
+        try:
+            return int(sys.argv[i])
+        except ValueError:
+            sys.exit(f"usage: bench.py [--round N]  (got --round {sys.argv[i]!r})")
     env = os.environ.get("SPARK_GRAFT_ROUND")
-    return int(env) if env else None
+    if not env:
+        return None
+    try:
+        return int(env)
+    except ValueError:
+        sys.exit(f"SPARK_GRAFT_ROUND must be an integer (got {env!r})")
 
 
 def main() -> None:

@@ -160,3 +160,49 @@ def test_encode_corpus_empty_merge_list_is_char_tokens(spark):
     # chars only: 'a b' + 'b a' -> 4 symbols; ids a=1, b=2
     assert row["n_bpe_tokens"] == 4
     assert row["token_id_sum"] == 6
+
+
+def test_encode_vocab_deep_chain_checkpointed(spark):
+    # r8 (verdict task 5): a real-merge-count chain must survive. 256
+    # merges UNCHECKPOINTED StackOverflow the JVM at task-closure
+    # serialization (measured — and a lazy eager=False checkpoint does
+    # NOT help: lineage is only truncated once materialized, so the
+    # first action still serializes the full chain). The eager
+    # per-segment checkpoint bounds every closure; the encoding must be
+    # interval-invariant and equal to applying only the effective merges
+    # (the padding pairs never occur in the vocab, so each is an
+    # identity fold — depth without semantic change).
+    vocab = spark.createDataFrame(
+        [("abab",), ("aabb",), ("banana",), ("cab",)], "word string"
+    )
+    real = [("a", "b"), ("b", "a"), ("ab", "ab")]
+    merges = real + [(f"x{i}", f"y{i}") for i in range(253)]
+    assert len(merges) == 256
+    deep64 = sorted(
+        encode_vocab(vocab, merges, checkpoint_every=64).collect()
+    )
+    deep128 = sorted(
+        encode_vocab(vocab, merges, checkpoint_every=128).collect()
+    )
+    shallow = sorted(encode_vocab(vocab, real).collect())
+    assert deep64 == deep128 == shallow
+    # lossless-encode invariant holds through the checkpointed chain
+    assert all(r["syms"].replace(" ", "") == r["word"] for r in deep64)
+
+
+def test_encode_vocab_checkpoint_matches_unchunked(spark):
+    # at a depth the unchunked chain survives, checkpointing must be a
+    # pure plan transformation: identical (word, syms) output
+    vocab = spark.createDataFrame(
+        [("abab",), ("banana",), ("cabbage",)], "word string"
+    )
+    merges = [("a", "b"), ("b", "a"), ("an", "an")] + [
+        (f"p{i}", f"q{i}") for i in range(29)
+    ]
+    unchunked = sorted(
+        encode_vocab(vocab, merges, checkpoint_every=0).collect()
+    )
+    chunked = sorted(
+        encode_vocab(vocab, merges, checkpoint_every=8).collect()
+    )
+    assert unchunked == chunked

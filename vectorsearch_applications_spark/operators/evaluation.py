@@ -150,6 +150,8 @@ def confusion_ladder(
 
     Output: (threshold_e6, tp, fp, fn, tn) — all BIGINT.
     """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     s, y = F.col(score_col), F.col(label_col).cast("bigint")
 
     def _c(col, name):  # zero-fill so an empty corpus yields 0-rows, not nulls

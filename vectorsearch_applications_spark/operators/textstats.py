@@ -403,9 +403,13 @@ def decontaminate_fuzzy(
     Scale shape: the benchmark shingle table is tiny → broadcast; the
     corpus explodes its distinct shingles once and only MATCHING rows
     survive into the (doc, bench_doc) intersection count — the corpus
-    never shuffles; the final verdict joins the contamination-sized
-    match table back (broadcast) onto a plain corpus scan so every doc
-    gets a row.
+    never shuffles; the final verdict joins the match table back onto a
+    plain corpus scan so every doc gets a row. That join carries NO
+    broadcast hint on purpose: the match table is contamination-sized
+    only by assumption — a benchmark full of common boilerplate shingles
+    can make it corpus-sized, and a hardcoded hint would OOM the driver
+    where size-based planning (AQE broadcasts when actually small)
+    degrades to a shuffle join instead.
     """
     from .dedup import shingles
 
@@ -440,7 +444,7 @@ def decontaminate_fuzzy(
     n = F.coalesce("n_matches", F.lit(0)).cast("bigint")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(matches), "doc_id", "left")
+        .join(matches, "doc_id", "left")
         .select(
             "doc_id",
             n.alias("n_bench_matches"),

@@ -5806,7 +5806,11 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     learned = learn_bpe_merges(spark, d, n_merges=5).orderBy("merge_rank")
     merges = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
-    return encode_corpus(d, merges)
+    # broadcast_map=True is a per-call choice: the sf-scale vocabulary is
+    # known benchmark-sized; a 100 TB caller passes False (shuffle-hash
+    # co-partitioned on word) or None (size-estimated) — both plan shapes
+    # are pinned in test_scale_plans.py.
+    return encode_corpus(d, merges, broadcast_map=True)
 
 
 @register(
@@ -5846,7 +5850,7 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     one plain doc-stats scan — integer sums are associative, so skipping
     the per-doc intermediate is value-identical (the oracle keeps the
     per-doc restatement as independent evidence of exactly that)."""
-    from .operators.bpe import encode_vocab, learn_bpe_merges
+    from .operators.bpe import encode_vocab, join_encode_map, learn_bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
     learned = learn_bpe_merges(spark, d, n_merges=5).orderBy("merge_rank")
@@ -5855,8 +5859,11 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     word_toks = encode_vocab(words.select("word").distinct(), merges).select(
         "word", F.size(F.split("syms", " ")).alias("n_toks")
     )
+    # broadcast_map=True: sf-scale vocab is benchmark-sized; the 100 TB
+    # shuffle-hash shape is one argument away (plan-pinned in
+    # test_scale_plans.py) and value-identical (integer sums).
     mass = (
-        words.join(F.broadcast(word_toks), "word")
+        join_encode_map(words, word_toks, broadcast_map=True)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -8764,7 +8771,10 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+        # zero-fill: NULL lang is a negative, matching the oracle's
+        # CASE WHEN ... ELSE 0 (a NULL label would otherwise drop the
+        # row from every conditional sum)
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("y"),
     )
     scored = feats.select(
         logistic_margin(
@@ -8830,7 +8840,10 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+        # zero-fill: NULL lang is a negative, matching the oracle's
+        # CASE WHEN ... ELSE 0 (a NULL label would otherwise drop the
+        # row from every conditional sum)
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("y"),
     )
     scored = feats.select(
         logistic_margin(
