@@ -203,6 +203,9 @@ HEADLINE = [
     "classifier_pr_curve",
     "benchmark_contamination_report",
     "dedup_token_savings",
+    # round 8 additions
+    "dedup_index_append",
+    "ingest_index_pipeline",
 ]
 
 

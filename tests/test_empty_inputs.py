@@ -57,6 +57,9 @@ PICKED = [
     "classifier_pr_curve",
     "benchmark_contamination_report",
     "dedup_token_savings",
+    # r8: empty standing index bands / zero-chunk corpus
+    "dedup_index_append",
+    "ingest_index_pipeline",
 ]
 
 TABLES = [

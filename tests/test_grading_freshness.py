@@ -1,0 +1,73 @@
+"""Grading-freshness lint (r8, verdict task 7): the driver grades only
+the first 50 registered queries per round, so freshness is a rotation
+discipline — this test turns it from memory into CI.
+
+Rule: every registered query must either (a) have a green driver row
+within the last 4 rounds, or (b) sit inside the upcoming round's 50-row
+window (``_GRADE_FIRST`` ordering). "Green" = rows_match true, or the
+rows-only tier (err == 'no_oracle' with a recorded row count) that the
+two float fits grade under by design.
+
+No SparkSession needed — this parses CORRECTNESS_r*.json history and the
+registration order only.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50  # the driver's per-round grading cap
+MAX_STALENESS = 4  # rounds a green row stays fresh
+
+
+def _latest_green() -> tuple[dict[str, int], int]:
+    last: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            for name, v in json.load(fh).items():
+                green = v.get("rows_match") is True or (
+                    v.get("err") == "no_oracle"
+                    and v.get("spark_rows") is not None
+                )
+                if green:
+                    last[name] = max(last.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS_r*.json history found"
+    return last, max(rounds) + 1  # next driver round
+
+
+def test_no_registered_query_staler_than_window():
+    from vectorsearch_applications_spark.queries import get_queries
+
+    last, current = _latest_green()
+    names = list(get_queries())
+    window = set(names[:WINDOW])
+    stale = sorted(
+        n
+        for n in names
+        if n not in window and last.get(n, 0) < current - MAX_STALENESS
+    )
+    assert not stale, (
+        f"{len(stale)} queries have no green driver row in the last "
+        f"{MAX_STALENESS} rounds and are not in the upcoming {WINDOW}-row "
+        f"window — rotate them into _GRADE_FIRST: {stale}"
+    )
+
+
+def test_never_graded_queries_are_in_window():
+    # a brand-new query that misses the window would ship ungraded
+    from vectorsearch_applications_spark.queries import get_queries
+
+    last, _ = _latest_green()
+    names = list(get_queries())
+    window = set(names[:WINDOW])
+    missing = sorted(n for n in names if n not in last and n not in window)
+    assert not missing, (
+        f"never-driver-graded queries outside the upcoming window: {missing}"
+    )

@@ -251,3 +251,65 @@ def test_persisted_ivf_index_exhaustive_matches_exact(spark, tmp_path):
     a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx.collect()}
     e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
     assert a == e
+
+
+def test_minhash_index_append_matches_rebuild(spark, tmp_path):
+    """r8 (verdict task 2): the dedup index's append==rebuild contract —
+    pairs known at standing-index build time ∪ pairs screened from the
+    appended batch == a full rebuild over old ∪ new. The standing corpus
+    is signed exactly once (minhash_save_index); the batch screens
+    against the persisted band table (minhash_index_append) and its band
+    rows become part of the standing index for the NEXT batch."""
+    from vectorsearch_applications_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_load_index,
+        minhash_lsh_pairs,
+        minhash_save_index,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    standing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 0).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0).filter(
+        F.col("doc_id") % 2 != 0
+    )
+    root = str(tmp_path)
+
+    minhash_save_index(standing, root, "docs")
+    known = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(standing).collect()
+    }
+    new1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_index_append(spark, root, "docs", batch1).collect()
+    }
+    new2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_index_append(spark, root, "docs", batch2).collect()
+    }
+    rebuilt = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    # two appends never overlap known pairs, and together they close the
+    # gap to the full rebuild — the append path loses and invents nothing
+    assert known | new1 | new2 == rebuilt
+    assert not (new1 & known) and not (new2 & known) and not (new1 & new2)
+    # the persisted band table now covers the whole corpus: the index on
+    # disk equals a fresh full build's band table
+    from vectorsearch_applications_spark.operators.dedup import minhash_bands
+
+    on_disk = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_load_index(spark, root, "docs").collect()
+    }
+    fresh = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(docs).collect()
+    }
+    assert on_disk == fresh

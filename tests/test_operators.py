@@ -104,6 +104,31 @@ def test_knn_partial_equals_crossjoin(spark):
     assert a == b and len(a) == 21
 
 
+def test_knn_auto_switches_past_query_cap(spark):
+    # r8 (verdict task 4): past max_collect_queries rows knn_search must
+    # route to the crossjoin twin instead of collecting the query set to
+    # the driver — same results on either side of the boundary, and the
+    # pre_filter must survive the switch
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    flt = F.col("label") != 2
+    collected = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 12))
+        for r in knn_search(
+            emb, q, k=7, pre_filter=flt, max_collect_queries=100
+        ).collect()
+    }
+    switched = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 12))
+        for r in knn_search(
+            emb, q, k=7, pre_filter=flt, max_collect_queries=2
+        ).collect()
+    }
+    assert collected == switched and len(switched) == 21
+
+
 def test_knn_pre_filter_semantics(spark):
     """Filtered vector search filters BEFORE ranking (Weaviate pre-filter,
     SURVEY P6) — excluded ids must never appear, and ranks stay dense."""

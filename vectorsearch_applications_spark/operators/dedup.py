@@ -131,7 +131,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -139,12 +139,14 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band.
+    """The LSH band table (doc_id, band, band_key) — the standing index
+    rows behind every MinHash dedup shape.
 
-    Bands: the k minhashes split into k/band_size bands; a band's key is the
-    md5 of its ordered minhash values; docs sharing (band_id, band_key)
-    become candidates. The self-join is on the band bucket — at scale this
-    is the only quadratic term and it is bounded per bucket.
+    Bands: the k minhashes split into k/band_size bands; a band's key is
+    the md5 of its ordered minhash values. Each doc's rows depend only on
+    its OWN shingles, which is what makes the index incremental: an
+    appended batch mints its own band rows without touching the standing
+    corpus (minhash_index_append).
     """
     n_bands = num_hashes // band_size
     sig = minhash_signatures_wide(docs, id_col, text_col, num_hashes, shingle_n)
@@ -160,10 +162,16 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
     )
+
+
+def minhash_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band. The
+    self-join is on the band bucket — at scale this is the only quadratic
+    term and it is bounded per bucket."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -178,6 +186,133 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band —
+    the full-rebuild shape: band table + bucket self-join
+    (minhash_bands / minhash_pairs_from_bands)."""
+    return minhash_pairs_from_bands(
+        minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
+    )
+
+
+def minhash_screen_batch(
+    standing_bands: DataFrame, new_bands: DataFrame
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by an appended batch: every (doc_a <
+    doc_b) bucket collision with at least one side in the batch —
+    new-vs-standing plus new-vs-new in ONE join whose probe side is the
+    batch's band rows. The standing corpus contributes only its saved
+    band table: no signature re-mint, no standing-vs-standing pairs
+    (those were known when the standing index was built — the
+    append==rebuild contract is ``known ∪ screened == rebuild(old∪new)``,
+    proven in test_incremental_index.py).
+
+    Scale shape: the big standing table is scanned once and joined on
+    (band, band_key); no broadcast hint — a daily batch can itself be
+    TB-scale, so the planner must stay free to pick the build side.
+    Batch ids must be disjoint from standing ids (same contract as
+    bm25_index_append / ivf_append).
+    """
+    cols = ["doc_id", "band", "band_key"]
+    all_bands = standing_bands.select(cols).unionByName(
+        new_bands.select(cols)
+    )
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_save_index(
+    docs: DataFrame,
+    root: str,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """Persist the MinHash LSH band table as parquet next to the
+    collection — build once (the expensive full-corpus signature job),
+    screen many: the same deployment shape as bm25_save_index and
+    ivf_save_index. Layout: <root>/<name>__minhash/bands, directory-
+    partitioned by band so a probe that explodes a batch's bands prunes
+    to the touched band directories.
+    """
+    import os
+
+    base = os.path.join(root, f"{name}__minhash")
+    bands = minhash_bands(
+        docs, id_col, text_col, num_hashes, band_size, shingle_n
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(base, "bands")
+    )
+    return base
+
+
+def minhash_load_index(spark, root: str, name: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(root, f"{name}__minhash", "bands"))
+
+
+def minhash_index_append(
+    spark,
+    root: str,
+    name: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen an appended batch against the PERSISTED standing index and
+    make the append durable: mint band rows for the new docs only, return
+    the newly-introduced candidate pairs (minhash_screen_batch), and
+    append the new rows to the saved band table so the next batch screens
+    against old ∪ new. The standing corpus is never re-signed — the
+    incremental contract the BM25 (bm25_index_append) and IVF
+    (ivf_append) indexes already keep, closing the one dedup-family gap.
+
+    The returned pair frame is materialized BEFORE the parquet append (a
+    lazy plan would otherwise re-read the bands directory after the
+    append and double-count the batch against itself).
+    """
+    import os
+
+    path = os.path.join(root, f"{name}__minhash", "bands")
+    standing = spark.read.parquet(path)
+    new_bands = minhash_bands(
+        new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+    ).localCheckpoint(eager=True)
+    pairs = minhash_screen_batch(standing, new_bands).localCheckpoint(
+        eager=True
+    )
+    new_bands.write.mode("append").partitionBy("band").parquet(path)
+    return pairs
 
 
 def simhash_fingerprints(

@@ -89,8 +89,32 @@ def knn_search(
     query_vec_col: str = "query_vec",
     k: int = 10,
     pre_filter: Column | None = None,
+    max_collect_queries: int = 100_000,
 ) -> DataFrame:
-    """Partial-top-k exact kNN (the 100 TB plan). See module docstring."""
+    """Partial-top-k exact kNN (the 100 TB plan). See module docstring.
+
+    The query side is collected to the driver for the in-UDF matmul, so
+    an oversized query set would OOM the driver; past
+    ``max_collect_queries`` rows the call auto-routes to the Catalyst
+    crossjoin twin (equality-tested across the boundary in
+    test_operators.py) instead of relying on the caller having read the
+    SCALE.md trade-off note. The guard costs one LIMIT n+1 count on the
+    (small) query frame — never a full count of an unbounded stream.
+    """
+    if (
+        queries.limit(max_collect_queries + 1).count()
+        > max_collect_queries
+    ):
+        return knn_search_crossjoin(
+            corpus,
+            queries,
+            id_col,
+            vec_col,
+            query_id_col,
+            query_vec_col,
+            k,
+            pre_filter,
+        )
     if pre_filter is not None:
         corpus = corpus.filter(pre_filter)
 

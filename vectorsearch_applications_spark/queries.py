@@ -660,6 +660,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_append",
+    f"""
+SELECT * FROM ({_MINHASH_SQL}) full_pairs
+WHERE doc_a % 2 = 0 OR doc_b % 2 = 0
+""",
+)
+def q_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup index (operators/dedup.py
+    minhash_bands/minhash_screen_batch, persisted twin
+    minhash_save_index/minhash_index_append): the standing corpus (odd
+    doc ids) is indexed once; the appended batch (even doc ids) mints
+    ONLY its own band rows and screens against the saved band table —
+    the newly-introduced candidate pairs are exactly the full rebuild's
+    pairs that touch a batch doc, which is what the oracle restates
+    (rebuild ∩ ≥1-even-side). Closes the one dedup-family gap vs the
+    BM25/IVF append paths: daily 100 TB ingest re-signs the batch, never
+    the standing corpus; append==rebuild is equivalence-tested in
+    test_incremental_index.py. The reference's own indexer is
+    incremental by nature (batch upserts, weaviate_interface_v4.py
+    add-data flow) — this is that contract for the dedup index."""
+    from .operators.dedup import minhash_bands, minhash_screen_batch
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    standing = docs.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    standing_bands = minhash_bands(standing, num_hashes=16, band_size=4)
+    new_bands = minhash_bands(batch, num_hashes=16, band_size=4)
+    return minhash_screen_batch(standing_bands, new_bands)
+
+
+@register(
     "dedup_simhash",
     f"""
 WITH d AS (
@@ -1467,6 +1498,92 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return chunk_tokens(docs, chunk_size=16, overlap=0)
+
+
+@register(
+    "ingest_index_pipeline",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, {_toks('text')} AS toks
+  FROM documents WHERE doc_id < 100
+),
+n AS (
+  SELECT doc_id, source, toks,
+         CAST(ceil(greatest(len(toks), 0)::DOUBLE / 16) AS INT) AS n_chunks
+  FROM d
+),
+pos AS (
+  SELECT doc_id, source, toks, unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n
+),
+chunks AS (
+  SELECT doc_id, source,
+         doc_id::VARCHAR || '_' || i AS eid,
+         toks[i*16+1 : i*16+16] AS ctoks,
+         len(toks[i*16+1 : i*16+16]) AS n_toks
+  FROM pos
+),
+csrc AS (SELECT eid, ctoks AS toks FROM chunks),
+{{embed}},
+e0 AS (SELECT eid, v FROM c_emb WHERE d = 0),
+dims AS (SELECT eid, count(*) AS dim FROM c_emb GROUP BY eid)
+SELECT ch.source,
+       CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(ch.n_toks) AS BIGINT) AS n_chunk_tokens,
+       CAST(max(dims.dim) AS BIGINT) AS embedding_dim,
+       CAST(sum(CAST(floor(e0.v * 1000000) AS BIGINT)) AS BIGINT) AS emb_mass_e6
+FROM chunks ch
+JOIN e0 ON e0.eid = ch.eid
+JOIN dims ON dims.eid = ch.eid
+GROUP BY ch.source
+""".format(
+        embed=_EMBED_SQL.format(name="c", src="csrc", dmax=_EMBED_DIM - 1)
+    ),
+)
+def q_ingest_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's §3.4 build path fused into ONE oracle-graded plan:
+    read → chunk (operators/chunking.chunk_tokens) → embed every chunk
+    (functions/embed.hash_embed_col — the deterministic stand-in for the
+    import-gated model encoder) → join doc metadata → the per-collection
+    audit row an indexer emits before batch_index (n docs / chunks /
+    tokens / embedding dim, reference notebooks/1 create-dataset +
+    index-and-count cells). Previously tested piecewise
+    (test_pipeline.py); this pins the composition end-to-end.
+
+    Float discipline: the embedding check is sum(floor(v0·1e6)) — v0 is
+    bitwise identical across engines (dyadic contributions (2b−255)/256
+    sum exactly in any order; IEEE sqrt/div are correctly rounded), and
+    the per-row floor makes the aggregate an exact integer, never a
+    cross-row float sum. Scale shape: chunk+embed live in the scan
+    projection (explode + codegen fold, no Python); one join on doc_id
+    carries the metadata; one agg to the source key."""
+    from .functions.embed import hash_embed_col
+    from .operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_tokens(docs, chunk_size=16, overlap=0)
+    emb = chunks.select(
+        "doc_id",
+        "n_chunk_tokens",
+        hash_embed_col(F.col("chunk_text"), _EMBED_DIM).alias("embedding"),
+    )
+    meta = docs.select("doc_id", "source")
+    return (
+        emb.join(meta, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.max(F.size("embedding")).cast("bigint").alias("embedding_dim"),
+            F.sum(
+                F.floor(F.element_at("embedding", 1) * F.lit(1_000_000.0))
+            )
+            .cast("bigint")
+            .alias("emb_mass_e6"),
+        )
+    )
 
 
 @register(
@@ -11731,76 +11848,32 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r7 window = 3 new + the 3 core-touched promotions the r6 verdict named
-# (semantic_text_search sits on the knn core r6 rewrote; rag_pipeline_eval
-# and eval_multi_method sit on the eval core that gained auc_from_scores)
-# + all 29 remaining r2-vintage deferrals + 15 of the 39 r3-vintage rows
-# (those on cores touched since r3 first).
+# r8 window = 2 new + 8 core-touched promotions (pr-curve/auc label
+# coalesce, bpe broadcast_map + checkpoint, knn auto-switch, fuzzy-decon
+# broadcast drop, minhash_bands refactor) + ALL 29 r3-vintage deferrals
+# (after this window every registered query has a green row ≤ r8 — the
+# last freshness gap the r7 verdict named) + 11 of the 47 r4-vintage
+# rows, touched-core families first. The rotation floor is now CI:
+# tests/test_grading_freshness.py fails if any registered query's latest
+# green row falls >4 rounds behind and isn't in the upcoming window.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
+    "dedup_index_append",
+    "ingest_index_pipeline",
+    # promoted: Spark-side code touched this round after their last grading
+    "classifier_pr_curve",
+    "classifier_eval_auc",
     "bpe_encode_corpus",
     "tokenizer_fertility_by_source",
-    "eval_decontamination",
-    "eval_decontamination_fuzzy",
-    "embedding_project_frozen",
-    "classifier_pr_curve",
-    "benchmark_contamination_report",
-    "dedup_token_savings",
-    # promoted: cores reworked in r6 after their last (r2) grading
+    "knn_search",
     "semantic_text_search",
-    "rag_pipeline_eval",
-    "eval_multi_method",
-    # the r2-vintage deferrals from the r6 rotation (oldest driver rows)
-    "events_tumbling_agg",
-    "route_classify",
-    "tpch_q1_pricing_summary",
-    "search_with_properties",
-    "rollup_lineitem",
-    "prompt_assembly",
-    "nation_revenue",
-    "expanded_content_w2",
-    "customers_without_orders",
-    "doc_fingerprints",
-    "generation_eval_polling",
-    "segment_stats",
-    "tpch_q3_shipping_priority",
-    "text2sql_guarded",
-    "top_customer_revenue",
-    "tpch_q14_promo_share",
-    "tpch_q6_forecast_revenue",
-    "window_running_total",
-    "event_scalar_functions",
-    "grouped_content_hash",
-    "segment_priority_union",
-    "cheapest_part_per_brand",
-    "customers_with_big_orders",
-    "part_like_filter",
-    "order_priority_pivot",
-    "multimodal_binary_meta",
-    "train_val_split",
-    "quality_length_filter",
-    "qa_generation",
-    # r3-vintage rows on cores touched since r3 (ann/knn/pq reworked
-    # r5-r6; textstats/dedup modules extended this round; llm/plan cores
-    # extended r5) — freshest-risk first:
-    "ann_ivf_exhaustive",
-    "ann_quantized_search",
+    "eval_decontamination_fuzzy",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "decontaminate_benchmark",
-    "corpus_bpe_token_stats",
-    "text_profile",
-    "langid_ngram",
-    "quality_repetition_filter",
-    "corpus_curation_pipeline",
-]
-_GRADE_LAST = [
+    # the 29 r3-vintage deferrals (oldest driver rows; all verified
+    # preflight-green at r7 HEAD and re-verified this round)
     "qa_triplets",
     "router_fit",
     "text2sql_generated",
-    # r3-vintage names deferred to the r8 rotation (lowest-risk: plain
-    # relational TPC-H shapes and stand-alone aggregates whose cores are
-    # untouched since r3):
     "llm_field_extraction",
     "token_budget_prune",
     "llm_cost_accounting",
@@ -11827,6 +11900,59 @@ _GRADE_LAST = [
     "tpch_q20_excess_shippers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_balance_opportunity",
+    # r4-vintage back-fill: dedup family (minhash core refactored this
+    # round), bpe learn, then the oldest heavy iteratives/streams
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "dedup_rate_by_source",
+    "dedup_incremental_batch",
+    "dedup_semantic",
+    "bpe_learn_merges",
+    "graph_pagerank",
+    "events_sessionize",
+    "events_sliding_agg",
+    "hybrid_rrf_search",
+    "hard_negative_mining",
+]
+# r4-vintage rows deferred to the r9 rotation (cores untouched this
+# round; the freshness lint allows them one more round of slack).
+_GRADE_LAST = [
+    "ann_ivf_kmeans_exhaustive",
+    "ann_lsh_cosine",
+    "ann_lsh_multiprobe",
+    "boilerplate_doc_ratio",
+    "boilerplate_ngrams",
+    "brand_price_quartiles",
+    "customer_rfm_segments",
+    "docs_ngram_novelty",
+    "embedding_hygiene",
+    "events_asof_last_signup",
+    "events_dwell_time",
+    "events_funnel",
+    "events_gap_fill",
+    "events_range_join",
+    "events_retention",
+    "events_session_campaign_overlap",
+    "events_user_lifecycle",
+    "events_user_rolling_stats",
+    "events_value_histogram",
+    "events_winsorized_stats",
+    "heaps_vocab_growth",
+    "html_markup_strip",
+    "lm_bigram_score",
+    "mmr_diversify",
+    "ngram_collocations",
+    "orders_monthly_seasonality",
+    "pack_training_sequences",
+    "pii_scrub_stats",
+    "quality_linear_score",
+    "referential_integrity_audit",
+    "search_snippets",
+    "snapshot_diff_docs",
+    "temperature_resample_sources",
+    "tfidf_top_terms",
+    "topic_cluster_terms",
+    "vocab_oov_coverage",
 ]
 
 
