@@ -168,6 +168,80 @@ def minhash_bands(
     )
 
 
+def minhash_bands_projection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Zero-shuffle per-row twin of :func:`minhash_bands` — value-
+    identical output (tested), different physical shape.
+
+    Each minhash is array_min over the doc's OWN shingle array (the min
+    of a multiset equals the min of its distinct set, so no distinct is
+    needed), computed entirely inside one codegen projection: no
+    explode, no shingle-vocab distinct, no groupBy. That makes it (a)
+    legal on a STREAMING frame (the batch shape's corpus-level distinct
+    + agg are stateful) — streaming/dedup.py builds on this — and (b)
+    the choice when the corpus is huge but cold (one pass, no shuffle).
+    The batch shape stays preferable for repeated full builds: hashing
+    each DISTINCT shingle once amortizes md5 work across duplicate
+    shingles, which this per-row form re-pays per occurrence.
+
+    Shingle and band keys are bit-identical to the batch shape
+    (same stable_hash64 seeding, same md5 band key).
+    """
+    n_bands = num_hashes // band_size
+
+    def _seed_hash(s):
+        # NOT `lambda x, s=s: ...` — a 2-arg lambda is interpreted by
+        # PySpark as the (element, index) HOF form and the "default"
+        # binds to the index column (silent garbage hashes)
+        return lambda x: stable_hash64(F.concat(x, F.lit(f"#{s}")))
+
+    def _mins(arr):
+        return F.array(
+            *[
+                F.array_min(F.transform(arr, _seed_hash(s)))
+                for s in range(num_hashes)
+            ]
+        )
+
+    def _keys(m):
+        return F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(
+                                m, b * band_size + j + 1
+                            ).cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    # let-bind shingles → minhashes → keys (interpreted HOFs have no CSE;
+    # a raw subtree would recompute the shingle array per seed)
+    sh = shingles(text_col, shingle_n)
+    keys = F.transform(
+        F.array(F.transform(F.array(sh), _mins)[0]), _keys
+    )[0]
+    return (
+        docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(keys).alias("band", "band_key"),
+        )
+    )
+
+
 def minhash_pairs_from_bands(bands: DataFrame) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band. The
     self-join is on the band bucket — at scale this is the only quadratic

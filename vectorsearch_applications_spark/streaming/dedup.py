@@ -1,0 +1,65 @@
+"""Ingest-time near-dup screening — the streaming twin of the
+incremental MinHash index (operators/dedup.py minhash_index_append).
+
+A document's LSH band rows depend only on its own shingles, so minting
+them is a STATELESS projection that composes directly onto a readStream
+source; screening is then one stream-static inner join against the
+persisted standing band table (minhash_load_index). No watermark, no
+state store, append-mode output — the same cheapest-shape contract as
+streaming/hygiene.py.
+
+The operator emits collision EVIDENCE rows (new_doc_id, standing_doc_id,
+band), deliberately without stream-side dropDuplicates: a pair that
+collides in two bands arrives twice, and keeping the operator stateless
+means an unbounded ingest stream needs zero state store. Verdicts are
+idempotent — feed them to a MERGE / set-union consumer, or bound a
+dropDuplicatesWithinWatermark behind an ingest-time watermark if exact
+once-per-pair emission matters. stream==batch (as SETS, vs the batch
+screen's new-vs-standing half) is pinned by tests/test_stream_dedup.py.
+
+At 100 TB/day the standing band table is the static side of the join
+(bucket-pruned parquet, minhash_save_index layout); each micro-batch
+pays one scan of its own rows plus the band-key join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_minhash_screen(
+    docs_stream: DataFrame,
+    standing_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen a document stream against a STATIC standing band table.
+
+    Returns a streaming DataFrame of (new_doc_id, standing_doc_id, band)
+    collision evidence — every LSH bucket the arriving doc shares with a
+    standing doc. New-vs-new pairs within the live stream are NOT
+    emitted (that would need stream-stream state); they surface when the
+    batch is folded into the standing index (minhash_index_append), the
+    same division of labor as the batch screen's two halves.
+    """
+    from ..operators.dedup import minhash_bands_projection
+
+    # the per-row band projection (value-identical to the batch shape's
+    # explode+distinct+agg build, which would be STATEFUL on a stream)
+    new_bands = minhash_bands_projection(
+        docs_stream, id_col, text_col, num_hashes, band_size, shingle_n
+    )
+    s = standing_bands.select(
+        F.col("doc_id").alias("standing_doc_id"), "band", "band_key"
+    )
+    return (
+        new_bands.select(
+            F.col("doc_id").alias("new_doc_id"), "band", "band_key"
+        )
+        .join(s, ["band", "band_key"])
+        .select("new_doc_id", "standing_doc_id", "band")
+    )
