@@ -98,13 +98,17 @@ def knn_search(
     ``max_collect_queries`` rows the call auto-routes to the Catalyst
     crossjoin twin (equality-tested across the boundary in
     test_operators.py) instead of relying on the caller having read the
-    SCALE.md trade-off note. The guard costs one LIMIT n+1 count on the
-    (small) query frame — never a full count of an unbounded stream.
+    SCALE.md trade-off note. The guard is free: the collect the fast
+    path needs anyway becomes a take(n+1) — same single job, and the
+    driver never holds more than n+1 rows even against an oversized set.
     """
-    if (
-        queries.limit(max_collect_queries + 1).count()
-        > max_collect_queries
-    ):
+    # Queries are collected once to the driver and broadcast inside the UDF
+    # closure — this is the "broadcast small dim" side, typically ≤ a few
+    # thousand rows; the corpus side streams through executors untouched.
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).take(max_collect_queries + 1)
+    if len(q_rows) > max_collect_queries:
         return knn_search_crossjoin(
             corpus,
             queries,
@@ -117,13 +121,6 @@ def knn_search(
         )
     if pre_filter is not None:
         corpus = corpus.filter(pre_filter)
-
-    # Queries are collected once to the driver and broadcast inside the UDF
-    # closure — this is the "broadcast small dim" side, typically ≤ a few
-    # thousand rows; the corpus side streams through executors untouched.
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-    ).collect()
     import numpy as np
 
     if not q_rows:
