@@ -206,6 +206,7 @@ HEADLINE = [
     # round 8 additions
     "dedup_index_append",
     "ingest_index_pipeline",
+    "dedup_minhash_bands",
 ]
 
 

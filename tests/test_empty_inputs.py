@@ -57,9 +57,10 @@ PICKED = [
     "classifier_pr_curve",
     "benchmark_contamination_report",
     "dedup_token_savings",
-    # r8: empty standing index bands / zero-chunk corpus
+    # r8: empty standing index bands / zero-chunk corpus / zero-shingle docs
     "dedup_index_append",
     "ingest_index_pipeline",
+    "dedup_minhash_bands",
 ]
 
 TABLES = [

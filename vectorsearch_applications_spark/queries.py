@@ -660,6 +660,47 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_bands",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents WHERE doc_id < 300
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM pos
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(shingle || '#' || seed), 1, 8))::BIGINT) AS minhash
+  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+)
+SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+       md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+FROM mh GROUP BY doc_id, seed // 4
+""",
+)
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash LSH band TABLE itself — the artifact
+    minhash_save_index persists and every screen probes — hash-graded
+    through the per-row projection twin (operators/dedup.py
+    minhash_bands_projection): each doc's minhashes are array_min folds
+    over its OWN shingle array inside one codegen projection, so the
+    build is zero-shuffle and legal on a stream (streaming/dedup.py).
+    Value-identity with the batch explode+distinct+agg build is pinned
+    in test_stream_dedup.py; this row pins both against DuckDB."""
+    from .operators.dedup import minhash_bands_projection
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    b = minhash_bands_projection(docs, num_hashes=16, band_size=4)
+    return b.select("doc_id", F.col("band").cast("bigint").alias("band"), "band_key")
+
+
+@register(
     "dedup_index_append",
     f"""
 SELECT * FROM ({_MINHASH_SQL}) full_pairs
@@ -11868,6 +11909,7 @@ _GRADE_FIRST = [
     # new this round (never driver-graded):
     "dedup_index_append",
     "ingest_index_pipeline",
+    "dedup_minhash_bands",
     # promoted: Spark-side code touched this round after their last grading
     "classifier_pr_curve",
     "classifier_eval_auc",
@@ -11920,11 +11962,11 @@ _GRADE_FIRST = [
     "events_sessionize",
     "events_sliding_agg",
     "hybrid_rrf_search",
-    "hard_negative_mining",
 ]
 # r4-vintage rows deferred to the r9 rotation (cores untouched this
 # round; the freshness lint allows them one more round of slack).
 _GRADE_LAST = [
+    "hard_negative_mining",
     "ann_ivf_kmeans_exhaustive",
     "ann_lsh_cosine",
     "ann_lsh_multiprobe",
