@@ -207,6 +207,7 @@ HEADLINE = [
     "dedup_index_append",
     "ingest_index_pipeline",
     "dedup_minhash_bands",
+    "knn_prf_search",
 ]
 
 

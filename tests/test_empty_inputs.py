@@ -61,6 +61,7 @@ PICKED = [
     "dedup_index_append",
     "ingest_index_pipeline",
     "dedup_minhash_bands",
+    "knn_prf_search",  # empty feedback round → empty centroid join
 ]
 
 TABLES = [

@@ -771,3 +771,32 @@ def test_pack_sequences_oversized_doc_and_partial_tail(spark):
     assert 1 not in out
     assert out[2] == (1, 10)
     assert len(out) == 2  # total=32 -> last bin is 3, but no doc starts there
+
+
+def test_knn_prf_moves_query_toward_feedback_cluster(spark):
+    # r8: Rocchio semantics — a query equidistant-ish between two tight
+    # clusters must, after feedback on its top-k (the majority cluster),
+    # rank that cluster's members strictly ahead of the other's
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_prf_search,
+    )
+
+    a = [1.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0]
+    rows = (
+        [(i, [0.99, 0.01 * (i + 1), 0.0]) for i in range(8)]  # cluster A
+        + [(10 + i, [0.01 * (i + 1), 0.99, 0.0]) for i in range(3)]  # B
+    )
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # query leans slightly toward A → top-8 feedback is mostly A → q'
+    # should pull further into A
+    q = spark.createDataFrame(
+        [(0, [0.72, 0.69, 0.0])], "query_id long, query_vec array<double>"
+    )
+    hits = knn_prf_search(corpus, q, k=11, fb_k=8).collect()
+    ranks = {r["vec_id"]: r["rank"] for r in hits}
+    worst_a = max(ranks[i] for i in range(8))
+    best_b = min(ranks[10 + i] for i in range(3))
+    assert worst_a < best_b

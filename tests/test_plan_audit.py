@@ -58,6 +58,7 @@ BOUNDED_BNLJ = {
     "heaps_vocab_growth",  # 6-row threshold-ladder broadcast
     "hybrid_rrf_search",
     "hybrid_search",
+    "knn_prf_search",  # 5-row q' broadcast in the re-rank crossjoin
     "ngram_collocations",  # 1-row corpus token count broadcast
     "prompt_assembly",
     "quality_length_filter",

@@ -181,3 +181,90 @@ def knn_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "distance")
     )
+
+
+def knn_prf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Pseudo-relevance feedback for VECTOR search — Rocchio with the
+    classic α=β=1 shape: take each query's top ``fb_k`` neighbors, move
+    the query toward their centroid (q' = q + mean(feedback vectors)),
+    and re-rank the corpus against q'. The dense twin of
+    ``bm25_prf_search`` (operators/bm25.py:378) — between them both
+    retrieval arms have a feedback round.
+
+    Determinism discipline: the centroid sum folds the feedback vectors
+    in ROUND-1 RANK ORDER starting from an explicit 0.0 array (the
+    oracle restates the identical left-associated chain
+    ``0.0 + v1 + … + v8`` per dimension), so q' is bit-reproducible; the
+    re-ranking distance then rounds at 4 decimals like every other
+    search oracle.
+
+    Scale shape: round 1 is knn_search (partial top-k, corpus never
+    shuffles); the feedback join touches fb_k·|Q| rows; the centroid agg
+    is |Q| rows; round 2 is the broadcast-queries crossjoin scoring —
+    i.e. two corpus scans total, shuffle bounded by |Q|·k.
+    """
+    r1 = knn_search(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=fb_k,
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    fb = r1.join(corp, "vec_id").select("query_id", "rank", "_v")
+
+    def _rank_ordered(col):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", col))),
+            lambda s: s[col],
+        )
+
+    cent = fb.groupBy("query_id").agg(
+        F.aggregate(
+            _rank_ordered("_v"),
+            # explicit 0.0 init so the fold is the oracle's
+            # '0.0 + v1 + …' chain (and never starts at -0.0)
+            F.transform(
+                F.element_at(_rank_ordered("_v"), 1), lambda _: F.lit(0.0)
+            ),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("_s")
+    )
+    q2 = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.transform(
+                F.col(query_vec_col), lambda x: x.cast("double")
+            ).alias("_q"),
+        )
+        .join(cent, "query_id")
+        .select(
+            "query_id",
+            F.zip_with(
+                "_q", "_s", lambda a, b: a + b / F.lit(float(fb_k))
+            ).alias("query_vec"),
+        )
+    )
+    return knn_search_crossjoin(
+        corpus,
+        q2,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="query_id",
+        query_vec_col="query_vec",
+        k=k,
+    )
