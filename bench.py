@@ -208,6 +208,7 @@ HEADLINE = [
     "ingest_index_pipeline",
     "dedup_minhash_bands",
     "knn_prf_search",
+    "late_interaction_search",
 ]
 
 

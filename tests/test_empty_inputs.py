@@ -62,6 +62,7 @@ PICKED = [
     "ingest_index_pipeline",
     "dedup_minhash_bands",
     "knn_prf_search",  # empty feedback round → empty centroid join
+    "late_interaction_search",  # empty token vocab / empty query side
 ]
 
 TABLES = [

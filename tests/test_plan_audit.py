@@ -59,6 +59,7 @@ BOUNDED_BNLJ = {
     "hybrid_rrf_search",
     "hybrid_search",
     "knn_prf_search",  # 5-row q' broadcast in the re-rank crossjoin
+    "late_interaction_search",  # ~20-row query-token-embedding broadcast
     "ngram_collocations",  # 1-row corpus token count broadcast
     "prompt_assembly",
     "quality_length_filter",

@@ -283,6 +283,79 @@ def q_knn_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_interaction_search",
+    f"""
+WITH queries AS (SELECT * FROM (VALUES {{sq}}) v(query_id, query)),
+qsrc AS (SELECT query_id, {{qtoks}} AS toks FROM queries),
+qt AS (
+  SELECT query_id, i - 1 AS q_pos, toks[i] AS tok
+  FROM (SELECT query_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM qsrc)
+),
+d AS (SELECT doc_id, {{dtoks}} AS toks FROM documents WHERE doc_id < 200),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+tvsrc AS (
+  SELECT DISTINCT tok AS eid, [tok] AS toks FROM
+  (SELECT tok FROM qt UNION SELECT tok FROM dt)
+),
+{{embed}},
+sims AS (
+  SELECT q.query_id, q.q_pos, x.doc_id, x.tok,
+         sum(qe.v * de.v) AS sim
+  FROM qt q
+  JOIN t_emb qe ON qe.eid = q.tok
+  JOIN dt x ON true
+  JOIN t_emb de ON de.eid = x.tok AND de.d = qe.d
+  GROUP BY q.query_id, q.q_pos, x.doc_id, x.tok
+),
+maxsim AS (
+  SELECT query_id, q_pos, doc_id, max(sim) AS m
+  FROM sims GROUP BY query_id, q_pos, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, sum(m) AS score
+  FROM maxsim GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank,
+       round(score, 4) + 0.0 AS score
+FROM ranked WHERE rnk <= 10
+""".format(
+        sq=_SQ_VALUES,
+        qtoks=_toks("query"),
+        dtoks=_toks("text"),
+        embed=_EMBED_SQL.format(name="t", src="tvsrc", dmax=_EMBED_DIM - 1),
+    ),
+)
+def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (Σ-maxsim) retrieval over token-level hash
+    embeddings (operators/late_interaction.py): each query token finds
+    its best document token, the maxima sum, docs rank by the sum — the
+    token-alignment retrieval family single-vector kNN can't express.
+    The oracle restates the full dense interaction; the operator is the
+    two-stage deployment's re-rank stage (prune by BM25/ANN first at
+    100 TB). Token embeds are hashed once per DISTINCT corpus token
+    (Heaps-bounded vocab join, no hint) and the query side broadcasts."""
+    from .operators.late_interaction import late_interaction_search
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hits = late_interaction_search(
+        docs, _search_queries_df(spark), k=10, dim=_EMBED_DIM
+    )
+    return hits.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+@register(
     "ann_quantized_search",
     """
 WITH a AS (
@@ -11989,6 +12062,7 @@ _GRADE_FIRST = [
     "ingest_index_pipeline",
     "dedup_minhash_bands",
     "knn_prf_search",
+    "late_interaction_search",
     # promoted: Spark-side code touched this round after their last grading
     "classifier_pr_curve",
     "classifier_eval_auc",
@@ -12038,12 +12112,12 @@ _GRADE_FIRST = [
     "dedup_semantic",
     "bpe_learn_merges",
     "graph_pagerank",
-    "events_sessionize",
     "hybrid_rrf_search",
 ]
 # r4-vintage rows deferred to the r9 rotation (cores untouched this
 # round; the freshness lint allows them one more round of slack).
 _GRADE_LAST = [
+    "events_sessionize",
     "events_sliding_agg",
     "hard_negative_mining",
     "ann_ivf_kmeans_exhaustive",
