@@ -46,7 +46,7 @@ def test_streaming_ingest_appends_collection(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     indexed = spark.read.parquet(sink)
     expect = chunk_tokens(
@@ -180,7 +180,7 @@ def test_streaming_ivf_assignment_append(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     streamed = {
         (r["vec_id"], r["centroid_id"])

@@ -106,9 +106,10 @@ def test_knn_partial_equals_crossjoin(spark):
 
 def test_knn_auto_switches_past_query_cap(spark):
     # r8 (verdict task 4): past max_collect_queries rows knn_search must
-    # route to the crossjoin twin instead of collecting the query set to
-    # the driver — same results on either side of the boundary, and the
-    # pre_filter must survive the switch
+    # auto-CHUNK the query set (hash-split + union; NOT the crossjoin
+    # twin, whose broadcast would re-create the same driver OOM) — same
+    # results on either side of the boundary, and the pre_filter must
+    # survive the chunking
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -800,3 +801,45 @@ def test_knn_prf_moves_query_toward_feedback_cluster(spark):
     worst_a = max(ranks[i] for i in range(8))
     best_b = min(ranks[10 + i] for i in range(3))
     assert worst_a < best_b
+
+
+def test_knn_chunking_terminates_on_duplicate_ids(spark):
+    # pathological: 300 rows sharing ONE query_id can never be split by
+    # the id hash — the recursion must bottom out (depth cap) and
+    # collect the chunk whole instead of re-chunking forever
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(7).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dup = one
+    for _ in range(4):
+        dup = dup.unionByName(dup)  # 16 copies
+    hits = knn_search(emb, dup, k=3, max_collect_queries=5).collect()
+    assert {(r["query_id"], r["rank"]) for r in hits} == {
+        (7, 1), (7, 2), (7, 3)
+    }
+
+
+def test_knn_prf_small_corpus_uses_true_mean(spark):
+    # corpus smaller than fb_k: the centroid must divide by the ACTUAL
+    # feedback count (a fixed /fb_k would shrink the pull and diverge
+    # from the oracle's NULL-free coalesce chain)
+    from vectorsearch_applications_spark.operators.knn import (
+        knn_prf_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    hits = knn_prf_search(corpus, q, k=3, fb_k=8).collect()
+    assert len(hits) == 3
+    # q' = q + mean(all 3) = (1,0) + (1.6/3, 1.8/3); nearest by dot is
+    # vec 1 (dot 1.533…) then 3 (dot 1.4) then 2 (dot 0.6)
+    order = [r["vec_id"] for r in sorted(hits, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]

@@ -39,7 +39,7 @@ def test_stream_burst_equals_batch_range_frame(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         (r["user_id"], r["es"]): r["burst_count"]

@@ -23,7 +23,7 @@ def _run(spark, src, root, ckpt):
         .parquet(src)
     )
     q = stream_merge_collection(spark, stream, root, "c", ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
 
 def test_stream_cdc_merge_tracks_change_files_across_restarts(spark, tmp_path):
@@ -116,7 +116,7 @@ def test_stream_merge_equals_batch_merge_frame_on_graded_fixture(
         .option("recursiveFileLookup", "true")
         .parquet(str(tmp_path / "chg1"))
     )
-    stream_merge_collection(
+    assert stream_merge_collection(
         spark, stream, root1, "o", str(tmp_path / "ck1"), key_col="o_orderkey"
     ).awaitTermination(180)
     assert _rows(spark.read.parquet(f"{root1}/o")) == want
@@ -133,7 +133,7 @@ def test_stream_merge_equals_batch_merge_frame_on_graded_fixture(
         .option("recursiveFileLookup", "true")
         .parquet(str(tmp_path / "chg2"))
     )
-    stream_merge_collection(
+    assert stream_merge_collection(
         spark, stream2, root2, "o", str(tmp_path / "ck2"),
         key_col="o_orderkey",
     ).awaitTermination(180)
@@ -145,7 +145,7 @@ def test_stream_merge_equals_batch_merge_frame_on_graded_fixture(
         .option("recursiveFileLookup", "true")
         .parquet(str(tmp_path / "chg2"))
     )
-    stream_merge_collection(
+    assert stream_merge_collection(
         spark, stream3, root2, "o", str(tmp_path / "ck2"),
         key_col="o_orderkey",
     ).awaitTermination(180)

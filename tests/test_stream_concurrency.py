@@ -45,7 +45,7 @@ def test_stream_concurrency_equals_batch_sweep_line(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = spark.read.parquet(sink)
     # stream-side peak: max emitted concurrency, first es it appears

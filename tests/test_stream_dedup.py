@@ -76,7 +76,7 @@ def test_stream_screen_equals_batch_new_vs_standing(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     got_rows = spark.sql("SELECT * FROM dedup_screen_stream").collect()
     got = {
         (min(r["new_doc_id"], r["standing_doc_id"]),

@@ -34,7 +34,7 @@ def test_stream_dwell_equals_batch_lag(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         (r["user_id"], r["event_id"]): r["gap_seconds"]

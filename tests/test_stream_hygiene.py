@@ -48,7 +48,7 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     got = sorted(
         tuple(r) for r in spark.sql("SELECT * FROM decon_stream").collect()
     )

@@ -32,7 +32,7 @@ def _run(spark, src, tmp_path, ck_name):
         "dim",
         str(tmp_path / ck_name),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
 
 def test_stream_scd2_equals_batch_rebuild_and_fences_replays(spark, tmp_path):

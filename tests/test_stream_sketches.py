@@ -50,7 +50,7 @@ def test_stream_cms_equals_batch_build_and_fences_replays(spark, tmp_path):
             d=3,
             w=64,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
 
     run("ck1")
     got = {
@@ -101,7 +101,7 @@ def test_stream_fm_equals_batch_sketch(spark, tmp_path):
         value_col="v",
         n_buckets=8,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     streamed = (
         spark.read.parquet(str(tmp_path / "fm"))
@@ -139,7 +139,7 @@ def test_stream_histogram_equals_batch_bins(spark, tmp_path):
         value_col="v",
         bin_width=100,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         r["bin"]: r["c"]
@@ -183,7 +183,7 @@ def test_stream_hll_equals_batch_registers(spark, tmp_path):
         value_col="v",
         b=4,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         (r["grp"], r["register_id"]): r["rho_max"]
@@ -216,7 +216,7 @@ def test_stream_bloom_equals_batch_build(spark, tmp_path):
         str(tmp_path / "ck_bloom"),
         key_col="k",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         r["word_id"]: r["bits"]

@@ -41,7 +41,7 @@ def test_streaming_query_search(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = spark.read.parquet(out)
     # every streamed query produced a ranked hit list identical to the

@@ -228,17 +228,22 @@ def minhash_bands_projection(
         )
 
     # let-bind shingles → minhashes → keys (interpreted HOFs have no CSE;
-    # a raw subtree would recompute the shingle array per seed)
-    sh = shingles(text_col, shingle_n)
+    # a raw subtree would recompute the shingle array per seed). The
+    # zero-shingle guard lives INSIDE the let-binding as an empty key
+    # array — a separate filter(size(shingles(...)) > 0) would evaluate
+    # the whole tokenize+shingle pipeline a second time per row, doubling
+    # the dominant cost on exactly the streaming hot path; posexplode of
+    # [] emits zero rows, which is the same drop the batch shape's
+    # pre-explode filter performs.
     keys = F.transform(
-        F.array(F.transform(F.array(sh), _mins)[0]), _keys
+        F.array(shingles(text_col, shingle_n)),
+        lambda arr: F.when(
+            F.size(arr) == 0, F.array().cast("array<string>")
+        ).otherwise(F.transform(F.array(_mins(arr)), _keys)[0]),
     )[0]
-    return (
-        docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(keys).alias("band", "band_key"),
-        )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(keys).alias("band", "band_key"),
     )
 
 

@@ -90,17 +90,24 @@ def knn_search(
     k: int = 10,
     pre_filter: Column | None = None,
     max_collect_queries: int = 100_000,
+    _chunk_depth: int = 0,
 ) -> DataFrame:
     """Partial-top-k exact kNN (the 100 TB plan). See module docstring.
 
     The query side is collected to the driver for the in-UDF matmul, so
     an oversized query set would OOM the driver; past
-    ``max_collect_queries`` rows the call auto-routes to the Catalyst
-    crossjoin twin (equality-tested across the boundary in
-    test_operators.py) instead of relying on the caller having read the
-    SCALE.md trade-off note. The guard is free: the collect the fast
-    path needs anyway becomes a take(n+1) — same single job, and the
-    driver never holds more than n+1 rows even against an oversized set.
+    ``max_collect_queries`` rows the call auto-CHUNKS the query set by a
+    deterministic id hash and unions the per-chunk results (queries are
+    independent, so the union is exact — equality-tested across the
+    boundary in test_operators.py). Chunking, not the crossjoin twin, on
+    purpose: the crossjoin broadcasts the query side, so routing an
+    oversized set there would just move the same OOM from the Python
+    closure to the driver-built broadcast relation (8 GB hard cap) and
+    shuffle |corpus|·|Q| scored rows through its window. Each chunk's
+    closure is bounded; the corpus is scanned once per chunk — at
+    |Q| ≫ 1e7 stop brute-forcing and co-partition with the IVF path
+    instead (operators/ann.py). The guard is free on the fast path: the
+    collect it needs anyway becomes a take(n+1).
     """
     # Queries are collected once to the driver and broadcast inside the UDF
     # closure — this is the "broadcast small dim" side, typically ≤ a few
@@ -108,17 +115,40 @@ def knn_search(
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     ).take(max_collect_queries + 1)
-    if len(q_rows) > max_collect_queries:
-        return knn_search_crossjoin(
-            corpus,
-            queries,
-            id_col,
-            vec_col,
-            query_id_col,
-            query_vec_col,
-            k,
-            pre_filter,
+    if len(q_rows) > max_collect_queries and _chunk_depth < 2:
+        # _chunk_depth bounds the re-chunk recursion: the id hash splits
+        # distinct ids near-uniformly, so a chunk that STILL overflows
+        # after two levels means pathological duplicate query ids (which
+        # the rank window merges anyway) — that chunk then collects
+        # whole rather than recursing forever.
+        n = queries.count()
+        n_chunks = max(2, -(-n // max_collect_queries))  # ceil, ≥2
+        chunk = F.pmod(
+            F.xxhash64(F.col(query_id_col)), F.lit(int(n_chunks))
         )
+        out = None
+        for i in range(int(n_chunks)):
+            part = knn_search(
+                corpus,
+                queries.filter(chunk == i),
+                id_col,
+                vec_col,
+                query_id_col,
+                query_vec_col,
+                k,
+                pre_filter,
+                max_collect_queries,
+                _chunk_depth + 1,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    if len(q_rows) > max_collect_queries:
+        # pathological duplicate-id chunk: collect it whole (bounded by
+        # the duplicate mass, not the query-set size)
+        q_rows = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ).collect()
     if pre_filter is not None:
         corpus = corpus.filter(pre_filter)
     import numpy as np
@@ -204,8 +234,11 @@ def knn_prf_search(
     in ROUND-1 RANK ORDER starting from an explicit 0.0 array (the
     oracle restates the identical left-associated chain
     ``0.0 + v1 + … + v8`` per dimension), so q' is bit-reproducible; the
-    re-ranking distance then rounds at 4 decimals like every other
-    search oracle.
+    re-ranking ORDERS on the 4-decimal-rounded distance with the id
+    tie-break (feedback can make several docs' distances equal up to
+    summation-order ulps — raw-double ordering would flap). The mean
+    divides by the ACTUAL feedback count, so corpora smaller than
+    ``fb_k`` still get a true Rocchio mean.
 
     Scale shape: round 1 is knn_search (partial top-k, corpus never
     shuffles); the feedback join touches fb_k·|Q| rows; the centroid agg
@@ -242,7 +275,11 @@ def knn_prf_search(
                 F.element_at(_rank_ordered("_v"), 1), lambda _: F.lit(0.0)
             ),
             lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("_s")
+        ).alias("_s"),
+        # divide by the ACTUAL feedback count, not fb_k — a corpus
+        # smaller than fb_k must still yield a true mean (and the oracle
+        # coalesces missing pivot slots to 0.0 + divides by this count)
+        F.count(F.lit(1)).cast("double").alias("_nfb"),
     )
     q2 = (
         queries.select(
@@ -255,16 +292,35 @@ def knn_prf_search(
         .select(
             "query_id",
             F.zip_with(
-                "_q", "_s", lambda a, b: a + b / F.lit(float(fb_k))
-            ).alias("query_vec"),
+                "_q", "_s", lambda a, b: a + b / F.col("_nfb")
+            ).alias("_q2"),
         )
     )
-    return knn_search_crossjoin(
-        corpus,
-        q2,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col="query_id",
-        query_vec_col="query_vec",
-        k=k,
+    # round-2 scoring inline (NOT knn_search_crossjoin): feedback can
+    # make several docs' q'-distances equal up to summation-order ulps,
+    # so ranking must use the 4-decimal-rounded distance with the id
+    # tie-break — the same float-tie discipline as late_interaction
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .crossJoin(F.broadcast(q2))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.lit(1.0) - dot_double(F.col("_v"), F.col("_q2"))).alias(
+                "distance"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round("distance", 4)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "distance")
     )

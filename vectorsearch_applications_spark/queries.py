@@ -204,7 +204,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRF_CHAIN = " ".join(f"+ v{j}" for j in range(1, 9))
+_PRF_CHAIN = " ".join(f"+ coalesce(v{j}, 0.0)" for j in range(1, 9))
 _PRF_PIVOT = ",\n         ".join(
     f"max(CASE WHEN f.rnk = {j} THEN e.embedding[d.d]::DOUBLE END) AS v{j}"
     for j in range(1, 9)
@@ -232,13 +232,14 @@ fb AS (
 dims AS (SELECT unnest(generate_series(1, 64)) AS d),
 fbv AS (
   SELECT f.query_id, d.d,
+         count(DISTINCT f.vec_id)::DOUBLE AS nfb,
          {_PRF_PIVOT}
   FROM fb f JOIN embeddings e ON e.vec_id = f.vec_id CROSS JOIN dims d
   GROUP BY f.query_id, d.d
 ),
 q2 AS (
   SELECT f.query_id, f.d,
-         q.qv[f.d] + ((0.0 {_PRF_CHAIN}) / 8.0) AS v
+         q.qv[f.d] + ((0.0 {_PRF_CHAIN}) / f.nfb) AS v
   FROM fbv f JOIN q ON q.query_id = f.query_id
 ),
 r2 AS (
@@ -250,7 +251,7 @@ r2 AS (
 ranked AS (
   SELECT query_id, vec_id, distance,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY distance ASC, vec_id ASC) AS rnk
+                            ORDER BY round(distance, 4) ASC, vec_id ASC) AS rnk
   FROM r2
 )
 SELECT query_id, vec_id, rnk::BIGINT AS rank, round(distance, 4) + 0.0 AS distance
@@ -12048,12 +12049,14 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r8 window = 2 new + 8 core-touched promotions (pr-curve/auc label
-# coalesce, bpe broadcast_map + checkpoint, knn auto-switch, fuzzy-decon
+# r8 window = 5 new + 8 core-touched promotions (pr-curve/auc label
+# coalesce, bpe broadcast_map + checkpoint, knn auto-chunk, fuzzy-decon
 # broadcast drop, minhash_bands refactor) + ALL 29 r3-vintage deferrals
 # (after this window every registered query has a green row ≤ r8 — the
-# last freshness gap the r7 verdict named) + 11 of the 47 r4-vintage
-# rows, touched-core families first. The rotation floor is now CI:
+# last freshness gap the r7 verdict named) + 8 of the 47 r4-vintage
+# rows, touched-core families first (the other 39 r4 rows sit in
+# _GRADE_LAST and MUST all be in r9's window — the freshness lint goes
+# red otherwise). The rotation floor is CI:
 # tests/test_grading_freshness.py fails if any registered query's latest
 # green row falls >4 rounds behind and isn't in the upcoming window.
 _GRADE_FIRST = [
