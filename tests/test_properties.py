@@ -911,3 +911,60 @@ def test_group_mode_matches_counter(spark, rows):
         top_n = max(c.values())
         expect_v = min(v for v, n in c.items() if n == top_n)
         assert got[g] == (expect_v, top_n)
+
+
+@SETTINGS
+@given(texts)
+def test_minhash_band_projection_equals_batch_build(spark, corpus):
+    # r8: the zero-shuffle per-row projection and the explode+distinct+
+    # agg batch build must emit the identical band table on ANY corpus,
+    # including docs below the shingle bar and duplicate texts
+    from vectorsearch_applications_spark.operators.dedup import (
+        minhash_bands,
+        minhash_bands_projection,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    batch = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(df, num_hashes=8, band_size=2).collect()
+    }
+    proj = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands_projection(
+            df, num_hashes=8, band_size=2
+        ).collect()
+    }
+    assert proj == batch
+
+
+@SETTINGS
+@given(texts, st.integers(0, 6), st.integers(2, 5))
+def test_bpe_encode_lossless_and_checkpoint_invariant(spark, corpus, n_merges, ck):
+    # lossless-encode + checkpoint-interval invariance on random corpora:
+    # merges regroup symbols, never rewrite them, at ANY fold truncation
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.bpe import (
+        encode_vocab,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(spark, df, n_merges=n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    vocab = df.select(
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("word")
+    ).filter(F.col("word") != "").distinct()
+    enc = sorted(encode_vocab(vocab, merges, checkpoint_every=ck).collect())
+    ref = sorted(encode_vocab(vocab, merges, checkpoint_every=0).collect())
+    assert enc == ref
+    assert all(r["syms"].replace(" ", "") == r["word"] for r in enc)
