@@ -313,3 +313,65 @@ def test_minhash_index_append_matches_rebuild(spark, tmp_path):
         for r in minhash_bands(docs).collect()
     }
     assert on_disk == fresh
+
+
+def test_simhash_index_append_matches_rebuild(spark, tmp_path):
+    """r8: the SimHash hamming-ball index keeps the same append==rebuild
+    contract as MinHash/BM25/IVF — standing corpus fingerprinted once,
+    batches screen against the persisted band table, and
+    known ∪ screened(b1) ∪ screened(b2) == full rebuild."""
+    from vectorsearch_applications_spark.operators.dedup import (
+        simhash_index_append,
+        simhash_load_index,
+        simhash_neardup_pairs,
+        simhash_save_index,
+        simhash_bands,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    standing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch1 = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)
+    )
+    batch2 = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 != 0)
+    )
+    root = str(tmp_path)
+    mh = 6  # widen the ball so the fixture actually yields pairs
+
+    simhash_save_index(standing, root, "docs", max_hamming=mh)
+    known = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(standing, max_hamming=mh).collect()
+    }
+    new1 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_index_append(
+            spark, root, "docs", batch1, max_hamming=mh
+        ).collect()
+    }
+    new2 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_index_append(
+            spark, root, "docs", batch2, max_hamming=mh
+        ).collect()
+    }
+    rebuilt = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_hamming=mh).collect()
+    }
+    assert known | new1 | new2 == rebuilt
+    assert not (new1 & known) and not (new2 & known) and not (new1 & new2)
+    assert rebuilt  # non-vacuous: the widened ball must find pairs
+    on_disk = {
+        (r["doc_id"], r["simhash"], r["band"], r["bval"])
+        for r in simhash_load_index(spark, root, "docs").collect()
+    }
+    fresh = {
+        (r["doc_id"], r["simhash"], r["band"], r["bval"])
+        for r in simhash_bands(docs, max_hamming=mh).collect()
+    }
+    assert on_disk == fresh

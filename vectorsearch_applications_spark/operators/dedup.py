@@ -443,6 +443,49 @@ def simhash_fingerprints(
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash pigeonhole band table (doc_id, simhash, band, bval) — the
+    standing index rows behind hamming-ball search. The fingerprint
+    splits into (max_hamming + 1) bands; any pair within the ball must
+    share at least one intact band. Fingerprints depend only on each
+    doc's own term frequencies, so the table is incremental exactly like
+    the MinHash band table (simhash_index_append)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    band_vals = [
+        (
+            F.floor(
+                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
+            ).cast("bigint")
+            % (2**band_bits)
+        )
+        for b in range(n_bands)
+    ]
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+    )
+
+
+def _simhash_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -458,23 +501,7 @@ def simhash_neardup_pairs(
     the exact hamming check only runs on candidates. Exact result, no
     quadratic scan.
     """
-    n_bands = max_hamming + 1
-    band_bits = bits // n_bands
-    fp = simhash_fingerprints(docs, id_col, text_col, bits)
-    band_vals = [
-        (
-            F.floor(
-                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
-            ).cast("bigint")
-            % (2**band_bits)
-        )
-        for b in range(n_bands)
-    ]
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
-    )
+    bands = simhash_bands(docs, id_col, text_col, bits, max_hamming)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -492,14 +519,109 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return _simhash_verify(cand, max_hamming)
+
+
+def simhash_screen_batch(
+    standing_bands: DataFrame,
+    new_bands: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-ball pairs INTRODUCED by an appended batch — the SimHash
+    twin of minhash_screen_batch: new-vs-standing plus new-vs-new in one
+    band join whose probe side is the batch; the standing corpus
+    contributes only its saved (doc_id, simhash, band, bval) rows, never
+    a re-fingerprint. Same disjoint-id and append==rebuild contract."""
+    cols = ["doc_id", "simhash", "band", "bval"]
+    all_bands = standing_bands.select(cols).unionByName(
+        new_bands.select(cols)
     )
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            # simhash travels with doc_id, so least/greatest on the pair
+            # keys picks the matching fingerprints deterministically
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.simhash")
+            )
+            .otherwise(F.col("b.simhash"))
+            .alias("sh_a"),
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.simhash")
+            )
+            .otherwise(F.col("a.simhash"))
+            .alias("sh_b"),
+        )
+        .distinct()
+    )
+    return _simhash_verify(cand, max_hamming)
+
+
+def simhash_save_index(
+    docs: DataFrame,
+    root: str,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> str:
+    """Persist the SimHash band table (<root>/<name>__simhash/bands,
+    directory-partitioned by band) — build once, screen many; mirrors
+    minhash_save_index."""
+    import os
+
+    base = os.path.join(root, f"{name}__simhash")
+    simhash_bands(docs, id_col, text_col, bits, max_hamming).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(os.path.join(base, "bands"))
+    return base
+
+
+def simhash_load_index(spark, root: str, name: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(root, f"{name}__simhash", "bands"))
+
+
+def simhash_index_append(
+    spark,
+    root: str,
+    name: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Screen an appended batch against the PERSISTED SimHash index,
+    return the newly-introduced hamming-ball pairs, and append the
+    batch's band rows so the next batch screens against old ∪ new —
+    the same contract as minhash_index_append / bm25_index_append /
+    ivf_append. Pairs materialize eagerly BEFORE the parquet append
+    (a lazy plan would re-read the bands directory and double-count
+    the batch against itself)."""
+    import os
+
+    path = os.path.join(root, f"{name}__simhash", "bands")
+    standing = spark.read.parquet(path)
+    new_bands = simhash_bands(
+        new_docs, id_col, text_col, bits, max_hamming
+    ).localCheckpoint(eager=True)
+    pairs = simhash_screen_batch(
+        standing, new_bands, max_hamming
+    ).localCheckpoint(eager=True)
+    new_bands.write.mode("append").partitionBy("band").parquet(path)
+    return pairs
 
 
 def ngram_jaccard_pairs(
