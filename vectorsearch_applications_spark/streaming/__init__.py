@@ -1,5 +1,7 @@
 from .concurrency import stream_running_concurrency
+from .dedup import stream_minhash_screen
 from .fenced import fenced_fold_stream
+from .hygiene import stream_decontaminate_audit
 from .scd2 import stream_scd2_collection
 from .sketches import (
     stream_cms_collection,
@@ -22,4 +24,6 @@ __all__ = [
     "stream_cms_collection",
     "stream_fm_collection",
     "stream_histogram_collection",
+    "stream_decontaminate_audit",
+    "stream_minhash_screen",
 ]
