@@ -12049,77 +12049,24 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r8 window = 5 new + 8 core-touched promotions (pr-curve/auc label
-# coalesce, bpe broadcast_map + checkpoint, knn auto-chunk, fuzzy-decon
-# broadcast drop, minhash_bands refactor) + ALL 29 r3-vintage deferrals
-# (after this window every registered query has a green row ≤ r8 — the
-# last freshness gap the r7 verdict named) + 8 of the 47 r4-vintage
-# rows, touched-core families first (the other 39 r4 rows sit in
-# _GRADE_LAST and MUST all be in r9's window — the freshness lint goes
-# red otherwise). The rotation floor is CI:
-# tests/test_grading_freshness.py fails if any registered query's latest
-# green row falls >4 rounds behind and isn't in the upcoming window.
+# r9 window = 3 new (two-stage late interaction, SimHash append,
+# routed §3.3 pipeline — registered during r9; inactive names are
+# filtered by _grade_order until then) + ALL 39 r4-vintage rows from
+# r8's _GRADE_LAST (the freshness lint went red at HEAD when
+# CORRECTNESS_r08.json landed; this rotation is the r9 verdict's
+# mandatory first action) + 8 of the 48 r5-vintage rows, heavies and
+# the two bench drifters first (the other 40 r5 rows sit in
+# _GRADE_LAST and MUST all be in r10's window). The rotation floor is
+# CI: tests/test_grading_freshness.py fails if any registered query's
+# latest green row falls >4 rounds behind and isn't in the upcoming
+# window.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
-    "dedup_index_append",
-    "ingest_index_pipeline",
-    "dedup_minhash_bands",
-    "knn_prf_search",
-    "late_interaction_search",
-    # promoted: Spark-side code touched this round after their last grading
-    "classifier_pr_curve",
-    "classifier_eval_auc",
-    "bpe_encode_corpus",
-    "tokenizer_fertility_by_source",
-    "knn_search",
-    "semantic_text_search",
-    "eval_decontamination_fuzzy",
-    "dedup_minhash_lsh",
-    # the 29 r3-vintage deferrals (oldest driver rows; all verified
-    # preflight-green at r7 HEAD and re-verified this round)
-    "qa_triplets",
-    "router_fit",
-    "text2sql_generated",
-    "llm_field_extraction",
-    "token_budget_prune",
-    "llm_cost_accounting",
-    "multimodal_frame_plan",
-    "stratified_sample_mix",
-    "cube_order_stats",
-    "customer_balance_quartiles",
-    "supplier_lineitem_volume",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_nation_trade",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_balance_opportunity",
-    # r4-vintage back-fill: dedup family (minhash core refactored this
-    # round), bpe learn, then the oldest heavy iteratives/streams
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "dedup_rate_by_source",
-    "dedup_incremental_batch",
-    "dedup_semantic",
-    "bpe_learn_merges",
-    "graph_pagerank",
-    "hybrid_rrf_search",
-]
-# r4-vintage rows deferred to the r9 rotation (cores untouched this
-# round; the freshness lint allows them one more round of slack).
-_GRADE_LAST = [
+    "late_interaction_two_stage",
+    "dedup_simhash_append",
+    "routed_query_pipeline",
+    # the 39 r4-vintage deferrals (all verified preflight-green at r8
+    # HEAD by builder and judge; re-verified this round)
     "events_sessionize",
     "events_sliding_agg",
     "hard_negative_mining",
@@ -12159,6 +12106,60 @@ _GRADE_LAST = [
     "tfidf_top_terms",
     "topic_cluster_terms",
     "vocab_oov_coverage",
+    # r5-vintage back-fill: the two r8 bench drifters under A/B this
+    # round, then the oldest heavies / rows-only fit
+    "ann_ivfpq_refined",
+    "supplier_scorecard",
+    "bm25_prf_search",
+    "quality_classifier_fit",
+    "scd2_user_state",
+    "stream_attribution_batch_twin",
+    "user_feature_store",
+    "events_peak_concurrency",
+]
+# r5-vintage rows deferred to the r10 rotation (cores untouched this
+# round; the freshness lint allows them one more round of slack).
+_GRADE_LAST = [
+    "cluster_aware_split",
+    "curriculum_order",
+    "customer_reorder_intervals",
+    "customer_spend_balance_spearman",
+    "dedup_cross_source_matrix",
+    "dedup_jaccard_prefix_filter",
+    "dedup_survivorship_by_source",
+    "distinct_count_fm_sketch",
+    "docs_readability",
+    "docs_source_profile",
+    "embedding_drift_audit",
+    "events_anomaly_zscore",
+    "events_burst_users",
+    "events_decayed_trending",
+    "events_first_touch_attribution",
+    "events_hourly_seasonality",
+    "events_transition_matrix",
+    "gopher_quality_flags",
+    "graph_2hop_reach",
+    "graph_triangle_count",
+    "graph_triangle_count_oriented",
+    "heavy_hitters_cms",
+    "histogram_quantiles_binned",
+    "join_key_skew_profile",
+    "lineitem_covariance_moments",
+    "orders_cohort_ltv",
+    "orders_constraint_audit",
+    "orders_mode_priority",
+    "orders_unpivot_metrics",
+    "padding_waste_by_bucket",
+    "part_fuzzy_match",
+    "parts_price_size_skyline",
+    "parttype_concentration_hhi",
+    "phrase_match_positional",
+    "quality_composite_rank",
+    "quality_score_quantile_norm",
+    "sample_weighted_orders",
+    "span_corruption_plan",
+    "split_leakage_audit",
+    "token_budget_allocation",
 ]
 
 
