@@ -914,11 +914,24 @@ def test_group_mode_matches_counter(spark, rows):
 
 
 @SETTINGS
-@given(texts)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(WORDS), min_size=0, max_size=40
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
 def test_minhash_band_projection_equals_batch_build(spark, corpus):
     # r8: the zero-shuffle per-row projection and the explode+distinct+
     # agg batch build must emit the identical band table on ANY corpus,
-    # including docs below the shingle bar and duplicate texts
+    # including docs below the shingle bar, duplicate texts, and NULL
+    # text (r9 advice fix: size(NULL) is NULL, so a bare size==0 guard
+    # fell to the otherwise branch and keyed every null-text doc md5(''))
     from vectorsearch_applications_spark.operators.dedup import (
         minhash_bands,
         minhash_bands_projection,

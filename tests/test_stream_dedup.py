@@ -38,6 +38,43 @@ def test_band_projection_equals_batch_build(spark):
     assert proj == batch and batch
 
 
+def test_band_projection_null_text_emits_nothing(spark):
+    # r9 advice fix: NULL text must emit ZERO band rows (the batch
+    # shape's pre-explode filter drops such docs); before the null-safe
+    # guard every null-text doc emitted n_bands rows keyed md5('') and
+    # falsely collided with every other null-text doc
+    docs = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta epsilon"), (3, None)],
+        DOCS_SCHEMA,
+    )
+    proj = minhash_bands_projection(docs).collect()
+    assert {r["doc_id"] for r in proj} == {2}
+    batch = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(docs).collect()
+    }
+    assert {(r["doc_id"], r["band"], r["band_key"]) for r in proj} == batch
+
+
+def test_stream_screen_suppresses_self_pairs(spark):
+    # at-least-once redelivery: a doc already in the standing index must
+    # not emit (x, x) evidence rows when it arrives again — only true
+    # cross-doc collisions survive
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ],
+        DOCS_SCHEMA,
+    )
+    standing = minhash_bands(docs)
+    # redeliver both docs; stream_minhash_screen is a stateless
+    # projection + join, so a batch frame exercises the same plan
+    out = stream_minhash_screen(docs, standing).collect()
+    assert out, "near-identical docs should collide in some band"
+    assert all(r["new_doc_id"] != r["standing_doc_id"] for r in out)
+
+
 def test_stream_screen_equals_batch_new_vs_standing(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").filter(
         F.col("doc_id") < 300

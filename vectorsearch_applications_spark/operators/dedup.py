@@ -238,7 +238,14 @@ def minhash_bands_projection(
     keys = F.transform(
         F.array(shingles(text_col, shingle_n)),
         lambda arr: F.when(
-            F.size(arr) == 0, F.array().cast("array<string>")
+            arr.isNull() | (F.size(arr) == 0),
+            F.array().cast("array<string>"),
+            # NULL text → NULL shingle array → size() is NULL, and a
+            # bare size==0 guard would fall through to otherwise, where
+            # element_at/concat_ws swallow the NULL minhashes and emit
+            # n_bands rows all keyed md5('') — every null-text doc would
+            # falsely collide with every other. The batch shape's
+            # pre-explode filter drops such docs; emit zero rows here.
         ).otherwise(F.transform(F.array(_mins(arr)), _keys)[0]),
     )[0]
     return docs.select(

@@ -123,8 +123,15 @@ def knn_search(
         # whole rather than recursing forever.
         n = queries.count()
         n_chunks = max(2, -(-n // max_collect_queries))  # ceil, ≥2
+        # salt the hash by depth: successive splits must be independent.
+        # An unsalted hash re-used at depth 1 assigns a fixed residue to
+        # every id of the parent chunk, so when the two moduli share a
+        # factor the ids collapse into a subset of sub-chunks and the
+        # depth-2 fallback can collect an oversized chunk whole — the
+        # driver-OOM path this guard exists to avoid.
         chunk = F.pmod(
-            F.xxhash64(F.col(query_id_col)), F.lit(int(n_chunks))
+            F.xxhash64(F.col(query_id_col), F.lit(_chunk_depth)),
+            F.lit(int(n_chunks)),
         )
         out = None
         for i in range(int(n_chunks)):

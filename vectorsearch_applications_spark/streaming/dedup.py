@@ -61,5 +61,10 @@ def stream_minhash_screen(
             F.col("doc_id").alias("new_doc_id"), "band", "band_key"
         )
         .join(s, ["band", "band_key"])
+        # at-least-once redelivery (or re-ingesting an already-indexed
+        # doc) must not pair a doc with itself in every shared band —
+        # the batch screen (minhash_screen_batch) carries the same
+        # predicate via its doc_a < doc_b condition
+        .filter(F.col("new_doc_id") != F.col("standing_doc_id"))
         .select("new_doc_id", "standing_doc_id", "band")
     )
