@@ -209,6 +209,8 @@ HEADLINE = [
     "dedup_minhash_bands",
     "knn_prf_search",
     "late_interaction_search",
+    # round 9 additions
+    "late_interaction_two_stage",
 ]
 
 

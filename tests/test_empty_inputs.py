@@ -63,6 +63,8 @@ PICKED = [
     "dedup_minhash_bands",
     "knn_prf_search",  # empty feedback round → empty centroid join
     "late_interaction_search",  # empty token vocab / empty query side
+    # r9: empty BM25 prune → empty candidate set → empty re-rank
+    "late_interaction_two_stage",
 ]
 
 TABLES = [

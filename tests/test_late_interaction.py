@@ -1,0 +1,83 @@
+"""Two-stage late interaction (r9, verdict task 3): the candidate-bounded
+re-rank must equal the dense Σ-maxsim form on the pruned pairs, and the
+two-stage entry point must compose BM25 prune → re-rank exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.operators.bm25 import bm25_search
+from vectorsearch_applications_spark.operators.late_interaction import (
+    late_interaction_rerank,
+    late_interaction_search,
+    late_interaction_two_stage,
+)
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark join order"),
+            (1, "window agg stream"),
+        ],
+        "query_id long, query string",
+    )
+
+
+def _key(rows):
+    return {(r["query_id"], r["doc_id"]): (r["rank"], round(r["score"], 4)) for r in rows}
+
+
+def test_rerank_equals_dense_on_candidates(spark):
+    # on a candidate set covering the WHOLE corpus slice, the bounded
+    # re-rank and the dense form must emit identical (rank, score) —
+    # the two plans differ physically, not semantically
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    q = _queries(spark)
+    all_cands = docs.select("doc_id").crossJoin(
+        q.select("query_id")
+    ).select("query_id", "doc_id")
+    dense = late_interaction_search(docs, q, k=10)
+    reranked = late_interaction_rerank(docs, q, all_cands, k=10)
+    assert _key(reranked.collect()) == _key(dense.collect())
+
+
+def test_rerank_scores_only_candidates(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    q = _queries(spark)
+    cands = spark.createDataFrame(
+        [(0, 3), (0, 7), (1, 7)], "query_id long, doc_id long"
+    )
+    out = late_interaction_rerank(docs, q, cands, k=10).collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    assert got <= {(0, 3), (0, 7), (1, 7)}
+    # candidate scores must equal the dense form's for the same pairs
+    dense = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 4)
+        for r in late_interaction_search(docs, q, k=1000).collect()
+    }
+    for r in out:
+        assert round(r["score"], 4) == dense[(r["query_id"], r["doc_id"])]
+
+
+def test_two_stage_composes_bm25_prune_then_rerank(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = _queries(spark)
+    n = 25
+    two = late_interaction_two_stage(docs, q, k=5, n_candidates=n)
+    cands = bm25_search(docs, q, limit=n).select("query_id", "doc_id")
+    manual = late_interaction_rerank(docs, q, cands, k=5)
+    assert _key(two.collect()) == _key(manual.collect())
+    # every hit must come from the BM25 candidate set
+    cand_set = {(r["query_id"], r["doc_id"]) for r in cands.collect()}
+    for qid, did in _key(two.collect()):
+        assert (qid, did) in cand_set
+
+
+def test_two_stage_empty_query_side(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
+    q = _queries(spark).filter(F.lit(False))
+    assert late_interaction_two_stage(docs, q, k=5).count() == 0

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.embed import hash_embed_col
 from ..functions.text import tokenize
 from ..functions.vectors import dot_double
+from .bm25 import bm25_search
 
 
 def late_interaction_search(
@@ -91,4 +92,130 @@ def late_interaction_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def late_interaction_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Σ-maxsim re-rank of a bounded ``candidates(query_id, doc_id)``
+    set — the second stage of the standard two-stage deployment.
+
+    Scores ONLY candidate pairs: the token interaction runs over
+    |candidates|·|doc tokens|·|query tokens| instead of the dense form's
+    |corpus|·…, which is what makes late interaction deployable at
+    100 TB (see :func:`late_interaction_two_stage`). On the pruned pairs
+    the scores are IDENTICAL to :func:`late_interaction_search` —
+    equality is pinned in tests/test_late_interaction.py.
+
+    Output: (query_id, doc_id, rank, score); rank on round(score, 4)
+    DESC with doc_id tie-break, same determinism contract as the dense
+    form. A doc appearing as a candidate for several queries tokenizes
+    and hash-embeds ONCE (distinct-doc token table + distinct-token
+    vocabulary), then fans out by the candidate join.
+    """
+    cand = candidates.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    ).distinct()
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(tokenize(F.col(query_text_col))).alias("q_pos", "tok"),
+    ).withColumn("_qe", hash_embed_col(F.col("tok"), dim))
+    # tokenize each DISTINCT candidate doc once; the candidate set is
+    # top-N per query so this semi-join prunes the corpus scan's output
+    # to ≤ |Q|·N docs before the (quadratic) token interaction
+    cd = cand.select(F.col("doc_id").alias("_cand_doc")).distinct()
+    dt = docs.join(cd, F.col(id_col) == F.col("_cand_doc")).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    )
+    vocab = dt.select("tok").distinct().withColumn(
+        "_de", hash_embed_col(F.col("tok"), dim)
+    )
+    dte = dt.join(vocab, "tok").select("doc_id", "_de")
+    # fan candidate docs out to their queries, then bring in that
+    # query's tokens; qt is a few dozen rows per query → broadcast
+    sims = dte.join(cand, "doc_id").join(
+        F.broadcast(qt.select("query_id", "q_pos", "_qe")), "query_id"
+    ).select(
+        "query_id",
+        "q_pos",
+        "doc_id",
+        dot_double(F.col("_de"), F.col("_qe")).alias("_sim"),
+    )
+    maxsim = sims.groupBy("query_id", "q_pos", "doc_id").agg(
+        F.max("_sim").alias("_m")
+    )
+    scored = maxsim.groupBy("query_id", "doc_id").agg(
+        F.sum("_m").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def late_interaction_two_stage(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Two-stage late-interaction retrieval — THE corpus-scale entry
+    point (reference analog: the §3.1 retrieve-then-rerank pipeline,
+    notebooks/5-LLM_integration cell 27; dense-form docstring prescribed
+    this composition in prose since r8, this makes it code).
+
+    Stage 1 prunes the corpus to ``n_candidates`` BM25 hits per query
+    (operators/bm25.py — postings-driven, touches only docs sharing a
+    term with the query); stage 2 re-ranks ONLY those candidates with
+    Σ-maxsim. The dense :func:`late_interaction_search` stays the
+    semantic oracle: on any candidate it keeps, this returns the same
+    score bit-for-bit. The quadratic token interaction is bounded by
+    |Q|·n_candidates regardless of corpus size — running the dense form
+    corpus-wide at 100 TB relied on the caller having read a docstring;
+    this is the safe shape as the default entry.
+
+    ``cache_key`` flows to the BM25 stats build (index-once contract).
+    """
+    cands = bm25_search(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_col=query_text_col,
+        limit=n_candidates,
+        cache_key=cache_key,
+    ).select(
+        F.col("query_id").alias(query_id_col), F.col("doc_id").alias(id_col)
+    )
+    return late_interaction_rerank(
+        docs,
+        queries,
+        cands,
+        k=k,
+        dim=dim,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
     )

@@ -356,6 +356,96 @@ def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_CANDIDATES = 50
+
+
+@register(
+    "late_interaction_two_stage",
+    f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING},
+cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rnk <= {_LI_CANDIDATES}),
+qsrc AS (SELECT query_id, {{qtoks}} AS toks FROM queries),
+qt AS (
+  SELECT query_id, i - 1 AS q_pos, toks[i] AS tok
+  FROM (SELECT query_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM qsrc)
+),
+dsrc AS (
+  SELECT doc_id, {{dtoks}} AS toks FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM dsrc),
+tvsrc AS (
+  SELECT DISTINCT tok AS eid, [tok] AS toks FROM
+  (SELECT tok FROM qt UNION SELECT tok FROM dt)
+),
+{{embed}},
+sims AS (
+  SELECT c.query_id, q.q_pos, c.doc_id, x.tok,
+         sum(qe.v * de.v) AS sim
+  FROM cand c
+  JOIN dt x ON x.doc_id = c.doc_id
+  JOIN qt q ON q.query_id = c.query_id
+  JOIN t_emb qe ON qe.eid = q.tok
+  JOIN t_emb de ON de.eid = x.tok AND de.d = qe.d
+  GROUP BY c.query_id, q.q_pos, c.doc_id, x.tok
+),
+maxsim AS (
+  SELECT query_id, q_pos, doc_id, max(sim) AS m
+  FROM sims GROUP BY query_id, q_pos, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, sum(m) AS score
+  FROM maxsim GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, rnk::BIGINT AS rank,
+       round(score, 4) + 0.0 AS score
+FROM ranked WHERE rnk <= 10
+""".format(
+        qtoks=_toks("query"),
+        dtoks=_toks("text"),
+        embed=_EMBED_SQL.format(name="t", src="tvsrc", dmax=_EMBED_DIM - 1),
+    ),
+)
+def q_late_interaction_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late interaction over the FULL documents table
+    (operators/late_interaction.py late_interaction_two_stage — r9
+    verdict task 3): BM25 prunes the corpus to 50 candidates per query,
+    Σ-maxsim re-ranks only those. Unlike the dense
+    late_interaction_search (graded on a bounded corpus slice because
+    its token interaction is quadratic in the corpus), this is the safe
+    corpus-scale entry point — the quadratic stage is bounded by
+    |Q|·n_candidates no matter the corpus size. The oracle restates the
+    BM25 prune CTE (shared with bm25_search) feeding the maxsim SQL
+    over the candidate set; equality with the dense form on the pruned
+    pairs is pinned in tests/test_late_interaction.py."""
+    from .operators.late_interaction import late_interaction_two_stage
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = late_interaction_two_stage(
+        docs,
+        _search_queries_df(spark),
+        k=10,
+        n_candidates=_LI_CANDIDATES,
+        dim=_EMBED_DIM,
+        cache_key=sf_dir,
+    )
+    return hits.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
 @register(
     "ann_quantized_search",
     """
