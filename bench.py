@@ -211,6 +211,7 @@ HEADLINE = [
     "late_interaction_search",
     # round 9 additions
     "late_interaction_two_stage",
+    "dedup_simhash_append",
 ]
 
 

@@ -65,6 +65,7 @@ PICKED = [
     "late_interaction_search",  # empty token vocab / empty query side
     # r9: empty BM25 prune → empty candidate set → empty re-rank
     "late_interaction_two_stage",
+    "dedup_simhash_append",  # empty standing + batch band tables
 ]
 
 TABLES = [
