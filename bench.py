@@ -212,6 +212,7 @@ HEADLINE = [
     # round 9 additions
     "late_interaction_two_stage",
     "dedup_simhash_append",
+    "routed_query_pipeline",
 ]
 
 

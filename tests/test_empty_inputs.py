@@ -66,6 +66,9 @@ PICKED = [
     # r9: empty BM25 prune → empty candidate set → empty re-rank
     "late_interaction_two_stage",
     "dedup_simhash_append",  # empty standing + batch band tables
+    # routes are literal frames, so routing still runs; both arms drain
+    # to zero rows over empty corpus/orders/customer
+    "routed_query_pipeline",
 ]
 
 TABLES = [

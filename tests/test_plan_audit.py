@@ -61,6 +61,7 @@ BOUNDED_BNLJ = {
     "knn_prf_search",  # 5-row q' broadcast in the re-rank crossjoin
     "late_interaction_search",  # ~20-row query-token-embedding broadcast
     "late_interaction_two_stage",  # BM25 prune's 1-row corpus-stats broadcast
+    "routed_query_pipeline",  # hybrid arm: BM25 stats + ≤|batch|-row query broadcasts
     "ngram_collocations",  # 1-row corpus token count broadcast
     "prompt_assembly",
     "quality_length_filter",

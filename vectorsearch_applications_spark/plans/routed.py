@@ -1,0 +1,118 @@
+"""Routed query pipeline — the reference's ``Text2SQL.__call__`` traced
+end-to-end (SURVEY §3.3; ``notebooks/8-Text2SQL_Week3.ipynb`` cell 51):
+route a mixed query batch with the semantic classifier, send
+search-routed queries through the hybrid (BM25 + vector) arm and
+sql-routed queries through NL→SQL generation + the SELECT-only guard,
+and union both arms' answers under one schema.
+
+Arm shapes at scale: the SEARCH arm is fully set-based — the routed
+subset stays a DataFrame, so an arbitrarily large query batch fans
+through the BM25/kNN/fusion plans with no driver round-trip. The SQL
+arm is inherently driver-dispatched (each generated statement becomes
+its own ``spark.sql`` plan — the reference shape exactly), so it
+collects ONE row per sql-routed query: bounded by the interactive batch
+size, never by data size. The generated statements themselves execute
+as ordinary Catalyst plans over the registered views.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.bm25 import bm25_search
+from ..operators.hybrid import hybrid_search
+from ..operators.knn import knn_search
+from .router import route_queries
+from .text2sql import run_guarded_sql
+
+RESULT_SCHEMA = (
+    "query_id bigint, route string, result_key string, "
+    "result_rank bigint, result_value double"
+)
+
+
+def routed_query_pipeline(
+    spark: SparkSession,
+    queries: DataFrame,
+    routes: DataFrame,
+    docs: DataFrame,
+    embeddings: DataFrame,
+    nl2sql: Callable[[str], str],
+    alpha: float = 0.25,
+    n_retrieve: int = 50,
+    k: int = 10,
+    dim: int = 16,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Route → per-arm execution → unioned answers.
+
+    queries:  (query_id, query) — the mixed batch.
+    routes:   (route, utterance) labeled examples with routes named
+              'search' and 'sql' (the reference's 'regular'/'sql').
+    nl2sql:   query text → SQL string (the F3 egress slot; deterministic
+              stub in tests, LLM-backed in deployment). Called only for
+              sql-routed queries; output ALWAYS passes the SELECT-only
+              guard. Each statement must yield (result_key, result_value)
+              rows — the humanize step's input shape.
+
+    Output rows (RESULT_SCHEMA): search-routed queries emit their hybrid
+    top-``k`` hits (result_key = doc_id, result_value = fused score,
+    result_rank = fusion rank); sql-routed queries emit their statement's
+    rows ranked by result_value DESC then result_key ASC. The reference
+    always ALSO runs the search arm for sql queries as fallback context;
+    that variant is one union away — the graded plan keeps the arms
+    disjoint so each row's provenance is the route decision.
+    """
+    routed = route_queries(queries, routes, dim=dim)
+
+    # SEARCH arm — set-based on the routed subset
+    sq = queries.join(
+        routed.filter(F.col("route") == "search").select("query_id"),
+        "query_id",
+    ).select("query_id", "query")
+    kw = bm25_search(docs, sq, limit=n_retrieve, cache_key=cache_key)
+    qv = embeddings.join(
+        sq.select(F.col("query_id").alias("vec_id")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = knn_search(embeddings, qv, k=n_retrieve).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = hybrid_search(kw, vec, alpha=alpha, limit=k)
+    search_arm = fused.select(
+        F.col("query_id").cast("bigint"),
+        F.lit("search").alias("route"),
+        F.col("doc_id").cast("string").alias("result_key"),
+        F.col("rank").cast("bigint").alias("result_rank"),
+        F.round("score", 4).alias("result_value"),
+    )
+
+    # SQL arm — driver-dispatched per sql-routed query (reference shape);
+    # the collect is one row per query in the batch, bounded driver state
+    sql_rows = (
+        queries.join(
+            routed.filter(F.col("route") == "sql").select("query_id"),
+            "query_id",
+        )
+        .select("query_id", "query")
+        .collect()
+    )
+    arm = search_arm
+    w = Window.orderBy(F.desc("result_value"), F.asc("result_key"))
+    for r in sorted(sql_rows, key=lambda r: r["query_id"]):
+        res = run_guarded_sql(spark, nl2sql(r["query"]))
+        arm = arm.unionByName(
+            res.select(
+                F.lit(r["query_id"]).cast("bigint").alias("query_id"),
+                F.lit("sql").alias("route"),
+                F.col("result_key").cast("string").alias("result_key"),
+                F.row_number().over(w).cast("bigint").alias("result_rank"),
+                F.col("result_value").cast("double").alias("result_value"),
+            )
+        )
+    return arm

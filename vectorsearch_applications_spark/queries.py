@@ -1701,6 +1701,192 @@ def q_router_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic NL→SQL stub for the routed pipeline (the F3 egress slot of
+# nb8 cell 51's text2sql step): one generated statement per batch query —
+# EVERY query has one so the arm dispatch depends only on the COMPUTED
+# route, never on which statements happen to exist. Each statement emits
+# (result_key, result_value) rows, the humanize step's input shape.
+_ROUTED_NL2SQL = {
+    "how many views does the top episode have": (
+        "SELECT o_orderpriority AS result_key, count(*) AS result_value "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "what was discussed about dopamine": (
+        "SELECT 'n_docs' AS result_key, count(*) AS result_value "
+        "FROM documents"
+    ),
+    "count guests with more than one episode": (
+        "SELECT c_mktsegment AS result_key, count(*) AS result_value "
+        "FROM customer GROUP BY c_mktsegment HAVING count(*) > 1"
+    ),
+}
+
+
+@register(
+    "routed_query_pipeline",
+    f"""
+WITH utt AS (SELECT * FROM (VALUES {_RU_VALUES}) v(route, uid, utterance)),
+usrc AS (SELECT uid AS eid, {_toks('utterance')} AS toks FROM utt),
+{_EMBED_SQL.format(name='u', src='usrc', dmax=_EMBED_DIM - 1)},
+centroids AS (
+  SELECT route, d, avg(v) AS v
+  FROM u_emb e JOIN utt ON utt.uid = e.eid
+  GROUP BY route, d
+),
+cnorm AS (SELECT route, sqrt(sum(v * v)) AS n FROM centroids GROUP BY route),
+rq AS (SELECT * FROM (VALUES {_RQ_VALUES}) v(query_id, query)),
+rqsrc AS (SELECT query_id AS eid, {_toks('query')} AS toks FROM rq),
+{_EMBED_SQL.format(name='q', src='rqsrc', dmax=_EMBED_DIM - 1)},
+qnorm2 AS (SELECT eid, sqrt(sum(v * v)) AS n FROM q_emb GROUP BY eid),
+rscored AS (
+  SELECT q.eid AS query_id, c.route,
+         sum(q.v * c.v) / (qq.n * cn.n) AS score
+  FROM q_emb q
+  JOIN centroids c USING (d)
+  JOIN cnorm cn ON cn.route = c.route
+  JOIN qnorm2 qq ON qq.eid = q.eid
+  GROUP BY q.eid, c.route, qq.n, cn.n
+),
+rranked AS (
+  SELECT query_id, route,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, route ASC) AS rn
+  FROM rscored
+),
+routed AS (SELECT query_id, route FROM rranked WHERE rn = 1),
+queries AS (
+  SELECT rq.query_id, rq.query FROM rq
+  JOIN routed r USING (query_id) WHERE r.route = 'search'
+),
+{_BM25_PREFIX},
+{_BM25_SCORING},
+kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= {_HYBRID_N}),
+kw_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END * {1.0 - _HYBRID_ALPHA} AS kw_score
+  FROM kw_top
+),
+qv AS (
+  SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+  FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
+),
+vec_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qv) AS distance
+  FROM embeddings e CROSS JOIN qv
+),
+vec_ranked AS (
+  SELECT query_id, doc_id, 1.0 - distance AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM vec_scored
+),
+vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= {_HYBRID_N}),
+vec_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(sim) OVER (PARTITION BY query_id) = min(sim) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (sim - min(sim) OVER (PARTITION BY query_id))
+                   / (max(sim) OVER (PARTITION BY query_id) - min(sim) OVER (PARTITION BY query_id))
+         END * {_HYBRID_ALPHA} AS vec_score
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(k.query_id, v.query_id) AS query_id,
+         coalesce(k.doc_id, v.doc_id) AS doc_id,
+         coalesce(k.kw_score, 0) + coalesce(v.vec_score, 0) AS score
+  FROM kw_norm k FULL OUTER JOIN vec_norm v
+    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+),
+final_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM fused
+),
+search_arm AS (
+  SELECT query_id, 'search' AS route, doc_id::VARCHAR AS result_key,
+         rnk::BIGINT AS result_rank, round(score, 4) AS result_value
+  FROM final_ranked WHERE rnk <= 10
+),
+sql0 AS (SELECT o_orderpriority AS result_key, count(*) AS result_value
+         FROM orders GROUP BY o_orderpriority),
+sql0r AS (
+  SELECT 0::BIGINT AS query_id, 'sql' AS route, result_key,
+         CAST(row_number() OVER (ORDER BY result_value DESC, result_key ASC) AS BIGINT) AS result_rank,
+         result_value::DOUBLE AS result_value
+  FROM sql0
+),
+sql1 AS (SELECT 'n_docs' AS result_key, count(*) AS result_value FROM documents),
+sql1r AS (
+  SELECT 1::BIGINT AS query_id, 'sql' AS route, result_key,
+         CAST(row_number() OVER (ORDER BY result_value DESC, result_key ASC) AS BIGINT) AS result_rank,
+         result_value::DOUBLE AS result_value
+  FROM sql1
+),
+sql2 AS (SELECT c_mktsegment AS result_key, count(*) AS result_value
+         FROM customer GROUP BY c_mktsegment HAVING count(*) > 1),
+sql2r AS (
+  SELECT 2::BIGINT AS query_id, 'sql' AS route, result_key,
+         CAST(row_number() OVER (ORDER BY result_value DESC, result_key ASC) AS BIGINT) AS result_rank,
+         result_value::DOUBLE AS result_value
+  FROM sql2
+),
+sql_arm AS (
+  SELECT s.* FROM sql0r s WHERE EXISTS
+    (SELECT 1 FROM routed r WHERE r.query_id = 0 AND r.route = 'sql')
+  UNION ALL
+  SELECT s.* FROM sql1r s WHERE EXISTS
+    (SELECT 1 FROM routed r WHERE r.query_id = 1 AND r.route = 'sql')
+  UNION ALL
+  SELECT s.* FROM sql2r s WHERE EXISTS
+    (SELECT 1 FROM routed r WHERE r.query_id = 2 AND r.route = 'sql')
+)
+SELECT * FROM search_arm UNION ALL SELECT * FROM sql_arm
+""",
+)
+def q_routed_query_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's §3.3 ``Text2SQL.__call__`` composed end-to-end
+    (plans/routed.py — r9 verdict task 5): semantic route classification
+    (Q5) dispatches a mixed query batch between the hybrid search arm
+    (Q1+Q2+Q3 over documents/embeddings) and the NL→SQL arm (F3 stub →
+    SELECT-only guard → spark.sql, Q6/S9), and both arms' answers union
+    under one (query_id, route, result_key, result_rank, result_value)
+    schema. The route decision is COMPUTED in both engines (the oracle
+    gates each generated statement on its routed(query_id) row), so the
+    pipeline — not the fixture — decides which arm runs. Search arm is
+    set-based end to end; the sql arm collects one row per sql-routed
+    query (the reference's interactive dispatch, bounded by batch size,
+    never data size)."""
+    from .plans.routed import routed_query_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    routes = spark.createDataFrame(
+        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
+    )
+    queries = spark.createDataFrame(
+        _ROUTE_QUERIES, "query_id long, query string"
+    )
+    return routed_query_pipeline(
+        spark,
+        queries,
+        routes,
+        docs,
+        emb,
+        nl2sql=_ROUTED_NL2SQL.__getitem__,
+        alpha=_HYBRID_ALPHA,
+        n_retrieve=_HYBRID_N,
+        k=10,
+        dim=_EMBED_DIM,
+        cache_key=sf_dir,
+    )
+
+
 @register(
     "llm_cost_accounting",
     f"""
