@@ -77,6 +77,20 @@ def test_two_stage_composes_bm25_prune_then_rerank(spark):
         assert (qid, did) in cand_set
 
 
+def test_rerank_collect_and_join_shapes_agree(spark):
+    # r9: below the cap the candidate set re-enters as a literal frame
+    # (prune runs once, doc filter pushes to scan); past the cap the
+    # join shape runs. Same rows either side of the boundary.
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    q = _queries(spark)
+    cands = bm25_search(docs, q, limit=20).select("query_id", "doc_id")
+    lit_shape = late_interaction_rerank(docs, q, cands, k=10)
+    join_shape = late_interaction_rerank(
+        docs, q, cands, k=10, max_collect_candidates=1
+    )
+    assert _key(lit_shape.collect()) == _key(join_shape.collect())
+
+
 def test_two_stage_empty_query_side(spark):
     docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
     q = _queries(spark).filter(F.lit(False))

@@ -105,6 +105,7 @@ def late_interaction_rerank(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    max_collect_candidates: int = 100_000,
 ) -> DataFrame:
     """Σ-maxsim re-rank of a bounded ``candidates(query_id, doc_id)``
     set — the second stage of the standard two-stage deployment.
@@ -125,15 +126,43 @@ def late_interaction_rerank(
     cand = candidates.select(
         F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
     ).distinct()
+    # The candidate set is bounded by design (top-N per query), and it
+    # feeds TWO places — the doc-side semi-join and the scoring join —
+    # so leaving it a plan would execute the whole prune subtree twice
+    # (AQE does not reliably reuse the exchange; measured on the
+    # two-stage query, SCALE.md r9). Collect it once, guarded by
+    # take(n+1) exactly like knn_search's query cap, and re-enter as a
+    # literal frame: the doc filter then pushes down to the corpus
+    # scan. Past the cap fall back to the join shape (the prune runs
+    # twice, but nothing collects unbounded state).
+    rows = cand.take(max_collect_candidates + 1)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(tokenize(F.col(query_text_col))).alias("q_pos", "tok"),
     ).withColumn("_qe", hash_embed_col(F.col("tok"), dim))
+    if len(rows) <= max_collect_candidates:
+        from pyspark.sql.types import StructType
+
+        schema = StructType(
+            [
+                cand.schema["query_id"],
+                cand.schema["doc_id"],
+            ]
+        )
+        cand = docs.sparkSession.createDataFrame(
+            [(r["query_id"], r["doc_id"]) for r in rows], schema
+        )
+        doc_ids = sorted({r["doc_id"] for r in rows})
+        pruned = docs.filter(
+            F.col(id_col).isin(doc_ids) if doc_ids else F.lit(False)
+        )
+    else:
+        cd = cand.select(F.col("doc_id").alias("_cand_doc")).distinct()
+        pruned = docs.join(cd, F.col(id_col) == F.col("_cand_doc"))
     # tokenize each DISTINCT candidate doc once; the candidate set is
-    # top-N per query so this semi-join prunes the corpus scan's output
-    # to ≤ |Q|·N docs before the (quadratic) token interaction
-    cd = cand.select(F.col("doc_id").alias("_cand_doc")).distinct()
-    dt = docs.join(cd, F.col(id_col) == F.col("_cand_doc")).select(
+    # top-N per query so the corpus scan's output is ≤ |Q|·N docs
+    # before the (quadratic) token interaction
+    dt = pruned.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
     )
