@@ -954,6 +954,38 @@ def test_minhash_band_projection_equals_batch_build(spark, corpus):
 
 
 @SETTINGS
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(WORDS), min_size=0, max_size=40
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_simhash_projection_equals_batch_build(spark, corpus):
+    # r9: the zero-shuffle per-row fingerprint fold and the explode+
+    # vocab+groupBy batch shape must agree on ANY corpus, including
+    # duplicate texts, token-less docs, and NULL text (both drop them)
+    from vectorsearch_applications_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_projection,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    batch = {tuple(r) for r in simhash_fingerprints(df).collect()}
+    proj = {
+        tuple(r) for r in simhash_fingerprints_projection(df).collect()
+    }
+    assert proj == batch
+
+
+@SETTINGS
 @given(texts, st.integers(0, 6), st.integers(2, 5))
 def test_bpe_encode_lossless_and_checkpoint_invariant(spark, corpus, n_merges, ck):
     # lossless-encode + checkpoint-interval invariance on random corpora:

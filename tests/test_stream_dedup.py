@@ -10,10 +10,16 @@ from vectorsearch_applications_spark.operators.dedup import (
     minhash_bands,
     minhash_bands_projection,
     minhash_screen_batch,
+    simhash_bands,
+    simhash_bands_projection,
+    simhash_fingerprints,
+    simhash_fingerprints_projection,
+    simhash_screen_batch,
 )
 from vectorsearch_applications_spark.sources.io import load_table
 from vectorsearch_applications_spark.streaming.dedup import (
     stream_minhash_screen,
+    stream_simhash_screen,
 )
 
 from .conftest import SF_SMOKE
@@ -121,5 +127,96 @@ def test_stream_screen_equals_batch_new_vs_standing(spark, tmp_path):
         for r in got_rows
     }
     assert got == want
+    # evidence rows are per-band: multiplicity ≥ the distinct pair count
+    assert len(got_rows) >= len(got)
+
+
+# --- SimHash twins (r9) ---
+
+
+def test_simhash_projection_equals_batch_build(spark):
+    # fingerprints AND band rows: value-identity of the per-row
+    # projection with the explode+vocab+groupBy batch shape, including
+    # NULL/empty/token-less docs (both must drop them)
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "alpha beta beta gamma")],
+        DOCS_SCHEMA,
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    fb = {tuple(r) for r in simhash_fingerprints(docs).collect()}
+    fp = {tuple(r) for r in simhash_fingerprints_projection(docs).collect()}
+    assert fp == fb and fb
+    assert not any(d in (9001, 9002) for d, _ in fp)
+    bb = {tuple(r) for r in simhash_bands(docs).collect()}
+    bp = {tuple(r) for r in simhash_bands_projection(docs).collect()}
+    assert bp == bb
+
+
+def test_stream_simhash_screen_suppresses_self_pairs(spark):
+    # docs 1 and 2 are exact duplicates (hamming 0); redelivering both
+    # against a standing index containing both must emit ONLY the
+    # cross-doc pair, never (x, x) self-evidence
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        DOCS_SCHEMA,
+    )
+    standing = simhash_bands(docs)
+    out = stream_simhash_screen(docs, standing).collect()
+    assert out, "exact duplicates must fall in the hamming ball"
+    assert all(r["new_doc_id"] != r["standing_doc_id"] for r in out)
+    assert all(r["hamming"] == 0 for r in out)
+
+
+def test_stream_simhash_screen_equals_batch_new_vs_standing(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    # duplicated corpus so the hamming ball is populated
+    withdups = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    standing = withdups.filter(F.col("doc_id") % 2 != 0)
+    batch = withdups.filter(F.col("doc_id") % 2 == 0)
+    standing_bands = simhash_bands(standing).localCheckpoint(eager=False)
+
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_screen_batch(
+            standing_bands, simhash_bands(batch)
+        ).collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    }
+
+    src = str(tmp_path / "docs")
+    batch.filter(F.col("doc_id") < 1000000).write.parquet(src + "/b1")
+    batch.filter(F.col("doc_id") >= 1000000).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stream_simhash_screen(stream, standing_bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("simhash_screen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got_rows = spark.sql("SELECT * FROM simhash_screen_stream").collect()
+    got = {
+        (min(r["new_doc_id"], r["standing_doc_id"]),
+         max(r["new_doc_id"], r["standing_doc_id"]),
+         r["hamming"])
+        for r in got_rows
+    }
+    assert got == want and want
     # evidence rows are per-band: multiplicity ≥ the distinct pair count
     assert len(got_rows) >= len(got)

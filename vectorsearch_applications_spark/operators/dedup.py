@@ -450,6 +450,96 @@ def simhash_fingerprints(
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_fingerprints_projection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Zero-shuffle per-row twin of :func:`simhash_fingerprints` —
+    value-identical output (tested), different physical shape; the
+    SimHash analog of :func:`minhash_bands_projection`.
+
+    A doc's fingerprint depends only on its own token multiset: bit j's
+    balance is Σ over token OCCURRENCES of ±1 (summing per occurrence
+    equals the batch shape's tf-weighted per-term sum), so the whole
+    fingerprint folds inside one codegen projection — no explode, no
+    term-vocab distinct, no groupBy. That makes it legal on a STREAMING
+    frame (streaming/dedup.py stream_simhash_screen builds on it) and
+    the one-pass choice for a cold corpus. The batch shape stays
+    preferable for repeated full builds: it hashes each DISTINCT term
+    once, which this per-row form re-pays per occurrence.
+
+    Token hashes are let-bound via the singleton-array transform (the
+    same interpreted-HOF-no-CSE workaround as the MinHash projection):
+    without it each of the ``bits`` aggregates would re-hash every
+    token. Docs with NULL/token-less text emit ZERO rows, exactly like
+    the batch shape's explode.
+    """
+
+    def _bit_acc(j):
+        # closure factory, NOT `lambda acc, h, j=j:` — a 3-arg lambda is
+        # rejected, and default-arg binding inside HOF lambdas is the
+        # r8 (element, index) trap
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)).cast("bigint")
+
+    def _fp(hs):
+        fingerprint = None
+        for j in range(bits):
+            s = F.aggregate(hs, F.lit(0).cast("bigint"), _bit_acc(j))
+            bitval = F.when(
+                s > 0, F.lit(2**j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            fingerprint = bitval if fingerprint is None else fingerprint + bitval
+        return fingerprint
+
+    hashes = F.transform(
+        F.array(tokenize(text_col)),
+        lambda toks: F.transform(toks, lambda t: stable_hash64(t)),
+    )[0]
+    fp_arr = F.transform(
+        F.array(hashes),
+        lambda hs: F.when(
+            hs.isNull() | (F.size(hs) == 0),
+            F.array().cast("array<bigint>"),
+        ).otherwise(F.array(_fp(hs))),
+    )[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(fp_arr).alias("simhash")
+    )
+
+
+def simhash_bands_projection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-row twin of :func:`simhash_bands` — same (doc_id, simhash,
+    band, bval) rows from the zero-shuffle fingerprint projection; the
+    band split itself is already a pure scalar posexplode."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = simhash_fingerprints_projection(docs, id_col, text_col, bits)
+    band_vals = [
+        (
+            F.floor(
+                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
+            ).cast("bigint")
+            % (2**band_bits)
+        )
+        for b in range(n_bands)
+    ]
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+    )
+
+
 def simhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",

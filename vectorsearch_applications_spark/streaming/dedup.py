@@ -68,3 +68,59 @@ def stream_minhash_screen(
         .filter(F.col("new_doc_id") != F.col("standing_doc_id"))
         .select("new_doc_id", "standing_doc_id", "band")
     )
+
+
+def stream_simhash_screen(
+    docs_stream: DataFrame,
+    standing_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash twin of :func:`stream_minhash_screen` — screen a document
+    stream against a STATIC standing (doc_id, simhash, band, bval) table
+    (simhash_save_index layout).
+
+    Per-row fingerprints come from the zero-shuffle projection
+    (operators/dedup.py simhash_fingerprints_projection — the batch
+    shape's explode + term-vocab distinct + groupBy are stateful on a
+    stream), candidates join on the pigeonhole band, and the EXACT
+    hamming check runs as a stateless scalar on each candidate row, so
+    the output is verified pairs, not just bucket evidence:
+    (new_doc_id, standing_doc_id, band, hamming). Pairs colliding in
+    several intact bands arrive once per band (no stream-side distinct,
+    same zero-state contract as the MinHash screen); new-vs-new pairs
+    surface when the batch folds into the standing index
+    (simhash_index_append). stream==batch is pinned by
+    tests/test_stream_dedup.py.
+    """
+    from ..operators.dedup import simhash_bands_projection
+
+    new_bands = simhash_bands_projection(
+        docs_stream, id_col, text_col, bits, max_hamming
+    )
+    s = standing_bands.select(
+        F.col("doc_id").alias("standing_doc_id"),
+        F.col("simhash").alias("standing_simhash"),
+        "band",
+        "bval",
+    )
+    return (
+        new_bands.select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("simhash").alias("new_simhash"),
+            "band",
+            "bval",
+        )
+        .join(s, ["band", "bval"])
+        .filter(F.col("new_doc_id") != F.col("standing_doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("new_simhash").bitwiseXOR(F.col("standing_simhash"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_doc_id", "standing_doc_id", "band", "hamming")
+    )
