@@ -10,12 +10,21 @@ round gates; delete-safe."""
 from __future__ import annotations
 
 import importlib
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 HERE = "/root/repo"
 OLD = "/root/repo/.ab_old"
+OLD_REF = "8e4a625"  # r7 close — the pre-drift baseline
+
+# reproducibility: materialize the baseline worktree if it's missing
+if not os.path.isdir(OLD):
+    subprocess.run(
+        ["git", "-C", HERE, "worktree", "add", OLD, OLD_REF], check=True
+    )
 NAMES = ["bpe_encode_corpus", "ann_ivfpq_refined", "supplier_scorecard"]
 SF = "/root/testdata/sf0.1"
 N_SWEEPS = 5

@@ -511,19 +511,15 @@ def simhash_fingerprints_projection(
     )
 
 
-def simhash_bands_projection(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bits: int = 32,
-    max_hamming: int = 3,
+def _simhash_band_split(
+    fp: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Per-row twin of :func:`simhash_bands` — same (doc_id, simhash,
-    band, bval) rows from the zero-shuffle fingerprint projection; the
-    band split itself is already a pure scalar posexplode."""
+    """Split a (doc_id, simhash) frame into the pigeonhole band table
+    (doc_id, simhash, band, bval) — the ONE band layout both the batch
+    and projection builds share (the projection==batch value-identity
+    contract depends on this being a single definition)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    fp = simhash_fingerprints_projection(docs, id_col, text_col, bits)
     band_vals = [
         (
             F.floor(
@@ -540,6 +536,23 @@ def simhash_bands_projection(
     )
 
 
+def simhash_bands_projection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-row twin of :func:`simhash_bands` — same (doc_id, simhash,
+    band, bval) rows from the zero-shuffle fingerprint projection; the
+    band split itself is already a pure scalar posexplode."""
+    return _simhash_band_split(
+        simhash_fingerprints_projection(docs, id_col, text_col, bits),
+        bits,
+        max_hamming,
+    )
+
+
 def simhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -553,22 +566,8 @@ def simhash_bands(
     share at least one intact band. Fingerprints depend only on each
     doc's own term frequencies, so the table is incremental exactly like
     the MinHash band table (simhash_index_append)."""
-    n_bands = max_hamming + 1
-    band_bits = bits // n_bands
-    fp = simhash_fingerprints(docs, id_col, text_col, bits)
-    band_vals = [
-        (
-            F.floor(
-                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
-            ).cast("bigint")
-            % (2**band_bits)
-        )
-        for b in range(n_bands)
-    ]
-    return fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+    return _simhash_band_split(
+        simhash_fingerprints(docs, id_col, text_col, bits), bits, max_hamming
     )
 
 

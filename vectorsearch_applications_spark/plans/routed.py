@@ -105,12 +105,17 @@ def routed_query_pipeline(
         F.round("score", 4).alias("result_value"),
     )
 
-    # SQL arm — driver-dispatched per sql-routed query (reference shape)
-    sql_rows = [
-        r
-        for r in queries.select("query_id", "query").collect()
-        if route_of.get(r["query_id"]) == "sql"
-    ]
+    # SQL arm — driver-dispatched per sql-routed query (reference shape);
+    # collect ONLY the sql-routed subset (literal IN, same re-entry
+    # pattern as the search arm), not the whole batch
+    sql_ids = sorted(q for q, rt in route_of.items() if rt == "sql")
+    sql_rows = (
+        queries.filter(
+            F.col("query_id").isin(sql_ids) if sql_ids else F.lit(False)
+        )
+        .select("query_id", "query")
+        .collect()
+    )
     arm = search_arm
     w = Window.orderBy(F.desc("result_value"), F.asc("result_key"))
     for r in sorted(sql_rows, key=lambda r: r["query_id"]):
