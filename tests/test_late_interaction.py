@@ -4,6 +4,7 @@ two-stage entry point must compose BM25 prune → re-rank exactly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectorsearch_applications_spark.operators.bm25 import bm25_search
@@ -89,6 +90,39 @@ def test_rerank_collect_and_join_shapes_agree(spark):
         docs, q, cands, k=10, max_collect_candidates=1
     )
     assert _key(lit_shape.collect()) == _key(join_shape.collect())
+
+
+def test_two_stage_knn_first_stage(spark):
+    # the dense prune recalls candidates with no lexical overlap; the
+    # composed result must equal a manual kNN-prune → re-rank
+    from vectorsearch_applications_spark.functions.embed import (
+        hash_embed_col,
+        hash_embed_ids,
+    )
+    from vectorsearch_applications_spark.operators.knn import knn_search
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    q = _queries(spark)
+    two = late_interaction_two_stage(
+        docs, q, k=5, n_candidates=20, first_stage="knn"
+    )
+    demb = hash_embed_ids(docs.select("doc_id", "text"), "doc_id", "text", 16)
+    demb = demb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    qemb = q.select(
+        "query_id", hash_embed_col(F.col("query"), 16).alias("query_vec")
+    )
+    cands = knn_search(demb, qemb, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    manual = late_interaction_rerank(docs, q, cands, k=5)
+    assert _key(two.collect()) == _key(manual.collect())
+
+
+def test_two_stage_rejects_unknown_first_stage(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
+    q = _queries(spark)
+    with pytest.raises(ValueError):
+        late_interaction_two_stage(docs, q, first_stage="hnsw")
 
 
 def test_two_stage_empty_query_side(spark):

@@ -207,34 +207,59 @@ def late_interaction_two_stage(
     query_id_col: str = "query_id",
     query_text_col: str = "query",
     cache_key: str | None = None,
+    first_stage: str = "bm25",
 ) -> DataFrame:
     """Two-stage late-interaction retrieval — THE corpus-scale entry
     point (reference analog: the §3.1 retrieve-then-rerank pipeline,
     notebooks/5-LLM_integration cell 27; dense-form docstring prescribed
     this composition in prose since r8, this makes it code).
 
-    Stage 1 prunes the corpus to ``n_candidates`` BM25 hits per query
-    (operators/bm25.py — postings-driven, touches only docs sharing a
-    term with the query); stage 2 re-ranks ONLY those candidates with
-    Σ-maxsim. The dense :func:`late_interaction_search` stays the
-    semantic oracle: on any candidate it keeps, this returns the same
-    score bit-for-bit. The quadratic token interaction is bounded by
-    |Q|·n_candidates regardless of corpus size — running the dense form
-    corpus-wide at 100 TB relied on the caller having read a docstring;
-    this is the safe shape as the default entry.
+    Stage 1 prunes the corpus to ``n_candidates`` hits per query;
+    stage 2 re-ranks ONLY those candidates with Σ-maxsim. The dense
+    :func:`late_interaction_search` stays the semantic oracle: on any
+    candidate it keeps, this returns the same score bit-for-bit. The
+    quadratic token interaction is bounded by |Q|·n_candidates
+    regardless of corpus size — running the dense form corpus-wide at
+    100 TB relied on the caller having read a docstring; this is the
+    safe shape as the default entry.
 
-    ``cache_key`` flows to the BM25 stats build (index-once contract).
+    ``first_stage``: ``'bm25'`` (default — postings-driven, touches only
+    docs sharing a term with the query; ``cache_key`` flows to the stats
+    build) or ``'knn'`` (dense prune: mean-pooled hash embeddings
+    through the partial-top-k kNN — recalls candidates with NO lexical
+    overlap, the lexical-gap case BM25 structurally misses; swap the
+    hash encoder for a model via the same columns).
     """
-    cands = bm25_search(
-        docs,
-        queries,
-        id_col=id_col,
-        text_col=text_col,
-        query_id_col=query_id_col,
-        query_col=query_text_col,
-        limit=n_candidates,
-        cache_key=cache_key,
-    ).select(
+    if first_stage == "bm25":
+        cands = bm25_search(
+            docs,
+            queries,
+            id_col=id_col,
+            text_col=text_col,
+            query_id_col=query_id_col,
+            query_col=query_text_col,
+            limit=n_candidates,
+            cache_key=cache_key,
+        )
+    elif first_stage == "knn":
+        from ..functions.embed import hash_embed_col, hash_embed_ids
+        from .knn import knn_search
+
+        demb = hash_embed_ids(
+            docs.select(F.col(id_col), F.col(text_col)), id_col, text_col, dim
+        ).select(F.col(id_col).alias("vec_id"), "embedding")
+        qemb = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            hash_embed_col(F.col(query_text_col), dim).alias("query_vec"),
+        )
+        cands = knn_search(demb, qemb, k=n_candidates).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+    else:
+        raise ValueError(
+            f"first_stage must be 'bm25' or 'knn', got {first_stage!r}"
+        )
+    cands = cands.select(
         F.col("query_id").alias(query_id_col), F.col("doc_id").alias(id_col)
     )
     return late_interaction_rerank(
