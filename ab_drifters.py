@@ -20,10 +20,25 @@ HERE = "/root/repo"
 OLD = "/root/repo/.ab_old"
 OLD_REF = "8e4a625"  # r7 close — the pre-drift baseline
 
-# reproducibility: materialize the baseline worktree if it's missing
+# reproducibility: materialize the baseline worktree, and verify a
+# pre-existing one is actually pinned at OLD_REF (a stale worktree from
+# an earlier session would silently mislabel the whole comparison)
 if not os.path.isdir(OLD):
     subprocess.run(
         ["git", "-C", HERE, "worktree", "add", OLD, OLD_REF], check=True
+    )
+_at = subprocess.run(
+    ["git", "-C", OLD, "rev-parse", "HEAD"], capture_output=True, text=True,
+    check=True,
+).stdout.strip()
+_want = subprocess.run(
+    ["git", "-C", HERE, "rev-parse", OLD_REF], capture_output=True, text=True,
+    check=True,
+).stdout.strip()
+if _at != _want:
+    sys.exit(
+        f"{OLD} is checked out at {_at[:12]}, not {OLD_REF} — remove the "
+        "stale worktree (git worktree remove --force) and re-run"
     )
 NAMES = ["bpe_encode_corpus", "ann_ivfpq_refined", "supplier_scorecard"]
 SF = "/root/testdata/sf0.1"

@@ -115,3 +115,20 @@ def test_nl2sql_output_passes_the_guard(spark, fixtures):
             emb,
             nl2sql=lambda q: "DROP TABLE orders",
         ).collect()
+
+
+def test_unknown_route_label_raises(spark, fixtures):
+    # the reference names its search route 'regular' — a routes frame
+    # ported verbatim must fail loudly, not silently drop those queries
+    docs, emb, _, queries = fixtures
+    routes = spark.createDataFrame(
+        [
+            ("sql", "how many episodes are there"),
+            ("regular", "what did they say about sleep"),
+        ],
+        "route string, utterance string",
+    )
+    with pytest.raises(ValueError, match="regular"):
+        routed_query_pipeline(
+            spark, queries, routes, docs, emb, nl2sql=NL2SQL.__getitem__
+        )

@@ -133,8 +133,10 @@ def late_interaction_rerank(
     # two-stage query, SCALE.md r9). Collect it once, guarded by
     # take(n+1) exactly like knn_search's query cap, and re-enter as a
     # literal frame: the doc filter then pushes down to the corpus
-    # scan. Past the cap fall back to the join shape (the prune runs
-    # twice, but nothing collects unbounded state).
+    # scan. Past the cap fall back to the join shape — the candidate
+    # plan then executes THREE times (once for this take, twice in the
+    # plan); a caller living past the cap should checkpoint the
+    # candidate frame first. Nothing collects unbounded state.
     rows = cand.take(max_collect_candidates + 1)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -242,7 +244,7 @@ def late_interaction_two_stage(
             cache_key=cache_key,
         )
     elif first_stage == "knn":
-        from ..functions.embed import hash_embed_col, hash_embed_ids
+        from ..functions.embed import hash_embed_ids
         from .knn import knn_search
 
         demb = hash_embed_ids(

@@ -76,8 +76,27 @@ def routed_query_pipeline(
     # query-side collect), and the embeddings lookup becomes an IN
     # predicate that pushes down to the parquet scan. Measured 5.15 →
     # 3.28 s median at sf0.1 (same-JVM interleaved A/B, SCALE.md r9).
-    decisions = route_queries(queries, routes, dim=dim).collect()
+    # join the query text along so ONE job yields both the decision and
+    # the sql arm's dispatch input (a second collect of the batch would
+    # pay a full extra Spark job per interactive call)
+    decisions = (
+        route_queries(queries, routes, dim=dim)
+        .join(
+            queries.select("query_id", F.col("query").alias("_qtext")),
+            "query_id",
+        )
+        .collect()
+    )
     route_of = {r["query_id"]: r["route"] for r in decisions}
+    unknown = sorted({rt for rt in route_of.values()} - {"search", "sql"})
+    if unknown:
+        # e.g. the reference's own label 'regular' — dropping such
+        # queries silently would be data loss, not dispatch
+        raise ValueError(
+            f"routes classified queries to unhandled arm(s) {unknown}; "
+            "this pipeline dispatches 'search' and 'sql' (rename the "
+            "reference's 'regular' route to 'search')"
+        )
     search_ids = sorted(q for q, rt in route_of.items() if rt == "search")
 
     # SEARCH arm — set-based on the routed subset
@@ -106,20 +125,12 @@ def routed_query_pipeline(
     )
 
     # SQL arm — driver-dispatched per sql-routed query (reference shape);
-    # collect ONLY the sql-routed subset (literal IN, same re-entry
-    # pattern as the search arm), not the whole batch
-    sql_ids = sorted(q for q, rt in route_of.items() if rt == "sql")
-    sql_rows = (
-        queries.filter(
-            F.col("query_id").isin(sql_ids) if sql_ids else F.lit(False)
-        )
-        .select("query_id", "query")
-        .collect()
-    )
+    # the texts rode along with the (single) decision collect above
+    sql_rows = [r for r in decisions if r["route"] == "sql"]
     arm = search_arm
     w = Window.orderBy(F.desc("result_value"), F.asc("result_key"))
     for r in sorted(sql_rows, key=lambda r: r["query_id"]):
-        res = run_guarded_sql(spark, nl2sql(r["query"]))
+        res = run_guarded_sql(spark, nl2sql(r["_qtext"]))
         arm = arm.unionByName(
             res.select(
                 F.lit(r["query_id"]).cast("bigint").alias("query_id"),
