@@ -220,3 +220,106 @@ def test_stream_simhash_screen_equals_batch_new_vs_standing(spark, tmp_path):
     assert got == want and want
     # evidence rows are per-band: multiplicity ≥ the distinct pair count
     assert len(got_rows) >= len(got)
+
+
+# --- Semantic (embedding) twin (r9) ---
+
+
+def _sem_fixtures(spark):
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+        ivf_build,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # duplicated ids give guaranteed sim=1.0 pairs across the split;
+    # the ODD offset flips parity so each vector's twin lands on the
+    # OTHER side of the odd/even standing-vs-batch split
+    withdups = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000001)
+    )
+    centroids, _ = ivf_build(emb, n_centroids=8)
+    centroids = centroids.localCheckpoint(eager=False)
+    standing = withdups.filter(F.col("vec_id") % 2 != 0)
+    batch = withdups.filter(F.col("vec_id") % 2 == 0)
+    standing_idx = assign_nearest_centroid(
+        standing, centroids, keep_vec=True
+    ).localCheckpoint(eager=False)
+    return withdups, centroids, standing, batch, standing_idx
+
+
+def test_stream_semantic_screen_suppresses_self_pairs(spark):
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+        ivf_build,
+    )
+    from vectorsearch_applications_spark.streaming.dedup import (
+        stream_semantic_screen,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 200)
+    centroids, _ = ivf_build(emb, n_centroids=4)
+    standing = assign_nearest_centroid(emb, centroids, keep_vec=True)
+    # redeliver the SAME vectors: every true self-match (sim 1.0) must
+    # be suppressed; surviving rows are genuine cross-vector near-dups
+    out = stream_semantic_screen(
+        emb, standing, centroids, threshold=0.99
+    ).collect()
+    assert all(r["new_vec_id"] != r["standing_vec_id"] for r in out)
+
+
+def test_stream_semantic_screen_equals_batch_new_vs_standing(
+    spark, tmp_path
+):
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+    )
+    from vectorsearch_applications_spark.streaming.dedup import (
+        stream_semantic_screen,
+    )
+
+    _, centroids, standing, batch, standing_idx = _sem_fixtures(spark)
+
+    # batch truth: assign the batch with the SAME centroids, join within
+    # centroid against the standing assignment, threshold, no self-pairs
+    new_idx = assign_nearest_centroid(batch, centroids, keep_vec=True)
+    want = {
+        (r["new_vec_id"], r["standing_vec_id"], round(r["sim"], 9))
+        for r in stream_semantic_screen(
+            batch, standing_idx, centroids, threshold=0.9
+        ).collect()
+    }
+    assert want, "duplicated ids across the split must collide at 1.0"
+    # exact duplicates land in the same centroid and survive at sim 1.0
+    assert any(
+        abs(a - b) == 1000001 and s >= 0.999 for a, b, s in want
+    )
+
+    src = str(tmp_path / "vecs")
+    batch.filter(F.col("vec_id") < 1000001).write.parquet(src + "/b1")
+    batch.filter(F.col("vec_id") >= 1000001).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stream_semantic_screen(
+        stream, standing_idx, centroids, threshold=0.9
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semantic_screen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["new_vec_id"], r["standing_vec_id"], round(r["sim"], 9))
+        for r in spark.sql("SELECT * FROM semantic_screen_stream").collect()
+    }
+    assert got == want

@@ -1,5 +1,9 @@
 from .concurrency import stream_running_concurrency
-from .dedup import stream_minhash_screen, stream_simhash_screen
+from .dedup import (
+    stream_minhash_screen,
+    stream_semantic_screen,
+    stream_simhash_screen,
+)
 from .fenced import fenced_fold_stream
 from .hygiene import stream_decontaminate_audit
 from .scd2 import stream_scd2_collection
@@ -27,4 +31,5 @@ __all__ = [
     "stream_decontaminate_audit",
     "stream_minhash_screen",
     "stream_simhash_screen",
+    "stream_semantic_screen",
 ]

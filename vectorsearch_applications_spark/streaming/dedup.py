@@ -124,3 +124,60 @@ def stream_simhash_screen(
         .filter(F.col("hamming") <= max_hamming)
         .select("new_doc_id", "standing_doc_id", "band", "hamming")
     )
+
+
+def stream_semantic_screen(
+    vecs_stream: DataFrame,
+    standing: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup ingest screen — the SemDeDup family's
+    streaming twin (operators/dedup.py semantic_dedup is the batch op),
+    completing the third dedup family's screen after MinHash and
+    SimHash.
+
+    Every stage is stateless: the arriving vector's cluster comes from
+    the broadcast-centroid argmin projection (the SAME
+    assign_nearest_centroid fold the batch build uses — no corpus
+    shuffle, legal on a stream), candidates join the STATIC standing
+    assignment table on centroid_id only (quadratic work stays local to
+    the cluster, the SemDeDup property), and the cosine test is a
+    per-row fold. Emits (new_vec_id, standing_vec_id, centroid_id, sim)
+    evidence rows for pairs with similarity ≥ ``threshold``; self-pairs
+    are suppressed (at-least-once redelivery contract shared by all
+    three screens). New-vs-new pairs surface when the batch folds into
+    the standing index (ivf_append / assign_nearest_centroid + append).
+
+    ``standing``: (vec_id, centroid_id, <vec_col>) — e.g.
+    assign_nearest_centroid(corpus, centroids, keep_vec=True) persisted
+    partitioned by centroid_id; vectors must ride along because the
+    verify needs the standing side's coordinates.
+    """
+    from ..functions.vectors import dot_double
+    from ..operators.ann import assign_nearest_centroid
+
+    new = assign_nearest_centroid(
+        vecs_stream, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("_v").alias("_nv"),
+        "centroid_id",
+    )
+    vc = "_v" if "_v" in standing.columns else vec_col
+    s = standing.select(
+        F.col("vec_id").alias("standing_vec_id"),
+        "centroid_id",
+        # cast ONCE per standing row; inside the join the cast would
+        # re-run per candidate pair (the r6 SemDeDup lesson)
+        F.transform(F.col(vc), lambda x: x.cast("double")).alias("_sv"),
+    )
+    return (
+        new.join(s, "centroid_id")
+        .filter(F.col("new_vec_id") != F.col("standing_vec_id"))
+        .withColumn("sim", dot_double(F.col("_nv"), F.col("_sv")))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        .select("new_vec_id", "standing_vec_id", "centroid_id", "sim")
+    )
