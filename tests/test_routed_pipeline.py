@@ -132,3 +132,31 @@ def test_unknown_route_label_raises(spark, fixtures):
         routed_query_pipeline(
             spark, queries, routes, docs, emb, nl2sql=NL2SQL.__getitem__
         )
+
+
+def test_always_search_adds_context_for_sql_queries(spark, fixtures):
+    # reference-exact §3.3: reg_call hybrid search runs for EVERY query;
+    # sql-routed queries get BOTH context rows and their sql answer
+    docs, emb, routes, queries = fixtures
+    out = routed_query_pipeline(
+        spark,
+        queries,
+        routes,
+        docs,
+        emb,
+        nl2sql=NL2SQL.__getitem__,
+        k=5,
+        always_search=True,
+    ).collect()
+    routed = {
+        r["query_id"]: r["route"]
+        for r in route_queries(queries, routes).collect()
+    }
+    arms = {}
+    for r in out:
+        arms.setdefault(r["query_id"], set()).add(r["route"])
+    for qid, route in routed.items():
+        if route == "sql":
+            assert arms[qid] == {"search", "sql"}
+        else:
+            assert arms[qid] == {"search"}

