@@ -1013,3 +1013,55 @@ def test_bpe_encode_lossless_and_checkpoint_invariant(spark, corpus, n_merges, c
     ref = sorted(encode_vocab(vocab, merges, checkpoint_every=0).collect())
     assert enc == ref
     assert all(r["syms"].replace(" ", "") == r["word"] for r in enc)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=25).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+def test_two_stage_late_interaction_subset_of_dense(spark, corpus, nq):
+    # r9: on ANY corpus, every two-stage hit must carry the dense form's
+    # exact score for that (query, doc) pair, and the candidate bound
+    # must hold (hits ⊆ BM25 top-N)
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_cache_clear,
+        bm25_search,
+    )
+    from vectorsearch_applications_spark.operators.late_interaction import (
+        late_interaction_search,
+        late_interaction_two_stage,
+    )
+
+    bm25_cache_clear()
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(i, corpus[i]) for i in range(min(nq, len(corpus)))],
+        "query_id long, query string",
+    )
+    n = 3
+    two = late_interaction_two_stage(
+        docs, queries, k=2, n_candidates=n, dim=8
+    ).collect()
+    dense = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 4)
+        for r in late_interaction_search(
+            docs, queries, k=1000, dim=8
+        ).collect()
+    }
+    cands = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_search(docs, queries, limit=n).collect()
+    }
+    for r in two:
+        key = (r["query_id"], r["doc_id"])
+        assert key in cands
+        assert round(r["score"], 4) == dense[key]
