@@ -108,3 +108,39 @@ def test_reference_corpus_metadata_loads_with_baseline_cardinality(spark):
         df.groupBy("guest").count().filter(F.col("count") > 1).count()
     )
     assert repeats >= 1  # zipfian guests: GROUP BY ... HAVING COUNT>1 is non-empty
+
+
+def test_two_stage_late_interaction_quality_on_golden_queries(spark, golden):
+    """The two-stage late-interaction entry point must retrieve at least
+    as well as its own BM25 first stage on the reference's golden
+    queries — Σ-maxsim re-ranking of the BM25 candidates may reorder but
+    must not lose gold docs that the prune already surfaced (k ≤ N), and
+    its absolute quality stays above the published full-corpus floor."""
+    from vectorsearch_applications_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+    from vectorsearch_applications_spark.operators.late_interaction import (
+        late_interaction_two_stage,
+    )
+
+    qid = {q: i for i, q in enumerate(golden["queries"])}
+    did = {d: i for i, d in enumerate(golden["corpus"])}
+    corpus = spark.createDataFrame(
+        [(did[k], t) for k, t in golden["corpus"].items()],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(qid[k], t) for k, t in golden["queries"].items()],
+        "query_id long, query string",
+    )
+    gold = spark.createDataFrame(
+        [(qid[q], did[d]) for q, d in golden["relevant_docs"].items()],
+        "query_id long, relevant_doc_id long",
+    )
+    hits = late_interaction_two_stage(
+        corpus, queries, k=5, n_candidates=25
+    ).withColumn("method", F.lit("li2"))
+    (m,) = retrieval_metrics(hits, gold).collect()
+    assert m["n_queries"] == 100
+    assert m["hit_rate"] >= 0.78, m
+    assert m["mrr"] >= 0.64, m
