@@ -456,9 +456,49 @@ def ivf_search_indexed(
     join entirely."""
     import os
 
+    from ..sources.tombstones import apply_tombstones
+
     base = os.path.join(root, f"{name}__ivf")
     centroids = spark.read.parquet(os.path.join(base, "centroids"))
-    assignments = spark.read.parquet(os.path.join(base, "assignments"))
+    # LIVE view: tombstoned (deleted) vectors never surface as hits
+    assignments = apply_tombstones(
+        spark,
+        base,
+        spark.read.parquet(os.path.join(base, "assignments")),
+        "vec_id",
+    )
     return ivf_search(
         corpus, centroids, assignments, queries, k=k, nprobe=nprobe, **cols
+    )
+
+
+def ivf_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Tombstone vectors out of the persisted IVF index
+    (sources/tombstones.py): O(|delete batch|), no assignment rewrite;
+    probes skip them immediately via the live view's anti-join. The
+    codebook is untouched — centroids are statistics, not members, and
+    drift under heavy churn is handled by the periodic full rebuild
+    exactly as for appends (ivf_append docstring)."""
+    import os
+
+    from ..sources.tombstones import tombstone_append
+
+    return tombstone_append(
+        spark, os.path.join(root, f"{name}__ivf"), deleted_ids, "vec_id"
+    )
+
+
+def ivf_index_compact(spark, root: str, name: str) -> int:
+    """Fold tombstones into a physical assignments rewrite; returns the
+    live vector count."""
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    return compact_table(
+        spark,
+        os.path.join(root, f"{name}__ivf"),
+        "assignments",
+        "vec_id",
+        "centroid_id",
     )

@@ -480,13 +480,128 @@ def bm25_save_index(
 def bm25_load_index(
     spark, root: str, name: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load the persisted index. Postings come back as the LIVE view
+    (minus tombstoned docs — bm25_index_delete); the term/corpus stats
+    files are already rewritten at delete time, so no view is needed."""
     import os
+
+    from ..sources.tombstones import apply_tombstones
 
     base = os.path.join(root, f"{name}__bm25")
     return (
-        spark.read.parquet(os.path.join(base, "postings")),
+        apply_tombstones(
+            spark,
+            base,
+            spark.read.parquet(os.path.join(base, "postings")),
+            "doc_id",
+        ),
         spark.read.parquet(os.path.join(base, "term_stats")),
         spark.read.parquet(os.path.join(base, "corpus_stats")),
+    )
+
+
+def bm25_delete_stats(
+    standing: tuple[DataFrame, DataFrame, DataFrame],
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The inverse of :func:`bm25_merge_stats`: remove a doc set from the
+    index tables WITHOUT re-tokenizing the surviving corpus.
+
+    Everything needed to correct the derived stats lives in the removed
+    postings rows themselves: per-term df drops by the removed doc
+    count (terms reaching df=0 leave the table), n_docs drops by the
+    removed distinct-doc count, and avgdl un-averages as
+    ``(avgdl·n_docs − Σ dl_removed) / n_docs'`` — the exact mirror of the
+    append merge's weighted average.
+
+    Caveat (documented, not silent): a doc with ZERO tokens has no
+    postings rows, so its membership cannot be reconstructed from the
+    index — deleting such ids leaves n_docs/avgdl counting them. They
+    can never match a query, so retrieval is unaffected; the drift is
+    bounded by the token-less fraction of deletes.
+    """
+    postings, term_stats, corpus_stats = standing
+    ids = deleted_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    removed = postings.join(F.broadcast(ids), "doc_id")
+    live_postings = postings.join(F.broadcast(ids), "doc_id", "left_anti")
+    removed_df = removed.groupBy("term").agg(F.count("*").alias("_rm"))
+    live_terms = (
+        term_stats.join(removed_df, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("_rm", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    rm_docs = removed.select("doc_id", "dl").distinct().agg(
+        F.count("*").alias("_n_rm"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("_dl_rm"),
+    )
+    live_corpus = corpus_stats.crossJoin(F.broadcast(rm_docs)).select(
+        (F.col("n_docs") - F.col("_n_rm")).alias("n_docs"),
+        F.when(F.col("n_docs") - F.col("_n_rm") <= 0, F.lit(0.0))
+        .otherwise(
+            (F.col("avgdl") * F.col("n_docs") - F.col("_dl_rm"))
+            / (F.col("n_docs") - F.col("_n_rm"))
+        )
+        .alias("avgdl"),
+    )
+    return live_postings, live_terms, live_corpus
+
+
+def bm25_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Delete docs from the PERSISTED index: postings are tombstoned
+    (O(|batch|), no rewrite — a doc's postings span every term it
+    contains), while the tiny term/corpus stats files are rewritten with
+    :func:`bm25_delete_stats` corrections so IDF and length
+    normalization reflect the live corpus immediately. Replay-idempotent
+    (already-tombstoned ids correct nothing twice). Returns the
+    newly-deleted id count.
+
+    Re-adding a deleted id later requires clearing its tombstone
+    (sources/tombstones.tombstone_clear) or re-saving the index — the
+    persisted layout has no append path (appends are the session-cache
+    contract, bm25_index_append)."""
+    import os
+
+    from ..sources.tombstones import (
+        load_tombstones,
+        tombstone_append,
+    )
+
+    base = os.path.join(root, f"{name}__bm25")
+    ids = deleted_ids.select(F.col("doc_id")).distinct()
+    existing = load_tombstones(spark, base, "doc_id")
+    if existing is not None:
+        ids = ids.join(existing, "doc_id", "left_anti")
+    ids = ids.localCheckpoint(eager=True)
+    n_new = ids.count()
+    if not n_new:
+        return 0
+    # correct stats against the CURRENT live view (prior deletes already
+    # folded into the stored stats), then persist the tiny tables
+    live = bm25_load_index(spark, root, name)
+    _, terms, corpus = bm25_delete_stats(live, ids)
+    terms = terms.localCheckpoint(eager=True)
+    corpus = corpus.localCheckpoint(eager=True)
+    terms.write.mode("overwrite").parquet(os.path.join(base, "term_stats"))
+    corpus.write.mode("overwrite").parquet(
+        os.path.join(base, "corpus_stats")
+    )
+    tombstone_append(spark, base, ids, "doc_id")
+    return n_new
+
+
+def bm25_index_compact(spark, root: str, name: str) -> int:
+    """Fold postings tombstones into a physical rewrite (stats files are
+    already live); returns surviving postings rows."""
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    return compact_table(
+        spark, os.path.join(root, f"{name}__bm25"), "postings", "doc_id"
     )
 
 

@@ -359,9 +359,47 @@ def minhash_save_index(
 
 
 def minhash_load_index(spark, root: str, name: str) -> DataFrame:
+    """The LIVE band table: persisted rows minus any tombstoned docs
+    (minhash_index_delete) — deleted docs must stop producing collision
+    evidence immediately, not at the next compaction."""
     import os
 
-    return spark.read.parquet(os.path.join(root, f"{name}__minhash", "bands"))
+    from ..sources.tombstones import apply_tombstones
+
+    base = os.path.join(root, f"{name}__minhash")
+    return apply_tombstones(
+        spark,
+        base,
+        spark.read.parquet(os.path.join(base, "bands")),
+        "doc_id",
+    )
+
+
+def minhash_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Delete docs from the persisted MinHash index via tombstones
+    (sources/tombstones.py): O(|delete batch|), no band rewrite — a
+    doc's band rows span every band partition, so a physical delete
+    would rewrite the whole table. Returns newly-recorded id count
+    (replay-idempotent). ``deleted_ids``: a frame with a doc_id column."""
+    import os
+
+    from ..sources.tombstones import tombstone_append
+
+    return tombstone_append(
+        spark, os.path.join(root, f"{name}__minhash"), deleted_ids, "doc_id"
+    )
+
+
+def minhash_index_compact(spark, root: str, name: str) -> int:
+    """Fold tombstones into a physical band-table rewrite and clear
+    them; returns live band rows kept."""
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    return compact_table(
+        spark, os.path.join(root, f"{name}__minhash"), "bands", "doc_id", "band"
+    )
 
 
 def minhash_index_append(
@@ -389,13 +427,23 @@ def minhash_index_append(
     """
     import os
 
-    path = os.path.join(root, f"{name}__minhash", "bands")
-    standing = spark.read.parquet(path)
+    from ..sources.tombstones import tombstone_clear
+
+    base = os.path.join(root, f"{name}__minhash")
+    path = os.path.join(base, "bands")
+    # screen against the LIVE view: tombstoned (deleted) docs must not
+    # resurrect as collision evidence for the arriving batch
+    standing = minhash_load_index(spark, root, name)
     new_bands = minhash_bands(
         new_docs, id_col, text_col, num_hashes, band_size, shingle_n
     ).localCheckpoint(eager=True)
     pairs = minhash_screen_batch(standing, new_bands).localCheckpoint(
         eager=True
+    )
+    # re-ingesting a previously-deleted id revives it: clear its
+    # tombstone or the live view would anti-join the new rows away
+    tombstone_clear(
+        spark, base, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
     )
     new_bands.write.mode("append").partitionBy("band").parquet(path)
     return pairs
@@ -684,9 +732,41 @@ def simhash_save_index(
 
 
 def simhash_load_index(spark, root: str, name: str) -> DataFrame:
+    """The LIVE band table (persisted rows minus tombstoned docs) —
+    same contract as minhash_load_index."""
     import os
 
-    return spark.read.parquet(os.path.join(root, f"{name}__simhash", "bands"))
+    from ..sources.tombstones import apply_tombstones
+
+    base = os.path.join(root, f"{name}__simhash")
+    return apply_tombstones(
+        spark,
+        base,
+        spark.read.parquet(os.path.join(base, "bands")),
+        "doc_id",
+    )
+
+
+def simhash_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Tombstone docs out of the persisted SimHash index — the MinHash
+    delete's twin (see minhash_index_delete)."""
+    import os
+
+    from ..sources.tombstones import tombstone_append
+
+    return tombstone_append(
+        spark, os.path.join(root, f"{name}__simhash"), deleted_ids, "doc_id"
+    )
+
+
+def simhash_index_compact(spark, root: str, name: str) -> int:
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    return compact_table(
+        spark, os.path.join(root, f"{name}__simhash"), "bands", "doc_id", "band"
+    )
 
 
 def simhash_index_append(
@@ -708,14 +788,21 @@ def simhash_index_append(
     the batch against itself)."""
     import os
 
-    path = os.path.join(root, f"{name}__simhash", "bands")
-    standing = spark.read.parquet(path)
+    from ..sources.tombstones import tombstone_clear
+
+    base = os.path.join(root, f"{name}__simhash")
+    path = os.path.join(base, "bands")
+    # LIVE view + tombstone revival: same contract as the MinHash twin
+    standing = simhash_load_index(spark, root, name)
     new_bands = simhash_bands(
         new_docs, id_col, text_col, bits, max_hamming
     ).localCheckpoint(eager=True)
     pairs = simhash_screen_batch(
         standing, new_bands, max_hamming
     ).localCheckpoint(eager=True)
+    tombstone_clear(
+        spark, base, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
     new_bands.write.mode("append").partitionBy("band").parquet(path)
     return pairs
 

@@ -1,0 +1,123 @@
+"""Tombstone-based deletes for the persisted index families (BM25
+postings, IVF assignments, MinHash/SimHash band tables) — the missing
+third verb of the index lifecycle after build and append.
+
+Why tombstones and not in-place rewrites: a doc's band rows span EVERY
+band partition and a doc's postings span every term it contains, so a
+physical delete touches the whole table — at 100 TB that is a full
+rewrite per delete batch. Instead deletes append ids to a tiny
+``<base>/tombstones`` parquet, reads apply one ``left_anti`` join (the
+tombstone side is small → broadcast), and a periodic
+:func:`compact_table` folds the tombstones into a physical rewrite and
+clears them — the same amortization story as small-file compaction in
+sources/collections.py.
+
+Reference analog: the collection's own delete/update surface
+(src/database/weaviate_interface_v4.py delete_collection + the point
+update flow, notebooks/7-ExpandedContent cell 22) — the reference's
+server maintains its inverted/HNSW indexes under those mutations; these
+helpers are that contract for this engine's persisted index tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOMBSTONES = "tombstones"
+
+
+def _tomb_path(base: str) -> str:
+    return os.path.join(base, TOMBSTONES)
+
+
+def load_tombstones(spark, base: str, id_col: str) -> DataFrame | None:
+    """The tombstoned id set, or None when nothing was ever deleted."""
+    path = _tomb_path(base)
+    try:
+        return spark.read.parquet(path).select(id_col).distinct()
+    except Exception:
+        return None
+
+
+def tombstone_append(spark, base: str, ids: DataFrame, id_col: str) -> int:
+    """Record ids as deleted; returns how many NEW ids were recorded.
+
+    Idempotent under replay: ids already tombstoned are dropped before
+    the append, so an at-least-once delete feed cannot grow the
+    tombstone table unboundedly (and callers adjusting derived stats —
+    bm25_index_delete — can trust the returned frame counts each id
+    once). The new-id frame is materialized eagerly BEFORE the append
+    (the anti-join reads the same directory being appended to).
+    """
+    new = ids.select(F.col(id_col)).distinct()
+    existing = load_tombstones(spark, base, id_col)
+    if existing is not None:
+        new = new.join(existing, id_col, "left_anti")
+    new = new.localCheckpoint(eager=True)
+    n = new.count()
+    if n:
+        new.write.mode("append").parquet(_tomb_path(base))
+    return n
+
+
+def tombstone_clear(spark, base: str, ids: DataFrame, id_col: str) -> int:
+    """Un-delete ids (rewrite the tiny tombstone table minus them) —
+    called by the append paths so RE-INGESTING a previously-deleted doc
+    works: without this, the live view's anti-join would kill the
+    re-appended rows too (same id). Returns remaining tombstone count."""
+    tombs = load_tombstones(spark, base, id_col)
+    if tombs is None:
+        return 0
+    keep = tombs.join(
+        ids.select(id_col).distinct(), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    n = keep.count()
+    keep.write.mode("overwrite").parquet(_tomb_path(base))
+    return n
+
+
+def apply_tombstones(
+    spark, base: str, table: DataFrame, id_col: str
+) -> DataFrame:
+    """The LIVE view of an index table: rows minus tombstoned ids. The
+    tombstone side is broadcast (it is bounded by the delete volume
+    between compactions, not by corpus size)."""
+    tombs = load_tombstones(spark, base, id_col)
+    if tombs is None:
+        return table
+    return table.join(F.broadcast(tombs), id_col, "left_anti")
+
+
+def compact_table(
+    spark,
+    base: str,
+    table_name: str,
+    id_col: str,
+    partition_col: str | None = None,
+) -> int:
+    """Fold tombstones into a physical rewrite of ``<base>/<table_name>``
+    and clear them; returns the number of LIVE rows kept.
+
+    The live rows are eagerly localCheckpointed before the overwrite
+    (the rewrite reads the directory it replaces); the tombstone table
+    is then truncated by an empty overwrite so subsequent reads skip the
+    anti-join entirely. Run this on the maintenance cadence, exactly
+    like small-file compaction.
+    """
+    path = os.path.join(base, table_name)
+    table = spark.read.parquet(path)
+    live = apply_tombstones(spark, base, table, id_col).localCheckpoint(
+        eager=True
+    )
+    n = live.count()
+    writer = live.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+    tombs = load_tombstones(spark, base, id_col)
+    if tombs is not None:
+        tombs.limit(0).write.mode("overwrite").parquet(_tomb_path(base))
+    return n
