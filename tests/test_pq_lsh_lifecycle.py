@@ -1,0 +1,231 @@
+"""PQ and LSH persisted-index lifecycle (r9): the last two index
+families gain the full build / append / delete / compact verb set the
+BM25 / IVF / MinHash / SimHash indexes already keep
+(test_incremental_index.py, test_index_delete.py).
+
+Contracts under test:
+- LSH: append == rebuild EXACTLY (hyperplanes are data-independent);
+  indexed search == the in-plan lsh_search on the same corpus.
+- PQ: append == encoding the FULL corpus with the same frozen codebook
+  (the standard PQ maintenance contract — NOT equal to a retrained
+  rebuild, which is the periodic-maintenance job, as for IVF centroids).
+- Both: delete == searching the survivor-encoded index, replay-
+  idempotent; compact == the tombstone view; re-append revives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.operators.lsh import (
+    lsh_index_append,
+    lsh_index_compact,
+    lsh_index_delete,
+    lsh_planes,
+    lsh_save_index,
+    lsh_search,
+    lsh_search_indexed,
+)
+from vectorsearch_applications_spark.operators.pq import (
+    ivfpq_search_indexed,
+    pq_adc_search,
+    pq_codebook,
+    pq_encode,
+    pq_index_append,
+    pq_index_compact,
+    pq_index_delete,
+    pq_save_index,
+    pq_search_indexed,
+)
+from vectorsearch_applications_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _emb(spark, pred=None):
+    df = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return df.filter(pred) if pred is not None else df
+
+
+def _queries(spark):
+    return (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- LSH
+
+
+def test_lsh_append_equals_rebuild_exact(spark, tmp_path):
+    root = str(tmp_path)
+    full = _emb(spark)
+    standing = full.filter(F.col("vec_id") % 2 == 1)
+    batch = full.filter(F.col("vec_id") % 2 == 0)
+
+    lsh_save_index(standing, root, "c")
+    n = lsh_index_append(spark, root, "c", batch)
+    assert n == batch.count()
+
+    got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    want = lsh_search(full, _queries(spark), lsh_planes(4, 64), k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_lsh_indexed_multiprobe_matches_inplan(spark, tmp_path):
+    root = str(tmp_path)
+    full = _emb(spark)
+    lsh_save_index(full, root, "c")
+    got = lsh_search_indexed(
+        spark, root, "c", _queries(spark), k=10, multiprobe=1
+    )
+    want = lsh_search(
+        full, _queries(spark), lsh_planes(4, 64), k=10, multiprobe=1
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_lsh_delete_compact_revive(spark, tmp_path):
+    root = str(tmp_path)
+    full = _emb(spark)
+    survivors = full.filter(F.col("vec_id") % 5 != 0)
+    deleted = full.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+
+    lsh_save_index(full, root, "c")
+    n = lsh_index_delete(spark, root, "c", deleted)
+    assert n == deleted.count()
+    # replay is a no-op
+    assert lsh_index_delete(spark, root, "c", deleted) == 0
+
+    want = lsh_search(survivors, _queries(spark), lsh_planes(4, 64), k=10)
+    got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got) == _rows(want)
+
+    # compaction preserves the live view
+    kept = lsh_index_compact(spark, root, "c")
+    assert kept == survivors.count()
+    got2 = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got2) == _rows(want)
+
+    # re-appending a deleted id revives it
+    revived = full.filter(F.col("vec_id") == 0)
+    lsh_index_delete(spark, root, "c", revived.select("vec_id"))
+    lsh_index_append(spark, root, "c", revived)
+    got3 = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    want3 = lsh_search(
+        survivors.unionByName(revived),
+        _queries(spark),
+        lsh_planes(4, 64),
+        k=10,
+    )
+    assert _rows(got3) == _rows(want3)
+
+
+def test_lsh_bucket_table_partitioned_on_disk(spark, tmp_path):
+    import os
+
+    root = str(tmp_path)
+    lsh_save_index(_emb(spark), root, "c")
+    subdirs = [
+        d
+        for d in os.listdir(os.path.join(root, "c__lsh", "buckets"))
+        if d.startswith("bucket=")
+    ]
+    assert len(subdirs) > 1  # probe-time partition pruning is real
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def test_pq_append_equals_frozen_codebook_encode(spark, tmp_path):
+    root = str(tmp_path)
+    full = _emb(spark)
+    standing = full.filter(F.col("vec_id") % 2 == 1)
+    batch = full.filter(F.col("vec_id") % 2 == 0)
+
+    pq_save_index(standing, root, "c")
+    n = pq_index_append(spark, root, "c", batch)
+    assert n == batch.count()
+
+    # oracle: the STANDING corpus's codebook encodes everything
+    cb = pq_codebook(standing)
+    want = pq_adc_search(pq_encode(full, cb), cb, _queries(spark), k=10)
+    got = pq_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_pq_ivfadc_append_lands_in_buckets(spark, tmp_path):
+    import os
+
+    from vectorsearch_applications_spark.operators.ann import ivf_build
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    standing = full.filter(F.col("vec_id") % 2 == 1)
+    batch = full.filter(F.col("vec_id") % 2 == 0)
+
+    centroids, _ = ivf_build(standing, n_centroids=4)
+    pq_save_index(standing, root, "c", centroids=centroids)
+    pq_index_append(spark, root, "c", batch)
+
+    codes_dir = os.path.join(root, "c__pq", "codes")
+    assert any(d.startswith("centroid_id=") for d in os.listdir(codes_dir))
+    # every appended row landed with a centroid assignment
+    codes = spark.read.parquet(codes_dir)
+    assert codes.filter(F.col("centroid_id").isNull()).count() == 0
+    assert codes.count() == full.count()
+
+    # the probed search still runs end-to-end over old ∪ new
+    hits = ivfpq_search_indexed(
+        spark, root, "c", _queries(spark), k=5, nprobe=2
+    )
+    assert hits.groupBy("query_id").count().filter(
+        F.col("count") != 5
+    ).count() == 0
+
+
+def test_pq_delete_compact_revive(spark, tmp_path):
+    root = str(tmp_path)
+    full = _emb(spark)
+    survivors = full.filter(F.col("vec_id") % 5 != 0)
+    deleted = full.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+
+    pq_save_index(full, root, "c")
+    n = pq_index_delete(spark, root, "c", deleted)
+    assert n == deleted.count()
+    assert pq_index_delete(spark, root, "c", deleted) == 0
+
+    cb = pq_codebook(full)
+    want = pq_adc_search(pq_encode(survivors, cb), cb, _queries(spark), k=10)
+    got = pq_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got) == _rows(want)
+
+    kept = pq_index_compact(spark, root, "c")
+    assert kept == survivors.count()
+    assert _rows(
+        pq_search_indexed(spark, root, "c", _queries(spark), k=10)
+    ) == _rows(want)
+
+    # revival: re-append one deleted id; it scores again (frozen codebook)
+    revived = full.filter(F.col("vec_id") == 0)
+    pq_index_delete(spark, root, "c", revived.select("vec_id"))
+    pq_index_append(spark, root, "c", revived)
+    want3 = pq_adc_search(
+        pq_encode(survivors.unionByName(revived), cb),
+        cb,
+        _queries(spark),
+        k=10,
+    )
+    assert _rows(
+        pq_search_indexed(spark, root, "c", _queries(spark), k=10)
+    ) == _rows(want3)

@@ -447,9 +447,8 @@ def pq_search_indexed(
 
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
-    codes = spark.read.parquet(os.path.join(base, "codes")).select(
-        "vec_id", "codes"
-    )
+    # LIVE view: tombstoned (deleted) vectors never surface as hits
+    codes = pq_load_index(spark, root, name).select("vec_id", "codes")
     return pq_adc_search(codes, cb, queries, n_codes, n_sub, dim, k, **cols)
 
 
@@ -480,7 +479,8 @@ def ivfpq_search_indexed(
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
     centroids = spark.read.parquet(os.path.join(base, "centroids"))
-    index = spark.read.parquet(os.path.join(base, "codes")).select(
+    # LIVE view: tombstoned (deleted) vectors never surface as hits
+    index = pq_load_index(spark, root, name).select(
         "vec_id", "codes", "centroid_id"
     )
 
@@ -542,3 +542,100 @@ def ivfpq_search_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adc_score")
     )
+
+
+def pq_load_index(spark, root: str, name: str) -> DataFrame:
+    """The LIVE codes table: persisted rows minus tombstoned vectors
+    (pq_index_delete) — deleted vectors must stop surfacing as ADC hits
+    immediately, not at the next compaction."""
+    import os
+
+    from ..sources.tombstones import apply_tombstones
+
+    base = os.path.join(root, f"{name}__pq")
+    return apply_tombstones(
+        spark,
+        base,
+        spark.read.parquet(os.path.join(base, "codes")),
+        "vec_id",
+    )
+
+
+def pq_index_append(
+    spark,
+    root: str,
+    name: str,
+    new_rows: DataFrame,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append vectors to the persisted PQ index: encode ONLY the new rows
+    with the FROZEN saved codebook (the standard PQ maintenance contract
+    — codebooks are trained once; appended vectors quantize against the
+    existing centroids) and append to the codes table. On the IVFADC
+    layout (pq_save_index with centroids) the new rows are also coarse-
+    assigned against the frozen coarse centroids and land in their bucket
+    partitions. The standing corpus is never re-encoded — the same
+    incremental contract as bm25_index_append / ivf_append /
+    minhash_index_append. Re-ingesting a previously-deleted id revives it
+    (tombstone_clear). Codebook drift under heavy append is handled by a
+    periodic full pq_save_index rebuild, exactly as for IVF centroids —
+    append==frozen-codebook-encode is exact; append==retrained-rebuild is
+    deliberately NOT the contract. Returns the appended vector count."""
+    import os
+
+    from ..sources.tombstones import tombstone_clear
+
+    base = os.path.join(root, f"{name}__pq")
+    cb = spark.read.parquet(os.path.join(base, "codebook"))
+    codes = pq_encode(new_rows, cb, n_sub, dim, id_col, vec_col)
+    partition_cols: list[str] = []
+    if os.path.isdir(os.path.join(base, "centroids")):
+        from .ann import assign_nearest_centroid
+
+        centroids = spark.read.parquet(os.path.join(base, "centroids"))
+        asg = assign_nearest_centroid(new_rows, centroids, id_col, vec_col)
+        codes = codes.join(asg, "vec_id")
+        partition_cols = ["centroid_id"]
+    codes = codes.localCheckpoint(eager=True)
+    n = codes.count()
+    tombstone_clear(
+        spark, base, new_rows.select(F.col(id_col).alias("vec_id")), "vec_id"
+    )
+    writer = codes.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(os.path.join(base, "codes"))
+    return n
+
+
+def pq_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Tombstone vectors out of the persisted PQ index
+    (sources/tombstones.py): O(|delete batch|), no codes rewrite; ADC
+    scans skip them immediately via the live view's anti-join. The
+    codebook is untouched — sub-centroids are statistics, not members
+    (same argument as ivf_index_delete). Returns newly-recorded id count
+    (replay-idempotent)."""
+    import os
+
+    from ..sources.tombstones import tombstone_append
+
+    return tombstone_append(
+        spark, os.path.join(root, f"{name}__pq"), deleted_ids, "vec_id"
+    )
+
+
+def pq_index_compact(spark, root: str, name: str) -> int:
+    """Fold tombstones into a physical codes rewrite and clear them;
+    returns live vectors kept. Preserves the IVFADC bucket partitioning
+    when present."""
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    base = os.path.join(root, f"{name}__pq")
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    partition_col = "centroid_id" if "centroid_id" in codes.columns else None
+    return compact_table(spark, base, "codes", "vec_id", partition_col)
