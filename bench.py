@@ -213,6 +213,8 @@ HEADLINE = [
     "late_interaction_two_stage",
     "dedup_simhash_append",
     "routed_query_pipeline",
+    "ann_lsh_index_append",
+    "ann_pq_index_append",
 ]
 
 

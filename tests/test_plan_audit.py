@@ -30,6 +30,8 @@ BOUNDED_BNLJ = {
     "ann_ivf_kmeans_exhaustive",
     "ann_ivfpq_search",
     "ann_pq_adc",
+    "ann_pq_index_append",  # same bounded codebook-array broadcast as ann_pq_adc
+
     "ann_quantized_search",
     "bm25_multifield",
     "bm25_prf_search",  # same 1-row corpus-stats broadcast as bm25_search, twice

@@ -5638,6 +5638,66 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_index_append",
+    f"""
+WITH planes AS (SELECT * FROM (VALUES {lsh_planes_sql_values(_LSH_PLANES)}) p(pid, pv)),
+b AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+             CAST(sum(CASE WHEN list_dot_product(p.pv, e.embedding::DOUBLE[]) >= 0
+                           THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, emb),
+q AS (SELECT vec_id AS query_id, emb AS qv, bucket FROM b
+      WHERE vec_id >= 5 AND vec_id < 10),
+cand AS (SELECT q.query_id, c.vec_id,
+                1.0 - list_dot_product(c.emb, q.qv) AS distance
+         FROM b c JOIN q USING (bucket)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY distance ASC, vec_id ASC) AS rnk FROM cand)
+SELECT query_id, vec_id, rnk::BIGINT AS rank, round(distance, 4) + 0.0 AS distance
+FROM ranked WHERE rnk <= 8
+""",
+)
+def q_ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index append (operators/lsh.py lsh_append_buckets,
+    persisted twin lsh_save_index/lsh_index_append — r9): the standing
+    corpus (odd vec_ids) contributes only its existing (vec_id, _v,
+    bucket) rows; the appended batch (even ids) buckets ONLY itself with
+    the same planes, and search runs over the combined table via
+    lsh_search_bucketed. Because the hyperplanes are data-INDEPENDENT
+    (unlike IVF centroids / PQ codebooks), append==rebuild is EXACT —
+    the oracle is the plain full-corpus LSH search, the strongest
+    equivalence any index family's append can claim. Lifecycle
+    (persisted append/delete/compact) equivalence-tested in
+    test_pq_lsh_lifecycle.py."""
+    from .operators.lsh import (
+        lsh_append_buckets,
+        lsh_bucket_table,
+        lsh_search_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = lsh_bucket_table(
+        emb.filter(F.col("vec_id") % 2 == 1), _LSH_PLANES
+    )
+    combined = lsh_append_buckets(
+        standing, emb.filter(F.col("vec_id") % 2 == 0), _LSH_PLANES
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = lsh_search_bucketed(combined, queries, _LSH_PLANES, k=8)
+    return hits.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("distance", 4) + F.lit(0.0)).alias("distance"),
+    )
+
+
+@register(
     "events_user_rolling_stats",
     """
 WITH e AS (SELECT event_id, user_id, value,
@@ -6219,6 +6279,76 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, n_codes=8, n_sub=8, dim=64)
     codes = pq_encode(emb, cb, n_sub=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_adc_search(
+        codes, cb, queries, n_codes=8, n_sub=8, dim=64, k=10
+    )
+
+
+@register(
+    "ann_pq_index_append",
+    """
+WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+cbase AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS code, emb
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 8)),
+cb AS (SELECT m, code, emb[m*8+1 : m*8+8] AS cv FROM cbase CROSS JOIN ms),
+vsub AS (SELECT vec_id, m, emb[m*8+1 : m*8+8] AS vs
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         CROSS JOIN ms),
+ed AS (SELECT v.vec_id, v.m, cb.code,
+              CAST(floor((list_dot_product(cb.cv, cb.cv)
+                          - 2 * list_dot_product(v.vs, cb.cv)) * 1000000)
+                   AS BIGINT) AS d
+       FROM vsub v JOIN cb ON v.m = cb.m),
+enc AS (SELECT vec_id, m, code FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d ASC, code ASC) AS rn FROM ed)
+        WHERE rn = 1),
+qsub AS (SELECT vec_id AS query_id, m, emb[m*8+1 : m*8+8] AS qs
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings WHERE vec_id < 5) CROSS JOIN ms),
+lut AS (SELECT q.query_id, cb.m, cb.code,
+               CAST(floor((list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(q.qs, cb.cv)) * 1000000)
+                    AS BIGINT) AS d
+        FROM qsub q JOIN cb ON q.m = cb.m),
+score AS (SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_score
+          FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+          GROUP BY l.query_id, e.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_score ASC, vec_id ASC) AS rnk FROM score)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, adc_score
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index append (operators/pq.py pq_encode over a
+    FROZEN codebook, persisted twin pq_save_index/pq_index_append — r9):
+    the codebook trains on the STANDING corpus only (odd vec_ids, the
+    id-prefix seed rule), the appended batch (even ids) encodes against
+    those frozen sub-centroids — the standard PQ maintenance contract
+    (codebooks are trained once; drift is handled by a periodic full
+    rebuild, exactly as for IVF centroids). The oracle restates the same
+    contract: sub-codebook CTE over the odd-id subset, every vector
+    encoded against it. ADC scores are order-free integer LUT sums —
+    bitwise identical across engines. Lifecycle (persisted
+    append/delete/compact, IVFADC bucket landing) equivalence-tested in
+    test_pq_lsh_lifecycle.py."""
+    from .operators.pq import pq_adc_search, pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 1)
+    batch = emb.filter(F.col("vec_id") % 2 == 0)
+    cb = pq_codebook(standing, n_codes=8, n_sub=8, dim=64)
+    # append path: standing codes ∪ batch encoded with the frozen codebook
+    codes = pq_encode(standing, cb, n_sub=8, dim=64).unionByName(
+        pq_encode(batch, cb, n_sub=8, dim=64)
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -12401,13 +12531,13 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r9 window = 3 new (two-stage late interaction, SimHash append,
-# routed §3.3 pipeline — registered during r9; inactive names are
-# filtered by _grade_order until then) + ALL 39 r4-vintage rows from
-# r8's _GRADE_LAST (the freshness lint went red at HEAD when
-# CORRECTNESS_r08.json landed; this rotation is the r9 verdict's
-# mandatory first action) + 8 of the 48 r5-vintage rows, heavies and
-# the two bench drifters first (the other 40 r5 rows sit in
+# r9 window = 5 new (two-stage late interaction, SimHash append,
+# routed §3.3 pipeline, LSH/PQ index appends — registered during r9;
+# inactive names are filtered by _grade_order until then) + ALL 39
+# r4-vintage rows from r8's _GRADE_LAST (the freshness lint went red at
+# HEAD when CORRECTNESS_r08.json landed; this rotation is the r9
+# verdict's mandatory first action) + 6 of the 48 r5-vintage rows,
+# heavies and the two bench drifters first (the other 42 r5 rows sit in
 # _GRADE_LAST and MUST all be in r10's window). The rotation floor is
 # CI: tests/test_grading_freshness.py fails if any registered query's
 # latest green row falls >4 rounds behind and isn't in the upcoming
@@ -12417,6 +12547,8 @@ _GRADE_FIRST = [
     "late_interaction_two_stage",
     "dedup_simhash_append",
     "routed_query_pipeline",
+    "ann_lsh_index_append",
+    "ann_pq_index_append",
     # the 39 r4-vintage deferrals (all verified preflight-green at r8
     # HEAD by builder and judge; re-verified this round)
     "events_sessionize",
@@ -12466,12 +12598,15 @@ _GRADE_FIRST = [
     "quality_classifier_fit",
     "scd2_user_state",
     "stream_attribution_batch_twin",
-    "user_feature_store",
-    "events_peak_concurrency",
 ]
 # r5-vintage rows deferred to the r10 rotation (cores untouched this
-# round; the freshness lint allows them one more round of slack).
+# round; the freshness lint allows them one more round of slack —
+# user_feature_store / events_peak_concurrency were displaced from the
+# r9 window by the two new index-append rows, which as never-graded
+# queries MUST be in the upcoming window).
 _GRADE_LAST = [
+    "user_feature_store",
+    "events_peak_concurrency",
     "cluster_aware_split",
     "curriculum_order",
     "customer_reorder_intervals",
