@@ -271,3 +271,37 @@ def test_collection_config_and_filter_builders(spark, tmp_path):
         "cfg", "alpha gamma", filters=fuzzy_match("text", "lpha")
     )
     assert {r["doc_id"] for r in hits.collect()} == {1}
+
+
+def test_build_ann_index_lsh_indexed_path_no_rebucket(client, monkeypatch):
+    """kind='lsh' closes the last rebuild-per-search facade wart: after
+    build_ann_index, unfiltered LSH searches read the persisted
+    bucket-partitioned table (planes re-minted from the saved meta) and
+    never re-bucket the corpus in-plan — and because the hyperplanes are
+    data-independent, the indexed results equal the in-plan ones
+    exactly."""
+    import vectorsearch_applications_spark.operators.lsh as lsh_mod
+
+    want = sorted(
+        map(
+            tuple,
+            client.vector_search(
+                "docs", "fast filter merge", limit=5, backend="lsh"
+            ).collect(),
+        )
+    )
+    client.build_ann_index("docs", kind="lsh")
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan corpus re-bucket after build_ann_index")
+
+    monkeypatch.setattr(lsh_mod, "lsh_bucket_table", boom)
+    got = sorted(
+        map(
+            tuple,
+            client.vector_search(
+                "docs", "fast filter merge", limit=5, backend="lsh"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 5

@@ -308,9 +308,12 @@ class SparkSearchClient:
         instead of re-deriving centroids/codebooks per query — the fix for
         the rebuild-per-search facade wart. Returns the index path.
 
-        ``kind``: 'ivf' (centroids + bucket-partitioned assignments) or
-        'ivfpq' (PQ codebook + codes partitioned by coarse centroid)."""
+        ``kind``: 'ivf' (centroids + bucket-partitioned assignments),
+        'ivfpq' (PQ codebook + codes partitioned by coarse centroid), or
+        'lsh' (bucket-partitioned sign-projection table + 3-int meta —
+        appends to it are exact, operators/lsh.py)."""
         from .operators.ann import ivf_build, ivf_save_index
+        from .operators.lsh import lsh_save_index
         from .operators.pq import pq_save_index
 
         docs = self._load(collection)
@@ -345,7 +348,11 @@ class SparkSearchClient:
                 dim=dim,
                 centroids=cents,
             )
-        raise ValueError(f"unknown index kind {kind!r} (use ivf|ivfpq)")
+        if kind == "lsh":
+            return lsh_save_index(corpus, self.root, collection, dim=dim)
+        raise ValueError(
+            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+        )
 
     def _dim(self, collection: str, vector_col: str, corpus: DataFrame) -> int:
         """Embedding dimension, probed once per (collection, column) and
@@ -390,8 +397,18 @@ class SparkSearchClient:
                 corpus, cents, asg, q, k=limit, nprobe=nprobe
             )
         if backend == "lsh":
-            from .operators.lsh import lsh_planes, lsh_search
+            from .operators.lsh import (
+                lsh_planes,
+                lsh_search,
+                lsh_search_indexed,
+            )
 
+            if not filtered and os.path.isdir(
+                os.path.join(self.root, f"{collection}__lsh")
+            ):
+                return lsh_search_indexed(
+                    self.spark, self.root, collection, q, k=limit
+                )
             planes = lsh_planes(n_planes=4, dim=dim)
             return lsh_search(corpus, q, planes, k=limit)
         if backend == "ivfpq":
