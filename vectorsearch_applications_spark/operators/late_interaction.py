@@ -106,6 +106,7 @@ def late_interaction_rerank(
     query_id_col: str = "query_id",
     query_text_col: str = "query",
     max_collect_candidates: int = 100_000,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Σ-maxsim re-rank of a bounded ``candidates(query_id, doc_id)``
     set — the second stage of the standard two-stage deployment.
@@ -171,7 +172,15 @@ def late_interaction_rerank(
     vocab = dt.select("tok").distinct().withColumn(
         "_de", hash_embed_col(F.col("tok"), dim)
     )
-    dte = dt.join(vocab, "tok").select("doc_id", "_de")
+    # Unlike the dense form (corpus-scale vocab, hint deliberately
+    # absent), THIS vocab is bounded by the candidate cap (≤ |Q|·N docs'
+    # distinct tokens), so broadcasting it collapses the tok-shuffle of
+    # the token table into a broadcast hash join. broadcast_vocab=False
+    # restores the shuffle shape for callers running past the collect
+    # cap with huge candidate sets (same degradation lever as
+    # join_encode_map(broadcast_map=False), operators/bpe.py).
+    vb = F.broadcast(vocab) if broadcast_vocab else vocab
+    dte = dt.join(vb, "tok").select("doc_id", "_de")
     # fan candidate docs out to their queries, then bring in that
     # query's tokens; qt is a few dozen rows per query → broadcast
     sims = dte.join(cand, "doc_id").join(
