@@ -229,3 +229,196 @@ def test_pq_delete_compact_revive(spark, tmp_path):
     assert _rows(
         pq_search_indexed(spark, root, "c", _queries(spark), k=10)
     ) == _rows(want3)
+
+
+def test_lsh_revive_changed_vector_no_stale_rows(spark, tmp_path):
+    """delete → re-append with CHANGED content, WITHOUT an intervening
+    manual compaction: the append must not resurrect the id's stale rows
+    (compact_if_reviving) — a ranked search would otherwise emit the id
+    twice, once under its old vector."""
+    from vectorsearch_applications_spark.operators.lsh import lsh_load_index
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    lsh_save_index(full, root, "c")
+    victim = full.filter(F.col("vec_id") == 0)
+    lsh_index_delete(spark, root, "c", victim.select("vec_id"))
+    changed = victim.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    lsh_index_append(spark, root, "c", changed)
+
+    buckets, _ = lsh_load_index(spark, root, "c")
+    assert buckets.filter(F.col("vec_id") == 0).count() == 1
+
+    want = lsh_search(
+        full.filter(F.col("vec_id") != 0).unionByName(changed),
+        _queries(spark),
+        lsh_planes(4, 64),
+        k=10,
+    )
+    got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_pq_revive_changed_vector_no_stale_codes(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.pq import pq_load_index
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    pq_save_index(full, root, "c")
+    victim = full.filter(F.col("vec_id") == 0)
+    pq_index_delete(spark, root, "c", victim.select("vec_id"))
+    changed = victim.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    pq_index_append(spark, root, "c", changed)
+
+    assert pq_load_index(spark, root, "c").filter(
+        F.col("vec_id") == 0
+    ).count() == 1
+
+    cb = pq_codebook(full)  # frozen at save time
+    want = pq_adc_search(
+        pq_encode(
+            full.filter(F.col("vec_id") != 0).unionByName(changed), cb
+        ),
+        cb,
+        _queries(spark),
+        k=10,
+    )
+    got = pq_search_indexed(spark, root, "c", _queries(spark), k=10)
+    assert _rows(got) == _rows(want)
+
+
+# ------------------------------------------- IVF / BM25 on-disk appends
+
+
+def test_ivf_index_append_matches_frozen_centroid_rebuild(spark, tmp_path):
+    """The on-disk IVF append (new in r9 — the frame-level ivf_append
+    already existed): assignments for the appended slice land against
+    the FROZEN saved centroids, so indexed search == searching an
+    assignment table built over the full corpus with those centroids."""
+    from vectorsearch_applications_spark.operators.ann import (
+        _assign,
+        ivf_index_append,
+        ivf_save_index,
+        ivf_search,
+        ivf_search_indexed,
+    )
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    standing = full.filter(F.col("vec_id") % 2 == 1)
+    batch = full.filter(F.col("vec_id") % 2 == 0)
+
+    ivf_save_index(standing, root, "c", n_centroids=4)
+    n = ivf_index_append(spark, root, "c", batch)
+    assert n == batch.count()
+
+    centroids = spark.read.parquet(f"{root}/c__ivf/centroids")
+    want = ivf_search(
+        full,
+        centroids,
+        _assign(full, centroids, "vec_id", "embedding"),
+        _queries(spark),
+        k=10,
+        nprobe=2,
+    )
+    got = ivf_search_indexed(
+        spark, root, "c", full, _queries(spark), k=10, nprobe=2
+    )
+    assert _rows(got) == _rows(want)
+
+    # changed-content revival: no stale assignment row survives
+    victim = full.filter(F.col("vec_id") == 0)
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_index_delete,
+    )
+
+    ivf_index_delete(spark, root, "c", victim.select("vec_id"))
+    changed = victim.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    ivf_index_append(spark, root, "c", changed)
+    asg = spark.read.parquet(f"{root}/c__ivf/assignments")
+    assert asg.filter(F.col("vec_id") == 0).count() == 1
+
+
+def test_bm25_persisted_append_matches_rebuild(spark, tmp_path):
+    """On-disk BM25 append == re-saving the index over the full corpus:
+    postings append, the tiny term/corpus stats files rewrite via the
+    merge math, and indexed search results are identical."""
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_append_persisted,
+        bm25_save_index,
+        bm25_search_indexed,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark join order"), (1, "window agg stream")],
+        "query_id long, query string",
+    )
+    root = str(tmp_path)
+    standing = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+
+    bm25_save_index(standing, root, "a")
+    n = bm25_index_append_persisted(spark, root, "a", batch)
+    assert 0 < n <= batch.count()
+    bm25_save_index(docs, root, "b")  # full rebuild
+
+    got = bm25_search_indexed(spark, root, "a", queries, limit=10)
+    want = bm25_search_indexed(spark, root, "b", queries, limit=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_bm25_persisted_append_revive_no_stale_postings(spark, tmp_path):
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_append_persisted,
+        bm25_index_delete,
+        bm25_save_index,
+        bm25_search_indexed,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark join order"), (1, "window agg stream")],
+        "query_id long, query string",
+    )
+    root = str(tmp_path)
+    bm25_save_index(docs, root, "a")
+    victim = docs.filter(F.col("doc_id") == 7)
+    bm25_index_delete(spark, root, "a", victim.select("doc_id"))
+    # re-ingest with CHANGED text; stale postings must not resurrect
+    changed = victim.withColumn(
+        "text", F.concat(F.lit("spark join order twist "), F.col("text"))
+    )
+    bm25_index_append_persisted(spark, root, "a", changed)
+
+    postings = spark.read.parquet(f"{root}/a__bm25/postings")
+    # exactly one postings row per (doc 7, term): the old rows compacted
+    assert (
+        postings.filter(F.col("doc_id") == 7)
+        .groupBy("term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # equivalence with a fresh save over survivors ∪ changed
+    bm25_save_index(
+        docs.filter(F.col("doc_id") != 7).unionByName(changed), root, "b"
+    )
+    got = bm25_search_indexed(spark, root, "a", queries, limit=10)
+    want = bm25_search_indexed(spark, root, "b", queries, limit=10)
+    assert _rows(got) == _rows(want)

@@ -472,6 +472,47 @@ def ivf_search_indexed(
     )
 
 
+def ivf_index_append(
+    spark,
+    root: str,
+    name: str,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append vectors to the PERSISTED IVF index — the on-disk twin of
+    :func:`ivf_append`: assign ONLY the new rows against the frozen
+    saved centroids and append them to the bucket-partitioned
+    assignment table. The standing corpus is never rescanned; centroid
+    drift under heavy append is the periodic full ivf_save_index
+    rebuild (ivf_append docstring). Re-ingesting a previously-deleted
+    id compacts first (compact_if_reviving — clearing the tombstone
+    alone would resurrect the id's stale assignment row next to the new
+    one). Returns the appended vector count."""
+    import os
+
+    from ..sources.tombstones import compact_if_reviving
+
+    base = os.path.join(root, f"{name}__ivf")
+    centroids = spark.read.parquet(os.path.join(base, "centroids"))
+    asg = _assign(new_rows, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    n = asg.count()
+    compact_if_reviving(
+        spark,
+        base,
+        "assignments",
+        new_rows.select(F.col(id_col).alias("vec_id")),
+        "vec_id",
+        "centroid_id",
+    )
+    asg.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(base, "assignments")
+    )
+    return n
+
+
 def ivf_index_delete(spark, root: str, name: str, deleted_ids) -> int:
     """Tombstone vectors out of the persisted IVF index
     (sources/tombstones.py): O(|delete batch|), no assignment rewrite;

@@ -593,6 +593,67 @@ def bm25_index_delete(spark, root: str, name: str, deleted_ids) -> int:
     return n_new
 
 
+def bm25_index_append_persisted(
+    spark,
+    root: str,
+    name: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a disjoint doc slice into the PERSISTED index — the
+    on-disk twin of the cache-level :func:`bm25_index_append`: stats
+    build for ``new_docs`` only, the tiny term/corpus tables merge
+    (:func:`bm25_merge_stats` math) and rewrite, and the new postings
+    rows append — the standing corpus is never re-tokenized. Deleted
+    docs are already OUT of the saved stats (bm25_index_delete corrects
+    them at delete time), so the merge needs no live view beyond the
+    files themselves. Re-ingesting a previously-deleted id compacts
+    the postings first (compact_if_reviving — clearing the tombstone
+    alone would resurrect the doc's stale postings next to the new
+    ones and double-score it). Caveat inherited from
+    :func:`bm25_delete_stats`: a previously-deleted ZERO-token doc
+    could not be removed from n_docs/avgdl, so re-appending one
+    double-counts it there — drift bounded by the token-less fraction
+    of revived deletes. Returns the appended doc count (docs with ≥1
+    token — token-less docs have no postings rows to count)."""
+    import os
+
+    from ..sources.tombstones import compact_if_reviving
+
+    base = os.path.join(root, f"{name}__bm25")
+    new_postings, new_terms, new_corpus = bm25_build_stats(
+        new_docs, id_col, text_col
+    )
+    saved_terms = spark.read.parquet(os.path.join(base, "term_stats"))
+    saved_corpus = spark.read.parquet(os.path.join(base, "corpus_stats"))
+    _, term_stats, corpus_stats = bm25_merge_stats(
+        (new_postings.limit(0), saved_terms, saved_corpus),
+        (new_postings.limit(0), new_terms, new_corpus),
+    )
+    # the merged stats plans READ the directories about to be
+    # overwritten — pin them (and the postings slice) eagerly first
+    new_postings = new_postings.localCheckpoint(eager=True)
+    term_stats = term_stats.localCheckpoint(eager=True)
+    corpus_stats = corpus_stats.localCheckpoint(eager=True)
+    n = new_postings.select("doc_id").distinct().count()
+    compact_if_reviving(
+        spark,
+        base,
+        "postings",
+        new_docs.select(F.col(id_col).alias("doc_id")),
+        "doc_id",
+    )
+    new_postings.write.mode("append").parquet(os.path.join(base, "postings"))
+    term_stats.write.mode("overwrite").parquet(
+        os.path.join(base, "term_stats")
+    )
+    corpus_stats.write.mode("overwrite").parquet(
+        os.path.join(base, "corpus_stats")
+    )
+    return n
+
+
 def bm25_index_compact(spark, root: str, name: str) -> int:
     """Fold postings tombstones into a physical rewrite (stats files are
     already live); returns surviving postings rows."""

@@ -427,7 +427,7 @@ def minhash_index_append(
     """
     import os
 
-    from ..sources.tombstones import tombstone_clear
+    from ..sources.tombstones import compact_if_reviving
 
     base = os.path.join(root, f"{name}__minhash")
     path = os.path.join(base, "bands")
@@ -440,10 +440,17 @@ def minhash_index_append(
     pairs = minhash_screen_batch(standing, new_bands).localCheckpoint(
         eager=True
     )
-    # re-ingesting a previously-deleted id revives it: clear its
-    # tombstone or the live view would anti-join the new rows away
-    tombstone_clear(
-        spark, base, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    # re-ingesting a previously-deleted id revives it: the band table
+    # compacts first (merely clearing the tombstone would resurrect the
+    # doc's STALE band rows — changed content would then collide under
+    # its old signature too)
+    compact_if_reviving(
+        spark,
+        base,
+        "bands",
+        new_docs.select(F.col(id_col).alias("doc_id")),
+        "doc_id",
+        "band",
     )
     new_bands.write.mode("append").partitionBy("band").parquet(path)
     return pairs
@@ -788,11 +795,11 @@ def simhash_index_append(
     the batch against itself)."""
     import os
 
-    from ..sources.tombstones import tombstone_clear
+    from ..sources.tombstones import compact_if_reviving
 
     base = os.path.join(root, f"{name}__simhash")
     path = os.path.join(base, "bands")
-    # LIVE view + tombstone revival: same contract as the MinHash twin
+    # LIVE view + compact-on-revive: same contract as the MinHash twin
     standing = simhash_load_index(spark, root, name)
     new_bands = simhash_bands(
         new_docs, id_col, text_col, bits, max_hamming
@@ -800,8 +807,13 @@ def simhash_index_append(
     pairs = simhash_screen_batch(
         standing, new_bands, max_hamming
     ).localCheckpoint(eager=True)
-    tombstone_clear(
-        spark, base, new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    compact_if_reviving(
+        spark,
+        base,
+        "bands",
+        new_docs.select(F.col(id_col).alias("doc_id")),
+        "doc_id",
+        "band",
     )
     new_bands.write.mode("append").partitionBy("band").parquet(path)
     return pairs

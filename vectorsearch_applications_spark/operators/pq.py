@@ -586,7 +586,7 @@ def pq_index_append(
     deliberately NOT the contract. Returns the appended vector count."""
     import os
 
-    from ..sources.tombstones import tombstone_clear
+    from ..sources.tombstones import compact_if_reviving
 
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
@@ -601,8 +601,15 @@ def pq_index_append(
         partition_cols = ["centroid_id"]
     codes = codes.localCheckpoint(eager=True)
     n = codes.count()
-    tombstone_clear(
-        spark, base, new_rows.select(F.col(id_col).alias("vec_id")), "vec_id"
+    # revival compacts first: clearing the tombstone alone would
+    # resurrect the id's stale codes next to the re-appended ones
+    compact_if_reviving(
+        spark,
+        base,
+        "codes",
+        new_rows.select(F.col(id_col).alias("vec_id")),
+        "vec_id",
+        partition_cols[0] if partition_cols else None,
     )
     writer = codes.write.mode("append")
     if partition_cols:

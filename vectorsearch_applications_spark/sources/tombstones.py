@@ -121,3 +121,37 @@ def compact_table(
     if tombs is not None:
         tombs.limit(0).write.mode("overwrite").parquet(_tomb_path(base))
     return n
+
+
+def compact_if_reviving(
+    spark,
+    base: str,
+    table_name: str,
+    ids: DataFrame,
+    id_col: str,
+    partition_col: str | None = None,
+) -> bool:
+    """Guard for the append paths: if any arriving id is currently
+    TOMBSTONED, physically compact the table first and report True.
+
+    Why: clearing a revived id's tombstone (tombstone_clear) would also
+    resurrect its OLD physical rows — the live view's anti-join can't
+    tell the stale rows from the re-appended ones, so a ranked search
+    would emit the doc twice (and, for changed content, once with STALE
+    data). Screens that DISTINCT their pairs tolerate the duplicates;
+    ranked top-k families (BM25/IVF/PQ/LSH) do not, so every append
+    path takes this guard uniformly. The compaction pays the physical
+    rewrite ONLY on the rare delete-then-re-ingest path; the common
+    append stays O(|batch|). At 100 TB, schedule compactions after
+    large delete batches so revives never trigger one inline.
+    """
+    tombs = load_tombstones(spark, base, id_col)
+    if tombs is None:
+        return False
+    reviving = (
+        ids.select(F.col(id_col)).distinct().join(tombs, id_col).limit(1)
+    )
+    if not reviving.count():
+        return False
+    compact_table(spark, base, table_name, id_col, partition_col)
+    return True
