@@ -422,3 +422,46 @@ def test_bm25_persisted_append_revive_no_stale_postings(spark, tmp_path):
     got = bm25_search_indexed(spark, root, "a", queries, limit=10)
     want = bm25_search_indexed(spark, root, "b", queries, limit=10)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_lsh_index_append(spark, tmp_path):
+    """Stream-ingest maintenance of the persisted LSH index: each
+    micro-batch appends via lsh_index_append (foreachBatch), and because
+    the planes are data-independent the final index searches EXACTLY
+    like a one-shot build over everything that arrived."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path)
+    lsh_save_index(emb.filter(F.col("vec_id") < 100), root, "c")
+
+    src = str(tmp_path / "vecs")
+    emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    ).write.parquet(src + "/b1")
+    emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+    ).write.parquet(src + "/b2")
+
+    def append_batch(batch_df, epoch_id):
+        lsh_index_append(spark, root, "c", batch_df)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    want = lsh_search(
+        emb.filter(F.col("vec_id") < 300),
+        _queries(spark),
+        lsh_planes(4, 64),
+        k=10,
+    )
+    assert _rows(got) == _rows(want)
