@@ -465,3 +465,49 @@ def test_streaming_lsh_index_append(spark, tmp_path):
         k=10,
     )
     assert _rows(got) == _rows(want)
+
+
+def test_index_inventory_reports_families_and_tombstone_debt(
+    spark, tmp_path
+):
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_save_index,
+    )
+    from vectorsearch_applications_spark.sources.index_catalog import (
+        index_inventory,
+    )
+
+    root = str(tmp_path)
+    emb = _emb(spark)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    lsh_save_index(emb, root, "vecs")
+    pq_save_index(emb, root, "vecs")
+    bm25_save_index(docs, root, "docs")
+    lsh_index_delete(
+        spark, root, "vecs", emb.filter(F.col("vec_id") < 10).select("vec_id")
+    )
+
+    inv = {
+        (r["collection"], r["family"]): r
+    for r in index_inventory(spark, root).collect()}
+    assert set(inv) == {("vecs", "lsh"), ("vecs", "pq"), ("docs", "bm25")}
+
+    lsh = inv[("vecs", "lsh")]
+    assert lsh["needs_compaction"] and lsh["tombstoned_ids"] == 10
+    assert lsh["live_rows"] == lsh["rows"] - 10  # 1 bucket row per vector
+
+    assert not inv[("vecs", "pq")]["needs_compaction"]
+    assert inv[("vecs", "pq")]["rows"] == inv[("vecs", "pq")]["live_rows"]
+
+    # compaction clears the debt
+    lsh_index_compact(spark, root, "vecs")
+    inv2 = {
+        (r["collection"], r["family"]): r
+        for r in index_inventory(spark, root).collect()
+    }
+    assert not inv2[("vecs", "lsh")]["needs_compaction"]
+    assert inv2[("vecs", "lsh")]["rows"] == lsh["live_rows"]
