@@ -305,3 +305,44 @@ def test_build_ann_index_lsh_indexed_path_no_rebucket(client, monkeypatch):
         )
     )
     assert got == want and len(got) == 5
+
+
+def test_append_to_ann_index_keeps_searches_fresh(client, spark):
+    """batch_index_data appends to the COLLECTION; append_to_ann_index is
+    the matching index-maintenance verb — without it a persisted index
+    built earlier silently misses the new docs on every search."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("vec doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    base = emb.filter(F.col("doc_id") < 200)
+    batch = emb.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    client.create_collection("growing", base)
+    client.build_ann_index(
+        "growing", kind="lsh", id_col="doc_id", vector_col="embedding"
+    )
+    client.batch_index_data("growing", batch, ["doc_id"])
+    n = client.append_to_ann_index(
+        "growing", batch, kind="lsh", id_col="doc_id",
+        vector_col="embedding",
+    )
+    assert n == 100
+    # a query vector equal to an appended doc's embedding must now find it
+    probe = batch.filter(F.col("doc_id") == 250)
+    from vectorsearch_applications_spark.operators.lsh import (
+        lsh_search_indexed,
+    )
+
+    hits = lsh_search_indexed(
+        spark,
+        client.root,
+        "growing",
+        probe.select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=1,
+    )
+    rows = hits.collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 250

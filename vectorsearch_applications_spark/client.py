@@ -354,6 +354,54 @@ class SparkSearchClient:
             f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
         )
 
+    def append_to_ann_index(
+        self,
+        collection: str,
+        new_rows: DataFrame,
+        kind: str = "ivf",
+        id_col: str = "doc_id",
+        vector_col: str = "embedding",
+        text_col: str = "text",
+    ) -> int:
+        """Bring a persisted ANN index up to date with a just-indexed
+        batch — the facade's missing maintenance verb: ``batch_index_data``
+        appends rows to the COLLECTION, but a persisted index built
+        earlier would silently miss them on every subsequent search.
+        Call this with the same batch; it routes to the family's O(|batch|)
+        on-disk append (frozen centroids/codebook for ivf/ivfpq — periodic
+        full build_ann_index handles drift; exact for lsh). Returns the
+        appended vector count."""
+        from .operators.ann import ivf_index_append
+        from .operators.lsh import lsh_index_append
+        from .operators.pq import pq_index_append
+
+        if vector_col in new_rows.columns:
+            corpus = new_rows.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vector_col).alias("embedding"),
+            )
+            dim = self._dim(collection, vector_col, corpus)
+        else:
+            corpus = hash_embed_ids(
+                new_rows.select(id_col, text_col),
+                id_col,
+                text_col,
+                self._embed_dim,
+            ).select(F.col(id_col).alias("vec_id"), "embedding")
+            dim = self._embed_dim
+        if kind == "ivf":
+            return ivf_index_append(self.spark, self.root, collection, corpus)
+        if kind == "ivfpq":
+            n_sub = 8 if dim % 8 == 0 else 1
+            return pq_index_append(
+                self.spark, self.root, collection, corpus, n_sub=n_sub, dim=dim
+            )
+        if kind == "lsh":
+            return lsh_index_append(self.spark, self.root, collection, corpus)
+        raise ValueError(
+            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+        )
+
     def _dim(self, collection: str, vector_col: str, corpus: DataFrame) -> int:
         """Embedding dimension, probed once per (collection, column) and
         cached — array columns don't carry length in the Spark schema."""
