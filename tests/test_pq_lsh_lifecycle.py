@@ -511,3 +511,62 @@ def test_index_inventory_reports_families_and_tombstone_debt(
     }
     assert not inv2[("vecs", "lsh")]["needs_compaction"]
     assert inv2[("vecs", "lsh")]["rows"] == lsh["live_rows"]
+
+
+def test_empty_batch_appends_are_noops(spark, tmp_path):
+    """Empty micro-batches are routine on a stream (a filter can
+    eliminate a whole trigger's worth of rows): every on-disk append
+    must be a no-op that neither crashes nor corrupts the persisted
+    stats/meta — the BM25 stats merge is the risky one (a NULL avgdl
+    from an empty slice folding into the weighted average would poison
+    every later score)."""
+    from vectorsearch_applications_spark.operators.ann import (
+        ivf_index_append,
+        ivf_save_index,
+        ivf_search_indexed,
+    )
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_append_persisted,
+        bm25_save_index,
+        bm25_search_indexed,
+    )
+
+    root = str(tmp_path)
+    emb = _emb(spark)
+    empty_vecs = emb.limit(0)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark join order")], "query_id long, query string"
+    )
+
+    lsh_save_index(emb, root, "v")
+    pq_save_index(emb, root, "v")
+    ivf_save_index(emb, root, "v", n_centroids=4)
+    bm25_save_index(docs, root, "d")
+
+    before_lsh = _rows(lsh_search_indexed(spark, root, "v", _queries(spark)))
+    before_pq = _rows(pq_search_indexed(spark, root, "v", _queries(spark)))
+    before_ivf = _rows(
+        ivf_search_indexed(spark, root, "v", emb, _queries(spark))
+    )
+    before_bm = _rows(bm25_search_indexed(spark, root, "d", queries))
+
+    assert lsh_index_append(spark, root, "v", empty_vecs) == 0
+    assert pq_index_append(spark, root, "v", empty_vecs) == 0
+    assert ivf_index_append(spark, root, "v", empty_vecs) == 0
+    assert bm25_index_append_persisted(spark, root, "d", docs.limit(0)) == 0
+
+    assert _rows(
+        lsh_search_indexed(spark, root, "v", _queries(spark))
+    ) == before_lsh
+    assert _rows(
+        pq_search_indexed(spark, root, "v", _queries(spark))
+    ) == before_pq
+    assert _rows(
+        ivf_search_indexed(spark, root, "v", emb, _queries(spark))
+    ) == before_ivf
+    assert _rows(bm25_search_indexed(spark, root, "d", queries)) == before_bm
