@@ -559,10 +559,10 @@ def bm25_index_delete(spark, root: str, name: str, deleted_ids) -> int:
     (already-tombstoned ids correct nothing twice). Returns the
     newly-deleted id count.
 
-    Re-adding a deleted id later requires clearing its tombstone
-    (sources/tombstones.tombstone_clear) or re-saving the index — the
-    persisted layout has no append path (appends are the session-cache
-    contract, bm25_index_append)."""
+    Re-adding a deleted id later goes through
+    :func:`bm25_index_append_persisted`, which compacts the postings
+    first (sources/tombstones.compact_if_reviving) so the doc's stale
+    postings cannot resurrect next to the re-appended ones."""
     import os
 
     from ..sources.tombstones import (
