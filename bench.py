@@ -215,6 +215,8 @@ HEADLINE = [
     "routed_query_pipeline",
     "ann_lsh_index_append",
     "ann_pq_index_append",
+    "ann_ivf_append",
+    "bm25_incremental_append",
 ]
 
 

@@ -26,6 +26,7 @@ from .conftest import SF_SMOKE
 # 1-row aggregates (corpus stats, token budgets), the canned query set,
 # codebook/centroid arrays, or a threshold scalar.
 BOUNDED_BNLJ = {
+    "ann_ivf_append",  # same ≤8-row centroid-array broadcast as ann_ivf_exhaustive
     "ann_ivf_exhaustive",
     "ann_ivf_kmeans_exhaustive",
     "ann_ivfpq_search",
@@ -34,6 +35,7 @@ BOUNDED_BNLJ = {
 
     "ann_quantized_search",
     "bm25_multifield",
+    "bm25_incremental_append",  # same 1-row corpus-stats broadcast (merged)
     "bm25_prf_search",  # same 1-row corpus-stats broadcast as bm25_search, twice
     "bm25_search",
     "dedup_embedding_cosine",

@@ -5698,6 +5698,144 @@ def q_ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_append",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id >= 5 AND vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_dot_product(e.embedding::DOUBLE[], q.qv) AS distance
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, rnk::BIGINT AS rank, round(distance, 4) + 0.0 AS distance
+FROM ranked WHERE rnk <= 8
+""",
+)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index append (operators/ann.py ivf_append,
+    persisted twin ivf_save_index/ivf_index_append — r9): centroids
+    train on the STANDING corpus only (odd vec_ids), the appended batch
+    (even ids) assigns against those FROZEN centroids, and search runs
+    over the append-maintained assignment table. Probing EVERY bucket
+    makes the result equal exact kNN over the full corpus — the
+    ann_ivf_exhaustive trick — regardless of which centroids assigned
+    whom, so the oracle needs no centroid restatement while a vector
+    dropped or duplicated by the append would break the equality.
+    Completes the graded append set: MinHash/SimHash/LSH/PQ append rows
+    already exist; lifecycle equivalences for the on-disk twin in
+    test_pq_lsh_lifecycle.py."""
+    from .operators.ann import ivf_append, ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 1)
+    batch = emb.filter(F.col("vec_id") % 2 == 0)
+    centroids, asg = ivf_build(standing, n_centroids=8)
+    asg_all = ivf_append(centroids, asg, batch)
+    queries = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = ivf_search(emb, centroids, asg_all, queries, k=8, nprobe=8)
+    return hits.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("distance", 4) + F.lit(0.0)).alias("distance"),
+    )
+
+
+@register(
+    "bm25_incremental_append",
+    f"""
+WITH docs AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+ca AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs
+       WHERE doc_id % 2 = 1),
+cb AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs
+       WHERE doc_id % 2 = 0),
+corpus AS (SELECT ca.n + cb.n AS n_docs,
+                  (ca.avgdl * ca.n + cb.avgdl * cb.n) / (ca.n + cb.n)
+                    AS avgdl
+           FROM ca, cb),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs)
+  GROUP BY doc_id, dl, term
+),
+termstats AS (
+  SELECT term, CAST(sum(df) AS BIGINT) AS df FROM (
+    SELECT term, count(*) AS df FROM postings WHERE doc_id % 2 = 1
+    GROUP BY term
+    UNION ALL
+    SELECT term, count(*) AS df FROM postings WHERE doc_id % 2 = 0
+    GROUP BY term
+  ) GROUP BY term
+),
+queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+{_BM25_SCORING}
+SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
+FROM kw_ranked WHERE rnk <= 10
+""",
+)
+def q_bm25_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 stats merge (operators/bm25.py bm25_merge_stats,
+    SURVEY §7 hard part 3; session twin bm25_index_append, persisted
+    twin bm25_index_append_persisted): the index stats build on the
+    STANDING slice (odd doc ids) and the appended slice (even ids)
+    SEPARATELY, merge without re-tokenizing either — postings
+    concatenate, term df's add, corpus stats merge as the weighted
+    average (avgdl_a·n_a + avgdl_b·n_b)/(n_a+n_b) — and queries score
+    against the merged index. The oracle restates the merge ARITHMETIC,
+    not a full-corpus rebuild: the weighted average of slice averages
+    is a different float expression than one global mean, so grading
+    the rebuild would mask a broken merge (and a correct merge would
+    flap against it in the last ulp). Completes the graded append
+    contracts for all six index families."""
+    from .operators.bm25 import (
+        bm25_build_stats,
+        bm25_merge_stats,
+        bm25_scores_from_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    postings, term_stats, corpus_stats = bm25_merge_stats(
+        bm25_build_stats(standing), bm25_build_stats(batch)
+    )
+    q_terms = _search_queries_df(spark).select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize("query"))).alias("term"),
+    )
+    scored = bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, q_terms
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+@register(
     "events_user_rolling_stats",
     """
 WITH e AS (SELECT event_id, user_id, value,
@@ -12531,14 +12669,15 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r9 window = 5 new (two-stage late interaction, SimHash append,
-# routed §3.3 pipeline, LSH/PQ index appends — registered during r9;
-# inactive names are filtered by _grade_order until then) + ALL 39
-# r4-vintage rows from r8's _GRADE_LAST (the freshness lint went red at
-# HEAD when CORRECTNESS_r08.json landed; this rotation is the r9
-# verdict's mandatory first action) + 6 of the 48 r5-vintage rows,
-# heavies and the two bench drifters first (the other 42 r5 rows sit in
-# _GRADE_LAST and MUST all be in r10's window). The rotation floor is
+# r9 window = 7 new (two-stage late interaction, SimHash append,
+# routed §3.3 pipeline, and the LSH/PQ/IVF/BM25 append rows that
+# complete the graded incremental contract for all six index families)
+# + ALL 39 r4-vintage rows from r8's _GRADE_LAST (the freshness lint
+# went red at HEAD when CORRECTNESS_r08.json landed; this rotation is
+# the r9 verdict's mandatory first action) + 4 of the 48 r5-vintage
+# rows, heavies and the two bench drifters first (the other 44 r5 rows
+# sit in _GRADE_LAST and MUST all be in r10's window, leaving ≤6 new
+# slots for r10). The rotation floor is
 # CI: tests/test_grading_freshness.py fails if any registered query's
 # latest green row falls >4 rounds behind and isn't in the upcoming
 # window.
@@ -12549,6 +12688,8 @@ _GRADE_FIRST = [
     "routed_query_pipeline",
     "ann_lsh_index_append",
     "ann_pq_index_append",
+    "ann_ivf_append",
+    "bm25_incremental_append",
     # the 39 r4-vintage deferrals (all verified preflight-green at r8
     # HEAD by builder and judge; re-verified this round)
     "events_sessionize",
@@ -12596,8 +12737,6 @@ _GRADE_FIRST = [
     "supplier_scorecard",
     "bm25_prf_search",
     "quality_classifier_fit",
-    "scd2_user_state",
-    "stream_attribution_batch_twin",
 ]
 # r5-vintage rows deferred to the r10 rotation (cores untouched this
 # round; the freshness lint allows them one more round of slack —
@@ -12607,6 +12746,8 @@ _GRADE_FIRST = [
 _GRADE_LAST = [
     "user_feature_store",
     "events_peak_concurrency",
+    "scd2_user_state",
+    "stream_attribution_batch_twin",
     "cluster_aware_split",
     "curriculum_order",
     "customer_reorder_intervals",
