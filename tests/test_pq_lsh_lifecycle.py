@@ -570,3 +570,30 @@ def test_empty_batch_appends_are_noops(spark, tmp_path):
         ivf_search_indexed(spark, root, "v", emb, _queries(spark))
     ) == before_ivf
     assert _rows(bm25_search_indexed(spark, root, "d", queries)) == before_bm
+
+
+def test_tombstone_clear_is_the_undelete_verb(spark, tmp_path):
+    """A mistaken delete is recoverable before compaction: the rows are
+    still physically present, so clearing the tombstone restores them
+    with no re-ingest — distinct from re-ingest-with-new-content, which
+    must go through compact_if_reviving."""
+    from vectorsearch_applications_spark.operators.lsh import lsh_load_index
+    from vectorsearch_applications_spark.sources.tombstones import (
+        tombstone_clear,
+    )
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    lsh_save_index(full, root, "c")
+    oops = full.filter(F.col("vec_id") < 20).select("vec_id")
+    lsh_index_delete(spark, root, "c", oops)
+    buckets, _ = lsh_load_index(spark, root, "c")
+    assert buckets.filter(F.col("vec_id") < 20).count() == 0
+
+    tombstone_clear(spark, f"{root}/c__lsh", oops, "vec_id")
+    restored, planes = lsh_load_index(spark, root, "c")
+    assert restored.filter(F.col("vec_id") < 20).count() == 20
+    # fully back: search equals the never-deleted index
+    got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
+    want = lsh_search(full, _queries(spark), planes, k=10)
+    assert _rows(got) == _rows(want)

@@ -64,10 +64,14 @@ def tombstone_append(spark, base: str, ids: DataFrame, id_col: str) -> int:
 
 
 def tombstone_clear(spark, base: str, ids: DataFrame, id_col: str) -> int:
-    """Un-delete ids (rewrite the tiny tombstone table minus them) —
-    called by the append paths so RE-INGESTING a previously-deleted doc
-    works: without this, the live view's anti-join would kill the
-    re-appended rows too (same id). Returns remaining tombstone count."""
+    """UNDELETE ids (rewrite the tiny tombstone table minus them): the
+    recovery verb for a mistaken delete — before compaction the rows
+    are still physically present, so clearing the tombstone restores
+    them instantly with no re-ingest. NOT used by the append paths:
+    re-ingesting new content for a tombstoned id must go through
+    :func:`compact_if_reviving` instead, or the stale rows would
+    resurrect next to the re-appended ones. Returns remaining tombstone
+    count."""
     tombs = load_tombstones(spark, base, id_col)
     if tombs is None:
         return 0
