@@ -346,3 +346,50 @@ def test_append_to_ann_index_keeps_searches_fresh(client, spark):
     )
     rows = hits.collect()
     assert len(rows) == 1 and rows[0]["vec_id"] == 250
+
+
+def test_ann_index_delete_and_compact_via_facade(client, spark):
+    """The facade's full index lifecycle: build → delete (searches skip
+    the ids immediately) → compact (debt folds away, results unchanged) —
+    driven through the same client surface as build/append."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("vec doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    client.create_collection("lifecycle", emb.filter(F.col("doc_id") < 200))
+    client.build_ann_index(
+        "lifecycle", kind="lsh", id_col="doc_id", vector_col="embedding"
+    )
+    # a probe equal to doc 7's embedding finds doc 7 before the delete
+    probe = emb.filter(F.col("doc_id") == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from vectorsearch_applications_spark.operators.lsh import (
+        lsh_search_indexed,
+    )
+
+    assert (
+        lsh_search_indexed(spark, client.root, "lifecycle", probe, k=1)
+        .collect()[0]["vec_id"]
+        == 7
+    )
+    n = client.delete_from_ann_index(
+        "lifecycle",
+        emb.filter(F.col("doc_id") == 7).select("doc_id"),
+        kind="lsh",
+    )
+    assert n == 1
+    after = lsh_search_indexed(
+        spark, client.root, "lifecycle", probe, k=1
+    ).collect()
+    assert after[0]["vec_id"] != 7
+
+    kept = client.compact_ann_index("lifecycle", kind="lsh")
+    assert kept == 199
+    assert (
+        lsh_search_indexed(spark, client.root, "lifecycle", probe, k=1)
+        .collect()[0]["vec_id"]
+        == after[0]["vec_id"]
+    )

@@ -402,6 +402,52 @@ class SparkSearchClient:
             f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
         )
 
+    def delete_from_ann_index(
+        self,
+        collection: str,
+        deleted_ids: DataFrame,
+        kind: str = "ivf",
+        id_col: str = "doc_id",
+    ) -> int:
+        """Tombstone docs out of a persisted ANN index (the delete leg of
+        the reference's collection mutation surface,
+        weaviate_interface_v4.py delete flow): O(|batch|), searches skip
+        the ids immediately via the live view. ``deleted_ids``: any frame
+        with ``id_col``. Returns newly-deleted id count."""
+        from .operators.ann import ivf_index_delete
+        from .operators.lsh import lsh_index_delete
+        from .operators.pq import pq_index_delete
+
+        ids = deleted_ids.select(F.col(id_col).alias("vec_id"))
+        if kind == "ivf":
+            return ivf_index_delete(self.spark, self.root, collection, ids)
+        if kind == "ivfpq":
+            return pq_index_delete(self.spark, self.root, collection, ids)
+        if kind == "lsh":
+            return lsh_index_delete(self.spark, self.root, collection, ids)
+        raise ValueError(
+            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+        )
+
+    def compact_ann_index(self, collection: str, kind: str = "ivf") -> int:
+        """Fold accumulated tombstones into a physical rewrite — run on
+        the maintenance cadence (sources/index_catalog.index_inventory
+        reports the per-index tombstone debt that schedules this).
+        Returns live rows kept."""
+        from .operators.ann import ivf_index_compact
+        from .operators.lsh import lsh_index_compact
+        from .operators.pq import pq_index_compact
+
+        if kind == "ivf":
+            return ivf_index_compact(self.spark, self.root, collection)
+        if kind == "ivfpq":
+            return pq_index_compact(self.spark, self.root, collection)
+        if kind == "lsh":
+            return lsh_index_compact(self.spark, self.root, collection)
+        raise ValueError(
+            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+        )
+
     def _dim(self, collection: str, vector_col: str, corpus: DataFrame) -> int:
         """Embedding dimension, probed once per (collection, column) and
         cached — array columns don't carry length in the Spark schema."""
