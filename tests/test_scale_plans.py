@@ -530,3 +530,43 @@ def test_routed_pipeline_dispatch_is_literal_not_replanned(spark):
     assert "centroid" not in plan
     qv = emb.filter(F.col("vec_id").isin([1])).select("vec_id", "embedding")
     assert "In(vec_id" in _plan(qv) or "EqualTo(vec_id,1)" in _plan(qv)
+
+
+def test_lsh_indexed_probe_prunes_bucket_partitions(spark, tmp_path):
+    """The persisted LSH index's 100 TB claim, plan-verified: the
+    bucket-partitioned scan carries a dynamic-pruning PartitionFilter
+    fed by the broadcast query side, so a probe reads only the probed
+    buckets' directories (~(1+P)/2^P of the table), never the full
+    index."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.lsh import (
+        lsh_save_index,
+        lsh_search_indexed,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path)
+    lsh_save_index(emb, root, "c")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = lsh_search_indexed(spark, root, "c", q, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # bucket equi-join, corpus never shuffles
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any(
+        "dynamicpruning" in ln and "bucket" in ln for ln in pf
+    ), f"bucket scan not partition-pruned:\n{pf}"
