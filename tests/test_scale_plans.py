@@ -570,3 +570,44 @@ def test_lsh_indexed_probe_prunes_bucket_partitions(spark, tmp_path):
     assert pf and any(
         "dynamicpruning" in ln and "bucket" in ln for ln in pf
     ), f"bucket scan not partition-pruned:\n{pf}"
+
+
+def test_ivfpq_indexed_probe_prunes_centroid_partitions(spark, tmp_path):
+    """Same property for the IVFADC layout: the centroid_id-partitioned
+    codes scan is dynamically pruned to the probed buckets (the
+    docstring's 'equi-join key Catalyst pushes into the partitioned
+    scan', plan-verified)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.ann import ivf_build
+    from vectorsearch_applications_spark.operators.pq import (
+        ivfpq_search_indexed,
+        pq_save_index,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path)
+    cents, _ = ivf_build(emb, n_centroids=4)
+    pq_save_index(emb, root, "c", centroids=cents)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = ivfpq_search_indexed(spark, root, "c", q, k=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    pf = [
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and any(
+        "dynamicpruning" in ln and "centroid_id" in ln for ln in pf
+    ), f"codes scan not partition-pruned:\n{pf}"
