@@ -597,3 +597,46 @@ def test_tombstone_clear_is_the_undelete_verb(spark, tmp_path):
     got = lsh_search_indexed(spark, root, "c", _queries(spark), k=10)
     want = lsh_search(full, _queries(spark), planes, k=10)
     assert _rows(got) == _rows(want)
+
+
+def test_bm25_persisted_append_chain_matches_rebuild(spark, tmp_path):
+    """The real deployment is MANY appends: three sequential persisted
+    appends must rank exactly like one full rebuild. Ranks are the
+    contract — the chained avgdl is the same algebra as the single
+    merge but a different float summation order, so scores agree to
+    1e-9 while the last ulp may differ."""
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_append_persisted,
+        bm25_save_index,
+        bm25_search_indexed,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark join order"), (1, "window agg stream")],
+        "query_id long, query string",
+    )
+    root = str(tmp_path)
+    bm25_save_index(docs.filter(F.col("doc_id") % 4 == 0), root, "a")
+    for r in (1, 2, 3):
+        bm25_index_append_persisted(
+            spark, root, "a", docs.filter(F.col("doc_id") % 4 == r)
+        )
+    bm25_save_index(docs, root, "b")
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_search_indexed(spark, root, "a", queries, limit=10).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_search_indexed(spark, root, "b", queries, limit=10).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]  # ranks exact
+        assert abs(got[k][1] - want[k][1]) < 1e-9
