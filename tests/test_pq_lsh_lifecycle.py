@@ -640,3 +640,53 @@ def test_bm25_persisted_append_chain_matches_rebuild(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]  # ranks exact
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_ivfpq_indexed_live_view_skips_deleted(spark, tmp_path):
+    """The IVFADC layout's probe (ivfpq_search_indexed) reads the same
+    tombstone-live view as the flat ADC path: a deleted vector never
+    surfaces from any probed bucket."""
+    from vectorsearch_applications_spark.operators.ann import ivf_build
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    centroids, _ = ivf_build(full, n_centroids=4)
+    pq_save_index(full, root, "c", centroids=centroids)
+
+    # query 0's nearest neighbor is itself; delete it and probe again
+    probe = _queries(spark).filter(F.col("query_id") == 0)
+    before = ivfpq_search_indexed(spark, root, "c", probe, k=5, nprobe=4)
+    assert before.filter(F.col("vec_id") == 0).count() == 1
+    pq_index_delete(
+        spark, root, "c", full.filter(F.col("vec_id") == 0).select("vec_id")
+    )
+    after = ivfpq_search_indexed(spark, root, "c", probe, k=5, nprobe=4)
+    assert after.filter(F.col("vec_id") == 0).count() == 0
+    assert after.count() == 5  # k still fills from survivors
+
+
+def test_index_inventory_counts_small_file_debt(spark, tmp_path):
+    """n_files grows with every append (the small-file axis of
+    compaction need) and drops back at compaction."""
+    from vectorsearch_applications_spark.sources.index_catalog import (
+        index_inventory,
+    )
+
+    root = str(tmp_path)
+    full = _emb(spark)
+    lsh_save_index(full.filter(F.col("vec_id") < 100), root, "v")
+    base = index_inventory(spark, root).collect()[0]["n_files"]
+    for lo in (100, 150, 200):
+        lsh_index_append(
+            spark,
+            root,
+            "v",
+            full.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)
+            ),
+        )
+    grown = index_inventory(spark, root).collect()[0]["n_files"]
+    assert grown > base
+    lsh_index_compact(spark, root, "v")
+    compacted = index_inventory(spark, root).collect()[0]["n_files"]
+    assert compacted < grown

@@ -43,8 +43,10 @@ def index_inventory(spark, root: str) -> DataFrame:
 
     ``rows`` counts physical rows in the family's main table,
     ``live_rows`` the tombstone-filtered view, ``tombstoned_ids`` the
-    distinct deleted-id backlog; ``needs_compaction`` is simply
-    tombstoned_ids > 0 — the signal to schedule
+    distinct deleted-id backlog, ``n_files`` the parquet file count
+    (every append lands a new file batch, so this is the SMALL-FILE
+    debt axis — compaction rewrites fix both); ``needs_compaction`` is
+    simply tombstoned_ids > 0 — the signal to schedule
     ``<family>_index_compact`` before read-side anti-join debt (or an
     inline compact_if_reviving on a re-ingest) grows. Counting jobs run
     per index — this is a maintenance sweep, not a hot-path call.
@@ -65,6 +67,12 @@ def index_inventory(spark, root: str) -> DataFrame:
             continue
         table = spark.read.parquet(path)
         n = table.count()
+        n_files = sum(
+            1
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
         tombs = load_tombstones(spark, base, id_col)
         n_tombs = tombs.count() if tombs is not None else 0
         live = (
@@ -73,10 +81,11 @@ def index_inventory(spark, root: str) -> DataFrame:
             else n
         )
         rows.append(
-            (collection, family, base, n, live, n_tombs, n_tombs > 0)
+            (collection, family, base, n, live, n_tombs, n_files, n_tombs > 0)
         )
     return spark.createDataFrame(
         rows,
         "collection string, family string, path string, rows long, "
-        "live_rows long, tombstoned_ids long, needs_compaction boolean",
+        "live_rows long, tombstoned_ids long, n_files long, "
+        "needs_compaction boolean",
     )
