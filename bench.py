@@ -217,6 +217,7 @@ HEADLINE = [
     "ann_pq_index_append",
     "ann_ivf_append",
     "bm25_incremental_append",
+    "dedup_semantic_append",
 ]
 
 

@@ -1259,3 +1259,237 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+def _semantic_asg_norm(asg: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id, _v double[]) projection of an assignment
+    frame — accepts either the in-flight ``_v`` column (keep_vec=True
+    output) or a stored ``embedding`` column, casting to double ONCE per
+    row (the r6 SemDeDup lesson: inside a pair join the cast re-runs per
+    PAIR)."""
+    vc = "_v" if "_v" in asg.columns else vec_col
+    return asg.select(
+        "vec_id",
+        "centroid_id",
+        F.transform(F.col(vc), lambda x: x.cast("double")).alias("_v"),
+    )
+
+
+def semantic_screen_batch(
+    standing_asg: DataFrame,
+    batch_asg: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs INTRODUCED by an appended batch — the
+    SemDeDup family's incremental screen, completing the per-family
+    trio after minhash_screen_batch and simhash_screen_batch: every
+    same-cluster pair with cosine >= ``threshold`` and at least one
+    side in the batch, batch-vs-standing plus batch-vs-batch in ONE
+    join on centroid_id. The standing corpus contributes only its saved
+    assignment rows (vec_id, centroid_id, vector): no re-clustering, no
+    standing-vs-standing pairs (those were known when the standing
+    index was built — ``known ∪ screened == rebuild(old ∪ new)`` holds
+    because cluster assignment is per-row under a FROZEN codebook, so
+    the rebuild's clusters are the union of both sides' assignments).
+
+    Pair uniqueness needs no distinct: each vector lives in exactly one
+    cluster, batch-vs-standing pairs surface only from the batch probe
+    side, and batch-vs-batch pairs are oriented by the ``a < b`` arm of
+    the join condition — so the symmetric dot product is computed once
+    per pair, not recomputed for a dedup pass.
+
+    Scale shape: the standing table is scanned once and equi-joined on
+    centroid_id — quadratic work stays local to each cluster (the
+    SemDeDup property) and is bounded by |cluster| x |batch ∩ cluster|
+    per key; no broadcast hint because a daily batch can itself be
+    TB-scale (same contract as minhash_screen_batch). Batch ids must be
+    disjoint from standing ids (the shared append contract); the
+    ``!=`` guard keeps at-least-once redelivery from emitting
+    self-pairs. Reference analog: the collection's incremental upsert
+    flow (src/database/weaviate_interface_v4.py add-data batching) —
+    near-dup screening on arrival instead of server-side HNSW upkeep.
+
+    Returns (vec_a, vec_b, centroid_id, cosine) with vec_a < vec_b.
+    """
+    from ..functions.vectors import dot_double
+
+    a = _semantic_asg_norm(batch_asg, vec_col).alias("a")
+    b = (
+        _semantic_asg_norm(standing_asg, vec_col)
+        .withColumn("_st", F.lit(1))
+        .unionByName(
+            _semantic_asg_norm(batch_asg, vec_col).withColumn(
+                "_st", F.lit(0)
+            )
+        )
+        .alias("b")
+    )
+    sim = dot_double(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & ((F.col("b._st") == 1) | (F.col("a.vec_id") < F.col("b.vec_id"))),
+        )
+        .filter(sim >= F.lit(float(threshold)))
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            F.col("a.centroid_id").cast("bigint").alias("centroid_id"),
+            sim.alias("cosine"),
+        )
+    )
+
+
+def semantic_save_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    root: str,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the SemDeDup standing state — the (vec_id, centroid_id,
+    embedding) assignment table partitioned by centroid_id plus the
+    FROZEN centroid codebook — giving the embedding dedup family the
+    same build-once / screen-many deployment shape as
+    minhash_save_index and simhash_save_index. The partition layout is
+    the probe-pruning one: an arriving batch touches only the centroid
+    directories its vectors assign to, and stream_semantic_screen's
+    stream-static join reads the same live view. Layout:
+    <root>/<name>__semantic/{assignments,centroids}.
+    """
+    import os
+
+    from .ann import assign_nearest_centroid
+
+    base = os.path.join(root, f"{name}__semantic")
+    asg = assign_nearest_centroid(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    asg.select(
+        "vec_id", "centroid_id", F.col("_v").alias("embedding")
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(base, "assignments")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(base, "centroids")
+    )
+    return base
+
+
+def semantic_load_index(spark, root: str, name: str) -> DataFrame:
+    """The LIVE assignment table: persisted rows minus tombstoned ids
+    (semantic_index_delete) — deleted vectors must stop producing
+    near-dup evidence immediately, not at the next compaction."""
+    import os
+
+    from ..sources.tombstones import apply_tombstones
+
+    base = os.path.join(root, f"{name}__semantic")
+    return apply_tombstones(
+        spark,
+        base,
+        spark.read.parquet(os.path.join(base, "assignments")),
+        "vec_id",
+    )
+
+
+def semantic_load_centroids(spark, root: str, name: str) -> DataFrame:
+    """The frozen codebook saved by semantic_save_index — append-time
+    assignment MUST use it (re-deriving centroids from old ∪ new would
+    silently re-cluster the standing corpus and break the
+    append==rebuild contract)."""
+    import os
+
+    return spark.read.parquet(
+        os.path.join(root, f"{name}__semantic", "centroids")
+    )
+
+
+def semantic_index_delete(spark, root: str, name: str, deleted_ids) -> int:
+    """Delete vectors from the persisted semantic index via tombstones
+    (sources/tombstones.py): O(|delete batch|), no assignment rewrite.
+    Returns newly-recorded id count (replay-idempotent).
+    ``deleted_ids``: a frame with a vec_id column."""
+    import os
+
+    from ..sources.tombstones import tombstone_append
+
+    return tombstone_append(
+        spark, os.path.join(root, f"{name}__semantic"), deleted_ids, "vec_id"
+    )
+
+
+def semantic_index_compact(spark, root: str, name: str) -> int:
+    """Fold tombstones into a physical assignment rewrite and clear
+    them; returns live assignment rows kept."""
+    import os
+
+    from ..sources.tombstones import compact_table
+
+    return compact_table(
+        spark,
+        os.path.join(root, f"{name}__semantic"),
+        "assignments",
+        "vec_id",
+        "centroid_id",
+    )
+
+
+def semantic_index_append(
+    spark,
+    root: str,
+    name: str,
+    new_vecs: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Screen an appended batch against the PERSISTED standing semantic
+    index and make the append durable: assign the new vectors under the
+    FROZEN saved codebook (semantic_load_centroids — never re-derived),
+    return the newly-introduced near-dup pairs (semantic_screen_batch,
+    batch-vs-live-standing plus batch-vs-batch), and append the batch's
+    assignment rows so the next batch screens against old ∪ new. The
+    standing corpus is never re-clustered — the incremental contract
+    every other persisted family (BM25/IVF/PQ/LSH/MinHash/SimHash)
+    already keeps; this closes the embedding dedup family.
+
+    The returned pair frame is materialized BEFORE the parquet append
+    (a lazy plan would re-read the assignments directory after the
+    append and screen the batch against itself — the
+    minhash_index_append lesson); re-ingesting a tombstoned id compacts
+    first (compact_if_reviving) so stale assignment rows cannot revive
+    next to the re-appended ones.
+    """
+    import os
+
+    from ..sources.tombstones import compact_if_reviving
+
+    from .ann import assign_nearest_centroid
+
+    base = os.path.join(root, f"{name}__semantic")
+    path = os.path.join(base, "assignments")
+    centroids = semantic_load_centroids(spark, root, name)
+    standing = semantic_load_index(spark, root, name)
+    new_asg = assign_nearest_centroid(
+        new_vecs, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).localCheckpoint(eager=True)
+    pairs = semantic_screen_batch(
+        standing, new_asg, threshold
+    ).localCheckpoint(eager=True)
+    compact_if_reviving(
+        spark,
+        base,
+        "assignments",
+        new_vecs.select(F.col(id_col).alias("vec_id")),
+        "vec_id",
+        "centroid_id",
+    )
+    new_asg.select(
+        "vec_id", "centroid_id", F.col("_v").alias("embedding")
+    ).write.mode("append").partitionBy("centroid_id").parquet(path)
+    return pairs

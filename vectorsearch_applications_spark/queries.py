@@ -6367,6 +6367,79 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_append",
+    """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 16),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ad AS (SELECT e.vec_id, c.cid,
+              1.0 - list_dot_product(e.v, c.cv) AS d
+       FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid ASC) AS rn FROM ad)
+        WHERE rn = 1),
+b AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e USING (vec_id))
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       CAST(x.cid AS BIGINT) AS centroid_id,
+       round(list_dot_product(x.v, y.v), 4) AS cosine
+FROM b x JOIN b y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE (x.vec_id % 2 = 0 OR y.vec_id % 2 = 0)
+  AND list_dot_product(x.v, y.v) >= 0.35
+""",
+)
+def q_dedup_semantic_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup screen (operators/dedup.py
+    semantic_screen_batch, persisted twin semantic_save_index /
+    semantic_index_append): the standing corpus (odd vec ids) is
+    clustered once under a FROZEN codebook (the first 8 ODD ids — a
+    standing-only rule, so an append that re-derived centroids from
+    old ∪ new would pick different ids and hash-mismatch); the appended
+    batch (even ids) assigns its own vectors against that codebook and
+    screens batch-vs-standing plus batch-vs-batch in ONE centroid
+    equi-join. The oracle restates the frozen assignment and keeps
+    exactly the rebuild's same-cluster cosine pairs that touch a batch
+    vector — the append==rebuild contract the other five persisted
+    index families already grade (dedup_index_append,
+    dedup_simhash_append, ann_ivf_append, ann_pq_index_append,
+    bm25_incremental_append). Completes the graded incremental story
+    for all three dedup families; on-disk append==rebuild equivalence
+    is pinned in test_semantic_lifecycle.py. Reference analog: the
+    collection's batch upsert flow (src/database/weaviate_interface_v4.py
+    add-data batching) — near-dup screening on arrival."""
+    from .operators.ann import assign_nearest_centroid
+    from .operators.dedup import semantic_screen_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16)
+    ).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    # assignment rows are per-vector independent, so the demo mints them
+    # in ONE broadcast-argmin pass and splits by parity — value-identical
+    # to two assigns (the dedup_index_append lesson); localCheckpoint
+    # pins the shared table across the two filters. In deployment the
+    # standing side comes from disk (semantic_load_index) and the batch
+    # assigns under semantic_load_centroids.
+    asg = assign_nearest_centroid(
+        emb, centroids, keep_vec=True
+    ).localCheckpoint(eager=False)
+    pairs = semantic_screen_batch(
+        asg.filter(F.col("vec_id") % 2 != 0),
+        asg.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.35,
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "centroid_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+@register(
     "ann_pq_adc",
     """
 WITH ms AS (SELECT unnest(range(0, 8)) AS m),
@@ -12669,14 +12742,15 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred to the next rotation. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r9 window = 7 new (two-stage late interaction, SimHash append,
-# routed §3.3 pipeline, and the LSH/PQ/IVF/BM25 append rows that
-# complete the graded incremental contract for all six index families)
+# r9 window = 8 new (two-stage late interaction, SimHash + semantic
+# appends, routed §3.3 pipeline, and the LSH/PQ/IVF/BM25 append rows —
+# together the graded incremental contract for every persisted index
+# family and all three dedup families)
 # + ALL 39 r4-vintage rows from r8's _GRADE_LAST (the freshness lint
 # went red at HEAD when CORRECTNESS_r08.json landed; this rotation is
-# the r9 verdict's mandatory first action) + 4 of the 48 r5-vintage
-# rows, heavies and the two bench drifters first (the other 44 r5 rows
-# sit in _GRADE_LAST and MUST all be in r10's window, leaving ≤6 new
+# the r9 verdict's mandatory first action) + 3 of the 48 r5-vintage
+# rows, heavies and the two bench drifters first (the other 45 r5 rows
+# sit in _GRADE_LAST and MUST all be in r10's window, leaving ≤5 new
 # slots for r10). The rotation floor is
 # CI: tests/test_grading_freshness.py fails if any registered query's
 # latest green row falls >4 rounds behind and isn't in the upcoming
@@ -12690,6 +12764,7 @@ _GRADE_FIRST = [
     "ann_pq_index_append",
     "ann_ivf_append",
     "bm25_incremental_append",
+    "dedup_semantic_append",
     # the 39 r4-vintage deferrals (all verified preflight-green at r8
     # HEAD by builder and judge; re-verified this round)
     "events_sessionize",
@@ -12736,14 +12811,16 @@ _GRADE_FIRST = [
     "ann_ivfpq_refined",
     "supplier_scorecard",
     "bm25_prf_search",
-    "quality_classifier_fit",
 ]
 # r5-vintage rows deferred to the r10 rotation (cores untouched this
 # round; the freshness lint allows them one more round of slack —
 # user_feature_store / events_peak_concurrency were displaced from the
-# r9 window by the two new index-append rows, which as never-graded
-# queries MUST be in the upcoming window).
+# r9 window by the two new index-append rows, and quality_classifier_fit
+# — the rows-only fit, the window's weakest slot — by
+# dedup_semantic_append, which as never-graded queries MUST be in the
+# upcoming window).
 _GRADE_LAST = [
+    "quality_classifier_fit",
     "user_feature_store",
     "events_peak_concurrency",
     "scd2_user_state",

@@ -33,6 +33,7 @@ FAMILIES = {
     "lsh": ("buckets", "vec_id"),
     "minhash": ("bands", "doc_id"),
     "simhash": ("bands", "doc_id"),
+    "semantic": ("assignments", "vec_id"),
 }
 
 
