@@ -204,3 +204,62 @@ def test_semantic_family_in_index_inventory(spark, tmp_path):
     assert row["live_rows"] == 99
     assert row["tombstoned_ids"] == 1
     assert bool(row["needs_compaction"]) is True
+
+
+def test_streaming_semantic_index_append(spark, tmp_path):
+    """Stream-ingest maintenance of the persisted semantic index: each
+    micro-batch screens + appends via semantic_index_append
+    (foreachBatch) under the FROZEN saved codebook, so the standing
+    assignment table ends exactly where a one-shot build over everything
+    that arrived would, and the per-batch evidence accumulates to the
+    rebuild's batch-touching pairs — the durable twin of
+    streaming/dedup.py stream_semantic_screen (which screens but does
+    not persist)."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    cents = _centroids(_emb(spark))
+    root = str(tmp_path)
+    semantic_save_index(emb.filter(F.col("vec_id") < 100), cents, root, "c")
+
+    src = str(tmp_path / "vecs")
+    emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    ).write.parquet(src + "/b1")
+    emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+    ).write.parquet(src + "/b2")
+
+    screened: set[tuple[int, int]] = set()
+
+    def append_batch(batch_df, epoch_id):
+        pairs = semantic_index_append(spark, root, "c", batch_df, THRESHOLD)
+        screened.update(_pair_set(pairs))
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    all300 = emb.filter(F.col("vec_id") < 300)
+    asg_all = assign_nearest_centroid(all300, cents, keep_vec=True)
+    on_disk = {
+        (r["vec_id"], r["centroid_id"])
+        for r in semantic_load_index(spark, root, "c").collect()
+    }
+    fresh = {
+        (r["vec_id"], r["centroid_id"])
+        for r in asg_all.select("vec_id", "centroid_id").collect()
+    }
+    assert on_disk == fresh
+    standing_asg = assign_nearest_centroid(
+        emb.filter(F.col("vec_id") < 100), cents, keep_vec=True
+    )
+    known = _pair_set(_pairs(standing_asg))
+    rebuilt = _pair_set(_pairs(asg_all))
+    assert known | screened == rebuilt
+    assert not (screened & known)
