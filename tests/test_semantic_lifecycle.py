@@ -263,3 +263,76 @@ def test_streaming_semantic_index_append(spark, tmp_path):
     rebuilt = _pair_set(_pairs(asg_all))
     assert known | screened == rebuilt
     assert not (screened & known)
+
+
+def test_semantic_append_redelivery_idempotent(spark, tmp_path):
+    """dedupe_redelivered=True makes the append idempotent under
+    at-least-once delivery: a retried epoch (write committed, checkpoint
+    lost) re-arrives whole, gets anti-joined away against the live
+    standing slice, and neither duplicates assignment rows on disk nor
+    re-emits its pairs."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    cents = _centroids(_emb(spark))
+    root = str(tmp_path)
+    semantic_save_index(emb.filter(F.col("vec_id") < 100), cents, root, "c")
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    )
+
+    first = _pair_set(
+        semantic_index_append(
+            spark, root, "c", batch, THRESHOLD, dedupe_redelivered=True
+        )
+    )
+    rows_after_first = semantic_load_index(spark, root, "c").count()
+    # the redelivered epoch: identical bytes, already standing
+    replay = _pair_set(
+        semantic_index_append(
+            spark, root, "c", batch, THRESHOLD, dedupe_redelivered=True
+        )
+    )
+    assert replay == set()
+    assert semantic_load_index(spark, root, "c").count() == rows_after_first
+    assert (
+        semantic_load_index(spark, root, "c")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # the guarded first append loses nothing vs the unguarded contract
+    asg_all = assign_nearest_centroid(
+        emb.filter(F.col("vec_id") < 200), cents, keep_vec=True
+    )
+    known = _pair_set(
+        _pairs(
+            assign_nearest_centroid(
+                emb.filter(F.col("vec_id") < 100), cents, keep_vec=True
+            )
+        )
+    )
+    assert known | first == _pair_set(_pairs(asg_all))
+
+
+def test_semantic_live_view_prunes_centroid_partitions(spark, tmp_path):
+    """The append's standing-side read must statically prune to the
+    batch's assigned centroid directories — the literal isin filter has
+    to push through the tombstone anti-join down to the partitioned
+    scan (PartitionFilters), or the documented O(touched-clusters)
+    append read cost silently becomes a full index scan."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    cents = _centroids(_emb(spark))
+    root = str(tmp_path)
+    semantic_save_index(emb.filter(F.col("vec_id") < 200), cents, root, "c")
+    # a standing tombstone makes the live view a real anti-join — the
+    # pruning claim must survive the wrapper, not just a bare scan
+    semantic_index_delete(
+        spark, root, "c", emb.filter(F.col("vec_id") == 0).select("vec_id")
+    )
+    pruned = semantic_load_index(spark, root, "c").filter(
+        F.col("centroid_id").isin([1, 3])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf

@@ -1303,12 +1303,22 @@ def semantic_screen_batch(
     centroid_id — quadratic work stays local to each cluster (the
     SemDeDup property) and is bounded by |cluster| x |batch ∩ cluster|
     per key; no broadcast hint because a daily batch can itself be
-    TB-scale (same contract as minhash_screen_batch). Batch ids must be
-    disjoint from standing ids (the shared append contract); the
-    ``!=`` guard keeps at-least-once redelivery from emitting
-    self-pairs. Reference analog: the collection's incremental upsert
-    flow (src/database/weaviate_interface_v4.py add-data batching) —
-    near-dup screening on arrival instead of server-side HNSW upkeep.
+    TB-scale (same contract as minhash_screen_batch). Callers holding a
+    centroid_id-partitioned standing table should pre-filter it to the
+    batch's assigned centroids (semantic_index_append does — static
+    partition pruning; rows in untouched clusters can never join).
+
+    Batch ids MUST be disjoint from standing ids — the shared append
+    contract across every persisted family: a batch id already standing
+    would pair once per arm it reaches (the pair orientation and the
+    once-per-pair dot-product guarantee both assume disjointness), and
+    the ``!=`` guard only suppresses literal self-pairs, not duplicate
+    emissions. At-least-once DELIVERY is the append wrapper's job:
+    semantic_index_append(dedupe_redelivered=True) drops already-
+    standing ids before screening. Reference analog: the collection's
+    incremental upsert flow (src/database/weaviate_interface_v4.py
+    add-data batching) — near-dup screening on arrival instead of
+    server-side HNSW upkeep.
 
     Returns (vec_a, vec_b, centroid_id, cosine) with vec_a < vec_b.
     """
@@ -1447,6 +1457,7 @@ def semantic_index_append(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedupe_redelivered: bool = False,
 ) -> DataFrame:
     """Screen an appended batch against the PERSISTED standing semantic
     index and make the append durable: assign the new vectors under the
@@ -1457,6 +1468,25 @@ def semantic_index_append(
     standing corpus is never re-clustered — the incremental contract
     every other persisted family (BM25/IVF/PQ/LSH/MinHash/SimHash)
     already keeps; this closes the embedding dedup family.
+
+    The standing side is pre-filtered to the batch's ASSIGNED centroid
+    set (a bounded ≤|codebook| collect, re-entered as literals — the
+    routed_query_pipeline pattern) so the partitioned assignments scan
+    statically prunes to the touched centroid directories; rows in
+    untouched clusters can never satisfy the centroid equi-join, so the
+    filter is a pure read reduction. Plan-pinned in
+    test_semantic_lifecycle.py.
+
+    ``dedupe_redelivered=True`` makes the append idempotent under
+    at-least-once delivery (a retried foreachBatch epoch whose write
+    committed but whose checkpoint didn't): batch ids already LIVE in
+    the standing index are dropped before screening and writing —
+    correct against the pruned standing slice because redelivery means
+    identical bytes, and identical bytes assign to the same centroid
+    under the frozen codebook. The comparison is against the live view,
+    so a tombstoned id re-arriving still revives (the delete/revive
+    semantics below). Default False: the strict id-disjointness
+    contract every other family's append keeps, with no extra work.
 
     The returned pair frame is materialized BEFORE the parquet append
     (a lazy plan would re-read the assignments directory after the
@@ -1474,10 +1504,23 @@ def semantic_index_append(
     base = os.path.join(root, f"{name}__semantic")
     path = os.path.join(base, "assignments")
     centroids = semantic_load_centroids(spark, root, name)
-    standing = semantic_load_index(spark, root, name)
     new_asg = assign_nearest_centroid(
         new_vecs, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
     ).localCheckpoint(eager=True)
+    touched = [
+        r["centroid_id"]
+        for r in new_asg.select("centroid_id").distinct().collect()
+    ]
+    live = semantic_load_index(spark, root, name)
+    standing = (
+        live.filter(F.col("centroid_id").isin(touched))
+        if touched
+        else live.filter(F.lit(False))
+    )
+    if dedupe_redelivered:
+        new_asg = new_asg.join(
+            standing.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
     pairs = semantic_screen_batch(
         standing, new_asg, threshold
     ).localCheckpoint(eager=True)
@@ -1485,7 +1528,7 @@ def semantic_index_append(
         spark,
         base,
         "assignments",
-        new_vecs.select(F.col(id_col).alias("vec_id")),
+        new_asg.select("vec_id"),
         "vec_id",
         "centroid_id",
     )

@@ -6399,10 +6399,10 @@ def q_dedup_semantic_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     screens batch-vs-standing plus batch-vs-batch in ONE centroid
     equi-join. The oracle restates the frozen assignment and keeps
     exactly the rebuild's same-cluster cosine pairs that touch a batch
-    vector — the append==rebuild contract the other five persisted
+    vector — the append==rebuild contract the other six persisted
     index families already grade (dedup_index_append,
     dedup_simhash_append, ann_ivf_append, ann_pq_index_append,
-    bm25_incremental_append). Completes the graded incremental story
+    ann_lsh_index_append, bm25_incremental_append). Completes the graded incremental story
     for all three dedup families; on-disk append==rebuild equivalence
     is pinned in test_semantic_lifecycle.py. Reference analog: the
     collection's batch upsert flow (src/database/weaviate_interface_v4.py
