@@ -393,3 +393,61 @@ def test_ann_index_delete_and_compact_via_facade(client, spark):
         .collect()[0]["vec_id"]
         == after[0]["vec_id"]
     )
+
+
+def test_dedup_index_facade_all_families(spark, tmp_path):
+    """The dedup quartet (build / append / delete / compact) mirrors the
+    ANN verbs for all three families, with family-appropriate columns
+    and the append returning the batch's evidence pairs."""
+    from vectorsearch_applications_spark.operators.dedup import (
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    root = str(tmp_path)
+    c = SparkSearchClient(spark, root)
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    standing = docs.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    c.create_collection("docs", standing)
+
+    # minhash: facade screen == operator-level rebuild ∩ batch-side
+    c.build_dedup_index("docs", kind="minhash")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in c.append_to_dedup_index("docs", batch, kind="minhash").collect()
+    }
+    known = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(standing).collect()
+    }
+    rebuilt = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert known | got == rebuilt and not (got & known)
+
+    # delete stops evidence immediately; compact folds it in
+    some_id = next(iter(got))[0]
+    victim = spark.createDataFrame([(some_id,)], "doc_id long")
+    assert c.delete_from_dedup_index("docs", victim, kind="minhash") == 1
+    kept = c.compact_dedup_index("docs", kind="minhash")
+    on_disk = minhash_bands(docs.filter(F.col("doc_id") != some_id)).count()
+    assert kept == on_disk
+
+    # simhash + semantic: same verbs route to their families (shape
+    # checks; deep equivalences live in the operator-level tests)
+    c.build_dedup_index("docs", kind="simhash")
+    sh = c.append_to_dedup_index("docs", batch, kind="simhash", max_hamming=6)
+    assert {"doc_a", "doc_b", "hamming"} <= set(sh.columns)
+    c.build_dedup_index("docs", kind="semantic")  # hash-embed fallback
+    se = c.append_to_dedup_index("docs", batch, kind="semantic", threshold=0.9)
+    assert {"vec_a", "vec_b", "centroid_id", "cosine"} <= set(se.columns)
+    assert c.delete_from_dedup_index("docs", victim, kind="semantic") == 1
+    assert c.compact_dedup_index("docs", kind="semantic") > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dedup index kind"):
+        c.build_dedup_index("docs", kind="nope")

@@ -448,6 +448,165 @@ class SparkSearchClient:
             f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
         )
 
+    # -- dedup indexes -----------------------------------------------------
+
+    def _dedup_corpus(
+        self,
+        rows: DataFrame,
+        kind: str,
+        id_col: str,
+        text_col: str,
+        vector_col: str,
+    ) -> DataFrame:
+        """Family-appropriate projection of collection rows: text
+        families keep (doc_id, text); the semantic family needs vectors
+        and falls back to the hash embedder when the collection has no
+        embedding column (the same fallback every ANN verb uses)."""
+        if kind != "semantic":
+            return rows.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        if vector_col in rows.columns:
+            return rows.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vector_col).alias("embedding"),
+            )
+        return hash_embed_ids(
+            rows.select(id_col, text_col), id_col, text_col, self._embed_dim
+        ).select(F.col(id_col).alias("vec_id"), "embedding")
+
+    def build_dedup_index(
+        self,
+        collection: str,
+        kind: str = "minhash",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vector_col: str = "embedding",
+        n_centroids: int = 16,
+        max_hamming: int = 3,
+    ) -> str:
+        """Persist a near-dup screening index next to the collection —
+        the dedup twin of ``build_ann_index``, closing the facade gap
+        where every screen re-fingerprinted the standing corpus per
+        call. ``kind``: 'minhash' (LSH band table), 'simhash'
+        (hamming-ball band table), or 'semantic' (SemDeDup centroid
+        assignments under a frozen stride-sampled codebook). Returns
+        the index path; keep it fresh with ``append_to_dedup_index``.
+        """
+        from .operators.ann import ivf_build
+        from .operators.dedup import (
+            minhash_save_index,
+            semantic_save_index,
+            simhash_save_index,
+        )
+
+        corpus = self._dedup_corpus(
+            self._load(collection), kind, id_col, text_col, vector_col
+        )
+        if kind == "minhash":
+            return minhash_save_index(corpus, self.root, collection)
+        if kind == "simhash":
+            return simhash_save_index(
+                corpus, self.root, collection, max_hamming=max_hamming
+            )
+        if kind == "semantic":
+            cents, _ = ivf_build(corpus, n_centroids=n_centroids)
+            return semantic_save_index(corpus, cents, self.root, collection)
+        raise ValueError(
+            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+        )
+
+    def append_to_dedup_index(
+        self,
+        collection: str,
+        new_rows: DataFrame,
+        kind: str = "minhash",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vector_col: str = "embedding",
+        threshold: float = 0.4,
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """Screen a just-indexed batch against the persisted dedup index
+        and make the append durable — returns the newly-introduced
+        near-dup EVIDENCE pairs (batch-vs-standing plus batch-vs-batch;
+        the standing corpus is never re-fingerprinted / re-clustered).
+        Call with the same batch handed to ``batch_index_data``, the
+        same pairing ``append_to_ann_index`` expects. Column contract
+        per family: minhash/simhash emit (doc_a, doc_b[, hamming]),
+        semantic emits (vec_a, vec_b, centroid_id, cosine)."""
+        from .operators.dedup import (
+            minhash_index_append,
+            semantic_index_append,
+            simhash_index_append,
+        )
+
+        batch = self._dedup_corpus(new_rows, kind, id_col, text_col, vector_col)
+        if kind == "minhash":
+            return minhash_index_append(
+                self.spark, self.root, collection, batch
+            )
+        if kind == "simhash":
+            return simhash_index_append(
+                self.spark, self.root, collection, batch, max_hamming=max_hamming
+            )
+        if kind == "semantic":
+            return semantic_index_append(
+                self.spark, self.root, collection, batch, threshold
+            )
+        raise ValueError(
+            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+        )
+
+    def delete_from_dedup_index(
+        self,
+        collection: str,
+        deleted_ids: DataFrame,
+        kind: str = "minhash",
+        id_col: str = "doc_id",
+    ) -> int:
+        """Tombstone docs out of a persisted dedup index: deleted docs
+        stop producing collision evidence immediately. Returns the
+        newly-deleted id count."""
+        from .operators.dedup import (
+            minhash_index_delete,
+            semantic_index_delete,
+            simhash_index_delete,
+        )
+
+        if kind == "minhash":
+            ids = deleted_ids.select(F.col(id_col).alias("doc_id"))
+            return minhash_index_delete(self.spark, self.root, collection, ids)
+        if kind == "simhash":
+            ids = deleted_ids.select(F.col(id_col).alias("doc_id"))
+            return simhash_index_delete(self.spark, self.root, collection, ids)
+        if kind == "semantic":
+            ids = deleted_ids.select(F.col(id_col).alias("vec_id"))
+            return semantic_index_delete(self.spark, self.root, collection, ids)
+        raise ValueError(
+            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+        )
+
+    def compact_dedup_index(self, collection: str, kind: str = "minhash") -> int:
+        """Fold accumulated dedup-index tombstones into a physical
+        rewrite (scheduled off ``index_inventory``'s debt report, like
+        ``compact_ann_index``). Returns live rows kept."""
+        from .operators.dedup import (
+            minhash_index_compact,
+            semantic_index_compact,
+            simhash_index_compact,
+        )
+
+        if kind == "minhash":
+            return minhash_index_compact(self.spark, self.root, collection)
+        if kind == "simhash":
+            return simhash_index_compact(self.spark, self.root, collection)
+        if kind == "semantic":
+            return semantic_index_compact(self.spark, self.root, collection)
+        raise ValueError(
+            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+        )
+
     def _dim(self, collection: str, vector_col: str, corpus: DataFrame) -> int:
         """Embedding dimension, probed once per (collection, column) and
         cached — array columns don't carry length in the Spark schema."""
