@@ -1065,3 +1065,75 @@ def test_two_stage_late_interaction_subset_of_dense(spark, corpus, nq):
         key = (r["query_id"], r["doc_id"])
         assert key in cands
         assert round(r["score"], 4) == dense[key]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=18,
+    ),
+    st.integers(2, 3),
+)
+def test_semantic_screen_matches_python_model(spark, vecs, n_cents):
+    """semantic_screen_batch == a pure-Python SemDeDup screen on random
+    small vector sets: same frozen-codebook argmin (left-to-right 1-dot
+    fold, ties to the lower centroid id), same same-cluster pair rule
+    (dot >= threshold, >=1 batch side, a < b orientation). The finite
+    value grid makes every float comparison exact in both engines."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+    )
+    from vectorsearch_applications_spark.operators.dedup import (
+        semantic_screen_batch,
+    )
+
+    threshold = 0.5
+    cents = list(enumerate(vecs[:n_cents]))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def assign(v):
+        return min(cents, key=lambda c: (1.0 - dot(v, c[1]), c[0]))[0]
+
+    rows = [(i, v, assign(v)) for i, v in enumerate(vecs)]
+    standing = [r for r in rows if r[0] % 2 == 0]
+    batch = [r for r in rows if r[0] % 2 != 0]
+    want = set()
+    for bi, bv, bc in batch:
+        for oi, ov, oc in standing + batch:
+            if oi == bi or oc != bc:
+                continue
+            if dot(bv, ov) >= threshold:
+                want.add((min(bi, oi), max(bi, oi)))
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "centroid_id int, centroid array<double>"
+    )
+    asg = assign_nearest_centroid(df, cdf, keep_vec=True)
+    got_df = semantic_screen_batch(
+        asg.filter(F.col("vec_id") % 2 == 0),
+        asg.filter(F.col("vec_id") % 2 != 0),
+        threshold=threshold,
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in got_df.collect()}
+    assert got == want
+    # the Spark assignment itself matches the Python argmin model
+    got_asg = {
+        (r["vec_id"], r["centroid_id"]) for r in asg.collect()
+    }
+    assert got_asg == {(i, c) for i, _, c in rows}
