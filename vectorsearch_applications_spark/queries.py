@@ -5799,8 +5799,8 @@ def q_bm25_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a full-corpus rebuild: the weighted average of slice averages
     is a different float expression than one global mean, so grading
     the rebuild would mask a broken merge (and a correct merge would
-    flap against it in the last ulp). Completes the graded append
-    contracts for all six index families."""
+    flap against it in the last ulp). With dedup_semantic_append, every
+    persisted index family has a graded append contract."""
     from .operators.bm25 import (
         bm25_build_stats,
         bm25_merge_stats,
