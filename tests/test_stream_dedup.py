@@ -323,3 +323,70 @@ def test_stream_semantic_screen_equals_batch_new_vs_standing(
         for r in spark.sql("SELECT * FROM semantic_screen_stream").collect()
     }
     assert got == want
+
+
+def test_stream_semantic_screen_reads_persisted_index(spark, tmp_path):
+    """The persisted lifecycle and the streaming screen compose: the
+    standing side of stream_semantic_screen can be semantic_load_index's
+    live view (stored `embedding` column, tombstones applied) with the
+    codebook from semantic_load_centroids — a deleted standing vector
+    stops colliding with arrivals immediately."""
+    from vectorsearch_applications_spark.operators.ann import (
+        assign_nearest_centroid,
+    )
+    from vectorsearch_applications_spark.operators.dedup import (
+        semantic_index_delete,
+        semantic_load_centroids,
+        semantic_load_index,
+        semantic_save_index,
+    )
+    from vectorsearch_applications_spark.streaming.dedup import (
+        stream_semantic_screen,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    standing = emb.filter(F.col("vec_id") < 100)
+    cents = standing.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    root = str(tmp_path)
+    semantic_save_index(standing, cents, root, "c")
+    # arrivals duplicate standing ids 2 and 4 exactly
+    batch = standing.filter(F.col("vec_id").isin([2, 4])).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    saved_cents = semantic_load_centroids(spark, root, "c")
+    live = semantic_load_index(spark, root, "c")
+    want = {
+        (r["new_vec_id"], r["standing_vec_id"])
+        for r in stream_semantic_screen(
+            batch, live, saved_cents, threshold=0.999
+        ).collect()
+    }
+    assert {(1000002, 2), (1000004, 4)} <= want
+    # in-memory standing gives the identical evidence set
+    mem = assign_nearest_centroid(standing, cents, keep_vec=True)
+    assert want == {
+        (r["new_vec_id"], r["standing_vec_id"])
+        for r in stream_semantic_screen(
+            batch, mem, cents, threshold=0.999
+        ).collect()
+    }
+    # tombstoning vec 2 removes its collisions from the live view
+    semantic_index_delete(
+        spark, root, "c", standing.filter(F.col("vec_id") == 2).select("vec_id")
+    )
+    after = {
+        (r["new_vec_id"], r["standing_vec_id"])
+        for r in stream_semantic_screen(
+            batch,
+            semantic_load_index(spark, root, "c"),
+            saved_cents,
+            threshold=0.999,
+        ).collect()
+    }
+    assert (1000004, 4) in after
+    assert not any(s == 2 for _, s in after)
