@@ -144,3 +144,42 @@ def test_two_stage_late_interaction_quality_on_golden_queries(spark, golden):
     assert m["n_queries"] == 100
     assert m["hit_rate"] >= 0.78, m
     assert m["mrr"] >= 0.64, m
+
+
+def test_prf_beats_published_fullcorpus_rates_on_golden_queries(
+    spark, golden
+):
+    """RM3-lite pseudo-relevance feedback must not degrade retrieval
+    below the reference's published BM25 floor on its own golden set —
+    query expansion is only worth shipping if the expanded round keeps
+    quality (measured 0.94 / 0.88 on the reduced pool; the published
+    full-corpus 0.78 / 0.64 is the conservative floor shared with the
+    plain-BM25 and two-stage late-interaction pins)."""
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_prf_search,
+    )
+    from vectorsearch_applications_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+
+    qid = {q: i for i, q in enumerate(golden["queries"])}
+    did = {d: i for i, d in enumerate(golden["corpus"])}
+    corpus = spark.createDataFrame(
+        [(did[k], t) for k, t in golden["corpus"].items()],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(qid[k], t) for k, t in golden["queries"].items()],
+        "query_id long, query string",
+    )
+    gold = spark.createDataFrame(
+        [(qid[q], did[d]) for q, d in golden["relevant_docs"].items()],
+        "query_id long, relevant_doc_id long",
+    )
+    hits = bm25_prf_search(
+        corpus, queries, fb_k=5, n_expand=3, limit=5
+    ).withColumn("method", F.lit("bm25_prf"))
+    (m,) = retrieval_metrics(hits, gold).collect()
+    assert m["n_queries"] == 100
+    assert m["hit_rate"] >= 0.78, m
+    assert m["mrr"] >= 0.64, m
