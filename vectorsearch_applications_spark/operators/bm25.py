@@ -436,7 +436,14 @@ def bm25_prf_search(
         .filter(F.col("erk") <= n_expand)
         .select("query_id", "term")
     )
-    all_terms = q_terms.union(exp_terms).distinct()
+    # no distinct: the union is provably duplicate-free — q_terms is
+    # per-query distinct (array_distinct before the explode), exp_terms
+    # is per-query distinct by construction (row_number <= n_expand) and
+    # disjoint from q_terms (the left_anti above) — so the dedup shuffle
+    # bought nothing. Wash at sf0.1 (same-JVM interleaved A/B: 4.54 vs
+    # 4.44 s median, identical results); at a real query fleet the
+    # removed exchange is |queries|·|terms| rows per search.
+    all_terms = q_terms.union(exp_terms)
     s2 = bm25_scores_from_terms(
         postings, term_stats, corpus_stats, all_terms, k1=k1, b=b
     )
