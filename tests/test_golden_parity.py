@@ -12,6 +12,16 @@ strictly easier pool. The published full-corpus rates are therefore a
 LOWER bound for this engine's metrics on the same queries: if our
 engine-owned BM25 + hit_rate/MRR semantics fell below them even on the
 reduced pool, quality parity would be broken.
+
+Floors pinned: plain BM25, two-stage late interaction, and PRF — all
+lexical/derived-from-lexical under this sandbox's deterministic
+hash-embed twin. Hybrid fusion deliberately has NO floor: measured
+0.92 hit_rate / 0.63 MRR on the reduced pool (r9), where the vector
+arm is the hash-embed FAKE, not the published MiniLM — pinning the
+real-embedding floor against a fake arm would fail on the fake's
+ranking noise, and pinning a lower number would look like a quality
+claim it isn't. The real-model path is import-gated
+(test_reference_golds_optional.py).
 """
 
 from __future__ import annotations
