@@ -437,10 +437,17 @@ def test_dedup_index_facade_all_families(spark, tmp_path):
     assert kept == on_disk
 
     # simhash + semantic: same verbs route to their families (shape
-    # checks; deep equivalences live in the operator-level tests)
-    c.build_dedup_index("docs", kind="simhash")
-    sh = c.append_to_dedup_index("docs", batch, kind="simhash", max_hamming=6)
+    # checks; deep equivalences live in the operator-level tests). The
+    # append takes its band layout from the SAVED meta (max_hamming=6
+    # here), and a conflicting explicit value raises instead of minting
+    # an incompatible band layout into the standing table.
+    c.build_dedup_index("docs", kind="simhash", max_hamming=6)
+    sh = c.append_to_dedup_index("docs", batch, kind="simhash")
     assert {"doc_a", "doc_b", "hamming"} <= set(sh.columns)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="built with max_hamming=6"):
+        c.append_to_dedup_index("docs", batch, kind="simhash", max_hamming=3)
     c.build_dedup_index("docs", kind="semantic")  # hash-embed fallback
     se = c.append_to_dedup_index("docs", batch, kind="semantic", threshold=0.9)
     assert {"vec_a", "vec_b", "centroid_id", "cosine"} <= set(se.columns)

@@ -375,3 +375,58 @@ def test_simhash_index_append_matches_rebuild(spark, tmp_path):
         for r in simhash_bands(docs, max_hamming=mh).collect()
     }
     assert on_disk == fresh
+
+
+def test_index_meta_is_authoritative_for_appends(spark, tmp_path):
+    """Band-layout parameters persist with the index (the lsh meta
+    precedent): an append resolves them from disk, a conflicting
+    explicit value raises instead of minting an incompatible layout
+    into the standing table, and a pre-meta index (no meta directory)
+    still appends under the legacy call-site defaults."""
+    import os
+    import shutil
+
+    import pytest
+
+    from vectorsearch_applications_spark.operators.dedup import (
+        minhash_bands,
+        minhash_index_append,
+        minhash_load_index,
+        minhash_save_index,
+        simhash_index_append,
+        simhash_save_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    standing = docs.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    root = str(tmp_path)
+
+    # non-default layout: 8 hashes in bands of 2
+    minhash_save_index(standing, root, "m", num_hashes=8, band_size=2)
+    minhash_index_append(spark, root, "m", batch)  # resolves 8/2 from meta
+    on_disk = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_load_index(spark, root, "m").collect()
+    }
+    fresh = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(docs, num_hashes=8, band_size=2).collect()
+    }
+    assert on_disk == fresh  # the append minted the SAVED layout
+    with pytest.raises(ValueError, match="built with num_hashes=8"):
+        minhash_index_append(spark, root, "m", batch, num_hashes=16)
+
+    simhash_save_index(standing, root, "s", max_hamming=6)
+    with pytest.raises(ValueError, match="built with max_hamming=6"):
+        simhash_index_append(spark, root, "s", batch, max_hamming=3)
+
+    # pre-meta index: deleting the meta directory falls back to the
+    # legacy defaults instead of failing
+    shutil.rmtree(os.path.join(root, "m__minhash", "meta"))
+    minhash_save_index(standing, root, "legacy")
+    shutil.rmtree(os.path.join(root, "legacy__minhash", "meta"))
+    pairs = minhash_index_append(spark, root, "legacy", batch)
+    assert pairs.count() >= 0

@@ -525,7 +525,7 @@ class SparkSearchClient:
         text_col: str = "text",
         vector_col: str = "embedding",
         threshold: float = 0.4,
-        max_hamming: int = 3,
+        max_hamming: int | None = None,
     ) -> DataFrame:
         """Screen a just-indexed batch against the persisted dedup index
         and make the append durable — returns the newly-introduced
@@ -534,7 +534,10 @@ class SparkSearchClient:
         Call with the same batch handed to ``batch_index_data``, the
         same pairing ``append_to_ann_index`` expects. Column contract
         per family: minhash/simhash emit (doc_a, doc_b[, hamming]),
-        semantic emits (vec_a, vec_b, centroid_id, cosine)."""
+        semantic emits (vec_a, vec_b, centroid_id, cosine). Band-layout
+        parameters resolve from the index's saved meta (build-time
+        values win; a conflicting explicit ``max_hamming`` raises rather
+        than corrupting the band table)."""
         from .operators.dedup import (
             minhash_index_append,
             semantic_index_append,

@@ -596,7 +596,10 @@ def bm25_index_delete(spark, root: str, name: str, deleted_ids) -> int:
     corpus.write.mode("overwrite").parquet(
         os.path.join(base, "corpus_stats")
     )
-    tombstone_append(spark, base, ids, "doc_id")
+    # ids is already distinct, anti-joined vs the existing tombstones,
+    # and eagerly checkpointed above — skip tombstone_append's identical
+    # second pass (one redundant Spark job + tombstone read per delete)
+    tombstone_append(spark, base, ids, "doc_id", pre_deduped=True)
     return n_new
 
 

@@ -329,6 +329,53 @@ def minhash_screen_batch(
     )
 
 
+def _resolve_index_meta(
+    spark, base: str, family: str, given: dict, legacy_defaults: dict
+) -> dict:
+    """Build-parameter resolution for the persisted dedup indexes: the
+    1-row ``<base>/meta`` table written at save time is AUTHORITATIVE
+    (the lsh_save_index precedent) — an append that re-minted band rows
+    under different parameters would join them against an incompatible
+    standing layout and durably corrupt the index. ``given`` holds the
+    caller's explicit values (None = unspecified → use meta); a non-None
+    value that CONFLICTS with the saved meta raises instead of silently
+    winning. Pre-meta indexes on disk (no meta table) fall back to
+    caller-or-legacy values, preserving old layouts."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(os.path.join(base, "meta")).head()
+        saved = {k: int(row[k]) for k in legacy_defaults}
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        saved = None
+    if saved is None:
+        return {
+            k: (given[k] if given.get(k) is not None else d)
+            for k, d in legacy_defaults.items()
+        }
+    for k, v in given.items():
+        if v is not None and int(v) != saved[k]:
+            raise ValueError(
+                f"{family} index at {base} was built with {k}={saved[k]} "
+                f"but the call passed {k}={v}; a mismatched band layout "
+                "would corrupt the index — rebuild with "
+                f"{family}_save_index to change build parameters"
+            )
+    return saved
+
+
+def _write_index_meta(spark, base: str, params: dict) -> None:
+    import os
+
+    spark.createDataFrame(
+        [tuple(params.values())], list(params.keys())
+    ).write.mode("overwrite").parquet(os.path.join(base, "meta"))
+
+
 def minhash_save_index(
     docs: DataFrame,
     root: str,
@@ -342,9 +389,12 @@ def minhash_save_index(
     """Persist the MinHash LSH band table as parquet next to the
     collection — build once (the expensive full-corpus signature job),
     screen many: the same deployment shape as bm25_save_index and
-    ivf_save_index. Layout: <root>/<name>__minhash/bands, directory-
-    partitioned by band so a probe that explodes a batch's bands prunes
-    to the touched band directories.
+    ivf_save_index. Layout: <root>/<name>__minhash/{bands,meta};
+    ``bands`` directory-partitioned by band so a probe that explodes a
+    batch's bands prunes to the touched band directories, ``meta`` the
+    1-row build-parameter table appends resolve against
+    (_resolve_index_meta — call-site parameters cannot silently diverge
+    from the persisted layout).
     """
     import os
 
@@ -354,6 +404,15 @@ def minhash_save_index(
     )
     bands.write.mode("overwrite").partitionBy("band").parquet(
         os.path.join(base, "bands")
+    )
+    _write_index_meta(
+        spark=docs.sparkSession,
+        base=base,
+        params={
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+            "shingle_n": shingle_n,
+        },
     )
     return base
 
@@ -409,9 +468,9 @@ def minhash_index_append(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 16,
-    band_size: int = 4,
-    shingle_n: int = 3,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Screen an appended batch against the PERSISTED standing index and
     make the append durable: mint band rows for the new docs only, return
@@ -424,6 +483,10 @@ def minhash_index_append(
     The returned pair frame is materialized BEFORE the parquet append (a
     lazy plan would otherwise re-read the bands directory after the
     append and double-count the batch against itself).
+
+    Build parameters (num_hashes/band_size/shingle_n) resolve from the
+    index's saved meta — leave them None; an explicit value that
+    conflicts with the persisted layout raises (_resolve_index_meta).
     """
     import os
 
@@ -431,11 +494,27 @@ def minhash_index_append(
 
     base = os.path.join(root, f"{name}__minhash")
     path = os.path.join(base, "bands")
+    p = _resolve_index_meta(
+        spark,
+        base,
+        "minhash",
+        {
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+            "shingle_n": shingle_n,
+        },
+        {"num_hashes": 16, "band_size": 4, "shingle_n": 3},
+    )
     # screen against the LIVE view: tombstoned (deleted) docs must not
     # resurrect as collision evidence for the arriving batch
     standing = minhash_load_index(spark, root, name)
     new_bands = minhash_bands(
-        new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        new_docs,
+        id_col,
+        text_col,
+        p["num_hashes"],
+        p["band_size"],
+        p["shingle_n"],
     ).localCheckpoint(eager=True)
     pairs = minhash_screen_batch(standing, new_bands).localCheckpoint(
         eager=True
@@ -728,13 +807,19 @@ def simhash_save_index(
 ) -> str:
     """Persist the SimHash band table (<root>/<name>__simhash/bands,
     directory-partitioned by band) — build once, screen many; mirrors
-    minhash_save_index."""
+    minhash_save_index, including the 1-row ``meta`` build-parameter
+    table appends resolve against."""
     import os
 
     base = os.path.join(root, f"{name}__simhash")
     simhash_bands(docs, id_col, text_col, bits, max_hamming).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(os.path.join(base, "bands"))
+    _write_index_meta(
+        spark=docs.sparkSession,
+        base=base,
+        params={"bits": bits, "max_hamming": max_hamming},
+    )
     return base
 
 
@@ -783,8 +868,8 @@ def simhash_index_append(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
-    max_hamming: int = 3,
+    bits: int | None = None,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Screen an appended batch against the PERSISTED SimHash index,
     return the newly-introduced hamming-ball pairs, and append the
@@ -792,20 +877,30 @@ def simhash_index_append(
     the same contract as minhash_index_append / bm25_index_append /
     ivf_append. Pairs materialize eagerly BEFORE the parquet append
     (a lazy plan would re-read the bands directory and double-count
-    the batch against itself)."""
+    the batch against itself). Build parameters (bits/max_hamming)
+    resolve from the saved meta — leave them None; an explicit value
+    that conflicts with the persisted band layout raises
+    (_resolve_index_meta)."""
     import os
 
     from ..sources.tombstones import compact_if_reviving
 
     base = os.path.join(root, f"{name}__simhash")
     path = os.path.join(base, "bands")
+    p = _resolve_index_meta(
+        spark,
+        base,
+        "simhash",
+        {"bits": bits, "max_hamming": max_hamming},
+        {"bits": 32, "max_hamming": 3},
+    )
     # LIVE view + compact-on-revive: same contract as the MinHash twin
     standing = simhash_load_index(spark, root, name)
     new_bands = simhash_bands(
-        new_docs, id_col, text_col, bits, max_hamming
+        new_docs, id_col, text_col, p["bits"], p["max_hamming"]
     ).localCheckpoint(eager=True)
     pairs = simhash_screen_batch(
-        standing, new_bands, max_hamming
+        standing, new_bands, p["max_hamming"]
     ).localCheckpoint(eager=True)
     compact_if_reviving(
         spark,

@@ -580,7 +580,9 @@ def pq_index_append(
     partitions. The standing corpus is never re-encoded — the same
     incremental contract as bm25_index_append / ivf_append /
     minhash_index_append. Re-ingesting a previously-deleted id revives it
-    (tombstone_clear). Codebook drift under heavy append is handled by a
+    (compact_if_reviving — the table compacts first so the id's stale
+    codes cannot resurrect; tombstone_clear alone would do exactly that).
+    Codebook drift under heavy append is handled by a
     periodic full pq_save_index rebuild, exactly as for IVF centroids —
     append==frozen-codebook-encode is exact; append==retrained-rebuild is
     deliberately NOT the contract. Returns the appended vector count."""

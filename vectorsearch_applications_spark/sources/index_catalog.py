@@ -40,7 +40,7 @@ FAMILIES = {
 def index_inventory(spark, root: str) -> DataFrame:
     """One row per persisted index under ``root``:
     (collection, family, path, rows, live_rows, tombstoned_ids,
-    needs_compaction).
+    n_files, needs_compaction).
 
     ``rows`` counts physical rows in the family's main table,
     ``live_rows`` the tombstone-filtered view, ``tombstoned_ids`` the

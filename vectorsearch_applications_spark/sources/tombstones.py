@@ -34,15 +34,30 @@ def _tomb_path(base: str) -> str:
 
 
 def load_tombstones(spark, base: str, id_col: str) -> DataFrame | None:
-    """The tombstoned id set, or None when nothing was ever deleted."""
+    """The tombstoned id set, or None when nothing was ever deleted.
+
+    ONLY the missing-directory case maps to None: any other read failure
+    (transient FS error, corrupted directory) must raise — swallowing it
+    would silently resurrect every deleted row in the live views, and a
+    compaction run under the same condition would rewrite the table WITH
+    the tombstoned rows, permanently undeleting them. (A truncated
+    tombstone table — compact_table's empty overwrite — reads back as a
+    schema'd empty frame, not an error, so it does not hit this path.)
+    """
+    from pyspark.errors import AnalysisException
+
     path = _tomb_path(base)
     try:
         return spark.read.parquet(path).select(id_col).distinct()
-    except Exception:
-        return None
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return None
+        raise
 
 
-def tombstone_append(spark, base: str, ids: DataFrame, id_col: str) -> int:
+def tombstone_append(
+    spark, base: str, ids: DataFrame, id_col: str, pre_deduped: bool = False
+) -> int:
     """Record ids as deleted; returns how many NEW ids were recorded.
 
     Idempotent under replay: ids already tombstoned are dropped before
@@ -51,12 +66,21 @@ def tombstone_append(spark, base: str, ids: DataFrame, id_col: str) -> int:
     bm25_index_delete — can trust the returned frame counts each id
     once). The new-id frame is materialized eagerly BEFORE the append
     (the anti-join reads the same directory being appended to).
+
+    ``pre_deduped=True`` skips the distinct + anti-join + checkpoint: a
+    caller that already derived the genuinely-new id set that way
+    (bm25_index_delete needs it first for its stats corrections) must
+    pass an eagerly-materialized frame, or the append would re-read the
+    directory it writes.
     """
-    new = ids.select(F.col(id_col)).distinct()
-    existing = load_tombstones(spark, base, id_col)
-    if existing is not None:
-        new = new.join(existing, id_col, "left_anti")
-    new = new.localCheckpoint(eager=True)
+    if pre_deduped:
+        new = ids.select(F.col(id_col))
+    else:
+        new = ids.select(F.col(id_col)).distinct()
+        existing = load_tombstones(spark, base, id_col)
+        if existing is not None:
+            new = new.join(existing, id_col, "left_anti")
+        new = new.localCheckpoint(eager=True)
     n = new.count()
     if n:
         new.write.mode("append").parquet(_tomb_path(base))
