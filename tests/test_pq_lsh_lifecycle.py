@@ -690,3 +690,26 @@ def test_index_inventory_counts_small_file_debt(spark, tmp_path):
     lsh_index_compact(spark, root, "v")
     compacted = index_inventory(spark, root).collect()[0]["n_files"]
     assert compacted < grown
+
+
+def test_pq_append_geometry_from_saved_codebook(spark, tmp_path):
+    """The append derives n_sub/dim from the persisted codebook (n_sub
+    sub-quantizers of |cvec| dims); an explicit conflicting geometry
+    raises instead of encoding wrong-width codes into the codes table."""
+    import pytest
+
+    emb = _emb(spark)
+    root = str(tmp_path)
+    # non-default geometry: 4 sub-quantizers over the 64-dim vectors
+    pq_save_index(emb.filter(F.col("vec_id") < 100), root, "g",
+                  n_codes=8, n_sub=4, dim=64)
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    n = pq_index_append(spark, root, "g", batch)  # geometry from codebook
+    assert n == 50
+    codes = spark.read.parquet(f"{root}/g__pq/codes")
+    # every appended row carries 4 codes, the SAVED geometry
+    assert codes.filter(F.size("codes") != 4).count() == 0
+    with pytest.raises(ValueError, match="built with n_sub=4"):
+        pq_index_append(spark, root, "g", batch, n_sub=8)
+    with pytest.raises(ValueError, match="built with dim=64"):
+        pq_index_append(spark, root, "g", batch, dim=32)

@@ -392,10 +392,10 @@ class SparkSearchClient:
         if kind == "ivf":
             return ivf_index_append(self.spark, self.root, collection, corpus)
         if kind == "ivfpq":
-            n_sub = 8 if dim % 8 == 0 else 1
-            return pq_index_append(
-                self.spark, self.root, collection, corpus, n_sub=n_sub, dim=dim
-            )
+            # geometry resolves from the SAVED codebook (pq_index_append)
+            # — passing the facade's recomputed n_sub/dim here could only
+            # ever agree or corrupt, so pass nothing
+            return pq_index_append(self.spark, self.root, collection, corpus)
         if kind == "lsh":
             return lsh_index_append(self.spark, self.root, collection, corpus)
         raise ValueError(

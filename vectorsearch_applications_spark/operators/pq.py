@@ -566,8 +566,8 @@ def pq_index_append(
     root: str,
     name: str,
     new_rows: DataFrame,
-    n_sub: int = 8,
-    dim: int = 64,
+    n_sub: int | None = None,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> int:
@@ -585,13 +585,38 @@ def pq_index_append(
     Codebook drift under heavy append is handled by a
     periodic full pq_save_index rebuild, exactly as for IVF centroids —
     append==frozen-codebook-encode is exact; append==retrained-rebuild is
-    deliberately NOT the contract. Returns the appended vector count."""
+    deliberately NOT the contract. Returns the appended vector count.
+
+    Sub-quantizer geometry (n_sub/dim) derives from the SAVED codebook
+    itself (n_sub sub-quantizers of size(cvec) dims each) — leave the
+    parameters None; an explicit value that conflicts with the persisted
+    geometry raises rather than encoding wrong-width codes into the
+    standing codes table (the same authoritative-meta contract as
+    minhash/simhash/lsh appends)."""
     import os
 
     from ..sources.tombstones import compact_if_reviving
 
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
+    geo = cb.select(
+        (F.max("sub") + 1).alias("n_sub"),
+        F.max(F.size("cvec")).alias("sub_dim"),
+    ).head()
+    saved_n_sub = int(geo["n_sub"])
+    saved_dim = saved_n_sub * int(geo["sub_dim"])
+    for pname, given, saved in (
+        ("n_sub", n_sub, saved_n_sub),
+        ("dim", dim, saved_dim),
+    ):
+        if given is not None and int(given) != saved:
+            raise ValueError(
+                f"pq index at {base} was built with {pname}={saved} but "
+                f"the call passed {pname}={given}; a mismatched geometry "
+                "would encode wrong-width codes — rebuild with "
+                "pq_save_index to change it"
+            )
+    n_sub, dim = saved_n_sub, saved_dim
     codes = pq_encode(new_rows, cb, n_sub, dim, id_col, vec_col)
     partition_cols: list[str] = []
     if os.path.isdir(os.path.join(base, "centroids")):
