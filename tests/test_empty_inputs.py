@@ -15,9 +15,15 @@ import pytest
 
 import __spark_entry__ as entry
 
-PICKED = [
+# Retired-from-registry fit harnesses (r10): still screened here — the
+# driver no longer grades them, but their driver-side loops were the
+# historical empty-input offenders and the operators remain exported.
+RETIRED = [
     "quality_classifier_fit",   # driver-side GD loop (historical crash)
     "embedding_pca_project",    # driver-side eigh (historical crash)
+]
+
+PICKED = [
     "bpe_learn_merges",         # driver-side argmax loop
     "bm25_search",
     "knn_search",
@@ -104,4 +110,12 @@ EXPECTED_ROWS = {
 @pytest.mark.parametrize("name", PICKED)
 def test_query_survives_empty_tables(spark, empty_sf, name):
     n = entry.queries()[name](spark, empty_sf).count()
+    assert n == EXPECTED_ROWS.get(name, 0)
+
+
+@pytest.mark.parametrize("name", RETIRED)
+def test_retired_fit_survives_empty_tables(spark, empty_sf, name):
+    from vectorsearch_applications_spark import queries as q
+
+    n = getattr(q, f"q_{name}")(spark, empty_sf).count()
     assert n == EXPECTED_ROWS.get(name, 0)

@@ -90,6 +90,43 @@ def test_no_registered_query_staler_than_window():
     )
 
 
+def test_rotation_is_schedulable_forever():
+    """Registry-capacity policy (r10 verdict task 2, the committed
+    decision): with the 4-round horizon + 1 grace round the hard
+    capacity is 5×50 = 250 registered queries, held with headroom by
+    retiring superseded rows and backfill-smoothing (each round grades
+    its obligatory cohort, then backfills free slots with the oldest
+    members of the next cohort — see the _GRADE_FIRST comment in
+    queries.py). This test PROVES schedulability for the registry at
+    HEAD: simulate the greedy rotation forward 20 rounds from the real
+    CORRECTNESS history and assert no round's obligatory cohort (rows
+    that would go stale past the grace if unscheduled) ever exceeds the
+    window. If a registration push breaks this, the fix is retiring
+    rows or pre-grading a cohort — BEFORE the round where it strands."""
+    from vectorsearch_applications_spark.queries import get_queries
+
+    last, current = _latest_green()
+    names = list(get_queries())
+    assert len(names) <= (MAX_STALENESS + 1) * WINDOW, (
+        f"registry ({len(names)}) exceeds hard rotation capacity "
+        f"{(MAX_STALENESS + 1) * WINDOW}"
+    )
+    sim = {n: last.get(n, current - 1) for n in names}  # new rows: grade now
+    for rnd in range(current, current + 20):
+        # obligatory: unscheduled would exceed horizon + grace next round
+        oblig = [n for n in names if sim[n] <= rnd - MAX_STALENESS - 1]
+        assert len(oblig) <= WINDOW, (
+            f"simulated round {rnd}: {len(oblig)} obligatory re-grades "
+            f"exceed the {WINDOW}-row window — retire rows or pre-grade"
+        )
+        # backfill free slots with the oldest remaining vintage
+        rest = sorted(
+            (n for n in names if n not in set(oblig)), key=lambda n: sim[n]
+        )
+        for n in oblig + rest[: WINDOW - len(oblig)]:
+            sim[n] = rnd
+
+
 def test_never_graded_queries_are_in_window():
     # a brand-new query that misses the window would ship ungraded
     from vectorsearch_applications_spark.queries import get_queries

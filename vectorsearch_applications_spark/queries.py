@@ -8437,17 +8437,15 @@ def q_docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit = one Arrow-batched corpus
     pass of per-partition two-moment partials (count, Σx, X^T X) + a d×d
     driver eigendecomposition; project = literal-weight codegen folds,
-    zero shuffle. Emits FLAT rows (vec_id, component, value_e6) via
-    posexplode — the grading canonicalizer cannot sort array columns, so
-    registered queries carry only scalar output columns (enforced by the
-    registry lint in preflight.py / test_plan_audit.py). Rows-only tier
-    (float moment sums are partition-order dependent); semantics pinned
-    by numpy equivalence tests (test_pca.py)."""
+    zero shuffle. RETIRED from the driver registry in r10 (the
+    ann_ivf_recall precedent): a permanently-rows-only float FIT whose
+    deploy half grades hash-green as embedding_project_frozen. Semantics
+    stay pinned by the NumPy equivalence tests (test_pca.py) and the
+    empty-input screen (test_empty_inputs.py)."""
     from .operators.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -8515,15 +8513,16 @@ def q_embedding_project_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("component").cast("long"), "value_e6")
 
 
-@register("quality_classifier_fit")
 def q_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality classifier (operators/classifier.py): full-batch
     logistic-regression GD where each epoch is ONE map-side-combined
     aggregation over the corpus (d+1 gradient sums; weights are the only
-    driver state), then a codegen-projection scorer. Registered rows-only
-    (float gradient sums are partition-order dependent, so no bitwise SQL
-    oracle can exist — same weaker tier as ann_ivf_recall); semantics are
-    pinned by the NumPy-equivalence property test (test_classifier.py)."""
+    driver state), then a codegen-projection scorer. RETIRED from the
+    driver registry in r10 (the ann_ivf_recall precedent): a
+    permanently-rows-only float FIT whose deploy half grades hash-green
+    as classifier_score_frozen. Semantics stay pinned by the
+    NumPy-equivalence property test (test_classifier.py) and the
+    empty-input screen (test_empty_inputs.py)."""
     from .operators.classifier import fit_summary
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -12736,91 +12735,47 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver grades the FIRST 50 entries of queries() at sf0.01. Every
 # registered query has had a green (or by-design rows-only) driver row
-# since r5, so the window is a freshness rotation: new queries this
-# round first, then names whose underlying cores were reworked since
-# their last grading, then the oldest-graded vintage. _GRADE_LAST:
-# deferred to the next rotation. All remain registered, pytest- and
+# since r6, so the window is a freshness rotation: new queries this
+# round first, then the oldest-graded vintage, then backfill slots from
+# the next-oldest vintage. _GRADE_LAST: deferred to the next rotation
+# under the lint's one-round grace. All remain registered, pytest- and
 # preflight-verified; only the driver's 50-row cap excludes them.
 #
-# r9 window = 8 new (two-stage late interaction, SimHash + semantic
-# appends, routed §3.3 pipeline, and the LSH/PQ/IVF/BM25 append rows —
-# together the graded incremental contract for every persisted index
-# family and all three dedup families)
-# + ALL 39 r4-vintage rows from r8's _GRADE_LAST (the freshness lint
-# went red at HEAD when CORRECTNESS_r08.json landed; this rotation is
-# the r9 verdict's mandatory first action) + 3 of the 48 r5-vintage
-# rows, heavies and the two bench drifters first (the other 45 r5 rows
-# sit in _GRADE_LAST and MUST all be in r10's window, leaving ≤5 new
-# slots for r10). The rotation floor is
-# CI: tests/test_grading_freshness.py fails if any registered query's
-# latest green row falls >4 rounds behind and isn't in the upcoming
-# window.
+# STEADY-STATE ROTATION POLICY (r10, verdict task 2 — the committed
+# decision): the lint's 4-round horizon + 1 grace round gives a hard
+# schedulability capacity of 5 rounds x 50 = 250 registered queries.
+# We hold the registry UNDER 250 with headroom (r10: 235 after retiring
+# the two superseded rows-only fits, see below) and keep every vintage
+# cohort <= 50 by BACKFILL-SMOOTHING: each round's window is
+#   (a) never-graded new registrations (lint-mandatory), then
+#   (b) the full obligatory cohort (rows whose last green row is
+#       exactly horizon+1 rounds old — the current _GRADE_LAST), then
+#   (c) backfill to 50 with the oldest members of the NEXT cohort,
+#       preferring rows whose cores were reworked this round.
+# Backfill pulls every cohort toward ~47 = 235/5, so no future round's
+# obligation can exceed 50. tests/test_grading_freshness.py contains a
+# forward simulation (test_rotation_is_schedulable_forever) that proves
+# this holds for the actual registry at HEAD, not just in argument.
+#
+# Retired this round (the ann_ivf_recall precedent from r7, judge task
+# 2): quality_classifier_fit and embedding_pca_project — permanently
+# rows-only float FITS whose deploy halves grade hash-green
+# (classifier_score_frozen, embedding_project_frozen). The fit
+# harnesses live on un-registered below, NumPy-property-tested in
+# test_classifier.py / test_pca.py and empty-input-screened in
+# test_empty_inputs.py.
+#
+# r10 window = 44 obligatory r5-vintage rows (all of r9's _GRADE_LAST
+# minus the retired fit) + 6 backfills from the r6 cohort (BM25 /
+# hybrid / rerank / chunking — the cores this round's PRF optimization
+# and client-facade work touch). New registrations this round displace
+# backfills, never obligatory rows.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
-    "late_interaction_two_stage",
-    "dedup_simhash_append",
-    "routed_query_pipeline",
-    "ann_lsh_index_append",
-    "ann_pq_index_append",
-    "ann_ivf_append",
-    "bm25_incremental_append",
-    "dedup_semantic_append",
-    # the 39 r4-vintage deferrals (all verified preflight-green at r8
-    # HEAD by builder and judge; re-verified this round)
-    "events_sessionize",
-    "events_sliding_agg",
-    "hard_negative_mining",
-    "ann_ivf_kmeans_exhaustive",
-    "ann_lsh_cosine",
-    "ann_lsh_multiprobe",
-    "boilerplate_doc_ratio",
-    "boilerplate_ngrams",
-    "brand_price_quartiles",
-    "customer_rfm_segments",
-    "docs_ngram_novelty",
-    "embedding_hygiene",
-    "events_asof_last_signup",
-    "events_dwell_time",
-    "events_funnel",
-    "events_gap_fill",
-    "events_range_join",
-    "events_retention",
-    "events_session_campaign_overlap",
-    "events_user_lifecycle",
-    "events_user_rolling_stats",
-    "events_value_histogram",
-    "events_winsorized_stats",
-    "heaps_vocab_growth",
-    "html_markup_strip",
-    "lm_bigram_score",
-    "mmr_diversify",
-    "ngram_collocations",
-    "orders_monthly_seasonality",
-    "pack_training_sequences",
-    "pii_scrub_stats",
-    "quality_linear_score",
-    "referential_integrity_audit",
-    "search_snippets",
-    "snapshot_diff_docs",
-    "temperature_resample_sources",
-    "tfidf_top_terms",
-    "topic_cluster_terms",
-    "vocab_oov_coverage",
-    # r5-vintage back-fill: the two r8 bench drifters under A/B this
-    # round, then the oldest heavies / rows-only fit
-    "ann_ivfpq_refined",
-    "supplier_scorecard",
-    "bm25_prf_search",
-]
-# r5-vintage rows deferred to the r10 rotation (cores untouched this
-# round; the freshness lint allows them one more round of slack —
-# user_feature_store / events_peak_concurrency were displaced from the
-# r9 window by the two new index-append rows, and quality_classifier_fit
-# — the rows-only fit, the window's weakest slot — by
-# dedup_semantic_append, which as never-graded queries MUST be in the
-# upcoming window).
-_GRADE_LAST = [
-    "quality_classifier_fit",
+    "client_late_interaction",
+    "client_routed_query",
+    # the 44 obligatory r5-vintage deferrals (r9 _GRADE_LAST; all
+    # bitwise-green in the r9 judge's 237/237 preflight sweep at HEAD)
     "user_feature_store",
     "events_peak_concurrency",
     "scd2_user_state",
@@ -12865,6 +12820,59 @@ _GRADE_LAST = [
     "span_corruption_plan",
     "split_leakage_audit",
     "token_budget_allocation",
+    # r6-vintage backfill (policy step (c)): cores touched this round
+    "bm25_search",
+    "bm25_multifield",
+    "hybrid_search",
+    "rerank_overlap",
+]
+# r6-vintage rows deferred to the r11 rotation under the lint's grace
+# clause (cores carry pytest + preflight coverage at HEAD; they become
+# r11's obligatory cohort — 43 rows, leaving 7 free r11 slots).
+_GRADE_LAST = [
+    "ann_ivf_recall_exact",
+    "ann_ivfpq_search",
+    "ann_pq_adc",
+    "bloom_filter_dim_prune",
+    "category_target_encoding",
+    "chunk_documents",
+    "classifier_calibration_bins",
+    "classifier_score_frozen",
+    "compaction_bin_packing",
+    "corpus_token_stats",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_sorted_neighborhood",
+    "dedup_substring_spans",
+    "distinct_count_hll_registers",
+    "embedding_truncation_recall",
+    "eval_rank_agreement",
+    "eval_retrieval_metrics",
+    "events_anomaly_mad",
+    "events_autocorrelation",
+    "events_cusum_changepoint",
+    "events_daily_trend_fit",
+    "events_path_trigrams",
+    "events_salted_agg",
+    "expanded_content",
+    "filtered_hybrid_search",
+    "filtered_vector_search",
+    "incremental_agg_equivalence",
+    "join_size_cms_estimate",
+    "k_anonymity_audit",
+    "market_basket_pairs",
+    "merge_upsert_orders",
+    "mixture_token_allocation",
+    "perplexity_bucket_sample",
+    "scd2_incremental_equivalence",
+    "shard_assignment_rendezvous",
+    "table_profile_stats",
+    "temporal_split_embargo",
+    "zonemap_prune_estimate",
+    "zorder_layout_orders",
 ]
 
 
