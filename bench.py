@@ -218,6 +218,9 @@ HEADLINE = [
     "ann_ivf_append",
     "bm25_incremental_append",
     "dedup_semantic_append",
+    # round 10 additions
+    "client_late_interaction",
+    "client_routed_query",
 ]
 
 

@@ -66,6 +66,8 @@ BOUNDED_BNLJ = {
     "late_interaction_search",  # ~20-row query-token-embedding broadcast
     "late_interaction_two_stage",  # BM25 prune's 1-row corpus-stats broadcast
     "routed_query_pipeline",  # hybrid arm: BM25 stats + ≤|batch|-row query broadcasts
+    "client_routed_query",  # same plan through the client facade
+    "client_late_interaction",  # same bounded broadcasts as late_interaction_two_stage
     "ngram_collocations",  # 1-row corpus token count broadcast
     "prompt_assembly",
     "quality_length_filter",

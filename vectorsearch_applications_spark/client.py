@@ -524,8 +524,9 @@ class SparkSearchClient:
         id_col: str = "doc_id",
         text_col: str = "text",
         vector_col: str = "embedding",
-        threshold: float = 0.4,
+        threshold: float | None = None,
         max_hamming: int | None = None,
+        dedupe_redelivered: bool = False,
     ) -> DataFrame:
         """Screen a just-indexed batch against the persisted dedup index
         and make the append durable — returns the newly-introduced
@@ -537,13 +538,36 @@ class SparkSearchClient:
         semantic emits (vec_a, vec_b, centroid_id, cosine). Band-layout
         parameters resolve from the index's saved meta (build-time
         values win; a conflicting explicit ``max_hamming`` raises rather
-        than corrupting the band table)."""
+        than corrupting the band table). ``threshold`` (semantic cosine
+        cut, default 0.4) and ``max_hamming`` apply to ONE family each —
+        passing either to a family it cannot affect raises instead of
+        silently ignoring it. ``dedupe_redelivered`` (semantic only)
+        makes at-least-once foreachBatch ingest idempotent: redelivered
+        vec_ids already in the standing index are screened but not
+        re-appended."""
         from .operators.dedup import (
             minhash_index_append,
             semantic_index_append,
             simhash_index_append,
         )
 
+        if threshold is not None and kind != "semantic":
+            raise ValueError(
+                f"threshold is the semantic family's cosine cut; the "
+                f"{kind!r} index's band layout comes from its saved meta"
+            )
+        if max_hamming is not None and kind != "simhash":
+            raise ValueError(
+                f"max_hamming is the simhash family's ball radius; the "
+                f"{kind!r} index cannot use it"
+            )
+        if dedupe_redelivered and kind != "semantic":
+            raise ValueError(
+                "dedupe_redelivered is implemented for the semantic "
+                "family; minhash/simhash appends are band-row appends "
+                "(re-appending a redelivered id duplicates band rows — "
+                "tombstone + compact instead)"
+            )
         batch = self._dedup_corpus(new_rows, kind, id_col, text_col, vector_col)
         if kind == "minhash":
             return minhash_index_append(
@@ -555,7 +579,12 @@ class SparkSearchClient:
             )
         if kind == "semantic":
             return semantic_index_append(
-                self.spark, self.root, collection, batch, threshold
+                self.spark,
+                self.root,
+                collection,
+                batch,
+                0.4 if threshold is None else threshold,
+                dedupe_redelivered=dedupe_redelivered,
             )
         raise ValueError(
             f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
@@ -746,6 +775,170 @@ class SparkSearchClient:
             raise ValueError(f"unknown fusion {fusion!r} (use 'alpha' or 'rrf')")
         hits = hits.withColumnRenamed("doc_id", id_col)
         return self._format(hits, collection, return_properties, id_col)
+
+    def late_interaction_search(
+        self,
+        collection: str,
+        query: str,
+        limit: int = 10,
+        n_candidates: int = 50,
+        return_properties: Sequence[str] | None = None,
+        filters: Column | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        first_stage: str = "bm25",
+        two_stage: bool = True,
+    ) -> DataFrame:
+        """Token-level Σ-maxsim retrieval (the ColBERT family) over the
+        collection — the reference user's retrieve-then-rerank upgrade
+        path from ``keyword_search``/``hybrid_search`` (rag_ui.py:104
+        drives the client, not module functions, so the composition
+        belongs HERE). Default is the corpus-safe two-stage shape
+        (operators/late_interaction.py late_interaction_two_stage):
+        ``first_stage`` ('bm25' or 'knn') prunes to ``n_candidates``
+        docs per query, Σ-maxsim re-ranks only those — the quadratic
+        token interaction is bounded by n_candidates regardless of
+        collection size. ``two_stage=False`` runs the dense form
+        corpus-wide (the semantic oracle; only for bounded collections).
+        Unfiltered searches reuse the collection-keyed persisted BM25
+        stats cache; a ``filters`` predicate changes the corpus view, so
+        filtered searches score in-plan (same rule as vector_search's
+        index reuse). Output: (doc_id, rank, score, *return_properties).
+        """
+        from .operators.late_interaction import (
+            late_interaction_search as _li_dense,
+        )
+        from .operators.late_interaction import late_interaction_two_stage
+
+        docs = self._docs(collection, filters)
+        qdf = self._query_df(query)
+        if two_stage:
+            hits = late_interaction_two_stage(
+                docs,
+                qdf,
+                k=limit,
+                n_candidates=n_candidates,
+                dim=self._embed_dim,
+                id_col=id_col,
+                text_col=text_col,
+                cache_key=(
+                    os.path.join(self.root, collection)
+                    if filters is None
+                    else None
+                ),
+                first_stage=first_stage,
+            )
+        else:
+            hits = _li_dense(
+                docs,
+                qdf,
+                k=limit,
+                dim=self._embed_dim,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        return self._format(
+            hits.withColumnRenamed("doc_id", id_col),
+            collection,
+            return_properties,
+            id_col,
+        )
+
+    def routed_query(
+        self,
+        collection: str,
+        queries: DataFrame,
+        routes: DataFrame,
+        nl2sql: Callable[[str], str],
+        embeddings_collection: str | None = None,
+        alpha: float = 0.25,
+        n_retrieve: int = 50,
+        limit: int = 10,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vector_col: str = "embedding",
+        sql_views: dict[str, str] | None = None,
+        query_vectors: str = "embeddings",
+        always_search: bool = False,
+    ) -> DataFrame:
+        """The reference's §3.3 routed front door (``Text2SQL.__call__``,
+        notebooks/8 cell 51 — driven through the client exactly as
+        rag_ui.py does) over this client's collections: classify each
+        query in the (query_id, query) batch against the (route,
+        utterance) examples, send search-routed queries through the
+        hybrid arm over ``collection`` and sql-routed queries through
+        ``nl2sql`` + the SELECT-only guard, union the answers
+        (plans/routed.py routed_query_pipeline underneath).
+
+        Facade plumbing: ``embeddings_collection`` names the vector side
+        (falls back to ``collection``'s ``vector_col``, else hash
+        embeddings); ``sql_views`` maps view names to collection names
+        and registers them for the SQL arm's generated statements;
+        ``query_vectors`` is 'embeddings' (query vectors pre-indexed in
+        the vector collection under vec_id == query_id, the reference
+        fixture shape) or 'hash' (embed the query TEXT with the client's
+        embedder — the shape for ad-hoc query batches). BM25 stats reuse
+        the collection-keyed persisted cache. Output rows:
+        (query_id, route, result_key, result_rank, result_value)."""
+        from .plans.routed import routed_query_pipeline
+
+        for view, coll in (sql_views or {}).items():
+            self._load(coll).createOrReplaceTempView(view)
+        docs = self._load(collection).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if embeddings_collection is not None:
+            emb = self._load(embeddings_collection).select(
+                "vec_id", "embedding"
+            )
+        else:
+            rows = self._load(collection)
+            if vector_col in rows.columns:
+                emb = rows.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vector_col).alias("embedding"),
+                )
+            else:
+                emb = hash_embed_ids(
+                    rows.select(id_col, text_col),
+                    id_col,
+                    text_col,
+                    self._embed_dim,
+                ).select(F.col(id_col).alias("vec_id"), "embedding")
+        if query_vectors == "hash":
+            # query vectors from the client's embedder — they must live
+            # in the CORPUS vector space, so this mode pairs with a
+            # hash-embedded corpus (a collection without vector_col) or
+            # with a custom embed_query_fn matching the vector
+            # collection's model. A pre-embedded 64-dim collection plus
+            # the default 16-dim hash embedder is a space mismatch; the
+            # kNN matmul rejects it loudly.
+            qv = queries.select(
+                "query_id",
+                self._embed_query(F.col("query")).alias("query_vec"),
+            )
+        elif query_vectors == "embeddings":
+            qv = None
+        else:
+            raise ValueError(
+                f"query_vectors must be 'embeddings' or 'hash', "
+                f"got {query_vectors!r}"
+            )
+        return routed_query_pipeline(
+            self.spark,
+            queries,
+            routes,
+            docs,
+            emb,
+            nl2sql=nl2sql,
+            alpha=alpha,
+            n_retrieve=n_retrieve,
+            k=limit,
+            dim=self._embed_dim,
+            cache_key=os.path.join(self.root, collection),
+            always_search=always_search,
+            query_vecs=qv,
+        )
 
     def rag_answer(
         self,

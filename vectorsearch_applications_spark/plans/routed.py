@@ -47,12 +47,19 @@ def routed_query_pipeline(
     dim: int = 16,
     cache_key: str | None = None,
     always_search: bool = False,
+    query_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Route → per-arm execution → unioned answers.
 
     queries:  (query_id, query) — the mixed batch.
     routes:   (route, utterance) labeled examples with routes named
               'search' and 'sql' (the reference's 'regular'/'sql').
+    query_vecs: optional (query_id, query_vec) frame for the dense half
+              of the search arm. Default None looks the query vectors up
+              in ``embeddings`` by vec_id == query_id (the fixture shape
+              where query vectors were indexed alongside the corpus);
+              pass an embedded-query frame when they weren't (the client
+              facade's ``query_vectors='hash'`` path).
     nl2sql:   query text → SQL string (the F3 egress slot; deterministic
               stub in tests, LLM-backed in deployment). Called only for
               sql-routed queries; output ALWAYS passes the SELECT-only
@@ -119,12 +126,17 @@ def routed_query_pipeline(
         else F.lit(False)
     ).select("query_id", "query")
     kw = bm25_search(docs, sq, limit=n_retrieve, cache_key=cache_key)
-    qv = embeddings.filter(
-        F.col("vec_id").isin(search_ids) if search_ids else F.lit(False)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
+    if query_vecs is None:
+        qv = embeddings.filter(
+            F.col("vec_id").isin(search_ids) if search_ids else F.lit(False)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    else:
+        qv = query_vecs.filter(
+            F.col("query_id").isin(search_ids) if search_ids else F.lit(False)
+        ).select("query_id", "query_vec")
     vec = knn_search(embeddings, qv, k=n_retrieve).withColumnRenamed(
         "vec_id", "doc_id"
     )

@@ -359,21 +359,25 @@ def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LI_CANDIDATES = 50
 
 
-@register(
-    "late_interaction_two_stage",
-    f"""
+def _li_two_stage_oracle(sq_values: str, final_cols: str) -> str:
+    """Two-stage late-interaction oracle: the BM25 prune CTE feeding the
+    Σ-maxsim SQL over the candidate set. Shared verbatim by the module
+    entry (late_interaction_two_stage, all canned queries) and the
+    client-facade row (client_late_interaction, one query and no
+    query_id output) so the two registrations cannot drift."""
+    return f"""
 WITH {_BM25_PREFIX},
-queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
+queries AS (SELECT * FROM (VALUES {sq_values}) v(query_id, query)),
 {_BM25_SCORING},
 cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rnk <= {_LI_CANDIDATES}),
-qsrc AS (SELECT query_id, {{qtoks}} AS toks FROM queries),
+qsrc AS (SELECT query_id, {_toks("query")} AS toks FROM queries),
 qt AS (
   SELECT query_id, i - 1 AS q_pos, toks[i] AS tok
   FROM (SELECT query_id, toks, unnest(generate_series(1, len(toks))) AS i
         FROM qsrc)
 ),
 dsrc AS (
-  SELECT doc_id, {{dtoks}} AS toks FROM documents
+  SELECT doc_id, {_toks("text")} AS toks FROM documents
   WHERE doc_id IN (SELECT doc_id FROM cand)
 ),
 dt AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM dsrc),
@@ -381,7 +385,7 @@ tvsrc AS (
   SELECT DISTINCT tok AS eid, [tok] AS toks FROM
   (SELECT tok FROM qt UNION SELECT tok FROM dt)
 ),
-{{embed}},
+{_EMBED_SQL.format(name="t", src="tvsrc", dmax=_EMBED_DIM - 1)},
 sims AS (
   SELECT c.query_id, q.q_pos, c.doc_id, x.tok,
          sum(qe.v * de.v) AS sim
@@ -406,13 +410,17 @@ ranked AS (
                             ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
   FROM scored
 )
-SELECT query_id, doc_id, rnk::BIGINT AS rank,
-       round(score, 4) + 0.0 AS score
+SELECT {final_cols}
 FROM ranked WHERE rnk <= 10
-""".format(
-        qtoks=_toks("query"),
-        dtoks=_toks("text"),
-        embed=_EMBED_SQL.format(name="t", src="tvsrc", dmax=_EMBED_DIM - 1),
+"""
+
+
+@register(
+    "late_interaction_two_stage",
+    _li_two_stage_oracle(
+        _SQ_VALUES,
+        "query_id, doc_id, rnk::BIGINT AS rank,\n"
+        "       round(score, 4) + 0.0 AS score",
     ),
 )
 def q_late_interaction_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +448,41 @@ def q_late_interaction_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.select(
         "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+@register(
+    "client_late_interaction",
+    _li_two_stage_oracle(
+        f"(0::BIGINT, '{SEARCH_QUERIES[0][1]}')",
+        "doc_id, rnk::BIGINT AS rank,\n"
+        "       round(score, 4) + 0.0 AS score",
+    ),
+)
+def q_client_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late interaction THROUGH the client facade
+    (client.py SparkSearchClient.late_interaction_search — r9 verdict
+    task 4: the reference user drives the client, rag_ui.py:104, not
+    module functions, so the graded contract must hold on the client
+    path too). The client roots at the sf directory (collections are
+    parquet subdirectories, so 'documents.parquet' IS a collection),
+    runs the single-query facade shape, and the oracle is the SAME
+    two-stage Σ-maxsim SQL as late_interaction_two_stage restricted to
+    that query — the two registrations share one oracle builder, so the
+    facade cannot silently diverge from the module entry it wraps."""
+    from .client import SparkSearchClient
+
+    client = SparkSearchClient(spark, sf_dir)
+    hits = client.late_interaction_search(
+        "documents.parquet",
+        SEARCH_QUERIES[0][1],
+        limit=10,
+        n_candidates=_LI_CANDIDATES,
+    )
+    return hits.select(
         "doc_id",
         F.col("rank").cast("bigint").alias("rank"),
         (F.round("score", 4) + F.lit(0.0)).alias("score"),
@@ -1722,9 +1765,13 @@ _ROUTED_NL2SQL = {
 }
 
 
-@register(
-    "routed_query_pipeline",
-    f"""
+# Routed-pipeline oracle, shared verbatim by the module-entry row
+# (routed_query_pipeline) and the client-facade row (client_routed_query)
+# so the facade cannot silently diverge from the plan it wraps: the
+# route decision is COMPUTED (centroid classification restated in SQL),
+# each generated statement is gated on its routed(query_id) row, and
+# both arms union under RESULT_SCHEMA.
+_ROUTED_ORACLE = f"""
 WITH utt AS (SELECT * FROM (VALUES {_RU_VALUES}) v(route, uid, utterance)),
 usrc AS (SELECT uid AS eid, {_toks('utterance')} AS toks FROM utt),
 {_EMBED_SQL.format(name='u', src='usrc', dmax=_EMBED_DIM - 1)},
@@ -1844,8 +1891,10 @@ sql_arm AS (
     (SELECT 1 FROM routed r WHERE r.query_id = 2 AND r.route = 'sql')
 )
 SELECT * FROM search_arm UNION ALL SELECT * FROM sql_arm
-""",
-)
+"""
+
+
+@register("routed_query_pipeline", _ROUTED_ORACLE)
 def q_routed_query_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's §3.3 ``Text2SQL.__call__`` composed end-to-end
     (plans/routed.py — r9 verdict task 5): semantic route classification
@@ -1884,6 +1933,45 @@ def q_routed_query_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         dim=_EMBED_DIM,
         cache_key=sf_dir,
+    )
+
+
+@register("client_routed_query", _ROUTED_ORACLE)
+def q_client_routed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 routed pipeline THROUGH the client facade
+    (client.py SparkSearchClient.routed_query — r9 verdict task 4):
+    the reference's rag_ui.py + nb8 cell 51 both drive the CLIENT, so
+    the graded end-to-end contract must hold on the facade path. The
+    client roots at the sf directory, names documents/embeddings as
+    collections, registers the SQL arm's views via ``sql_views``, and
+    delegates to plans/routed.routed_query_pipeline. Same oracle string
+    as routed_query_pipeline (shared _ROUTED_ORACLE constant): the
+    facade's plumbing — collection loading, view registration, the
+    collection-keyed BM25 stats cache — must not change a single value
+    of the module entry's answer."""
+    from .client import SparkSearchClient
+
+    client = SparkSearchClient(spark, sf_dir)
+    routes = spark.createDataFrame(
+        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
+    )
+    queries = spark.createDataFrame(
+        _ROUTE_QUERIES, "query_id long, query string"
+    )
+    return client.routed_query(
+        "documents.parquet",
+        queries,
+        routes,
+        nl2sql=_ROUTED_NL2SQL.__getitem__,
+        embeddings_collection="embeddings.parquet",
+        alpha=_HYBRID_ALPHA,
+        n_retrieve=_HYBRID_N,
+        limit=10,
+        sql_views={
+            "documents": "documents.parquet",
+            "orders": "orders.parquet",
+            "customer": "customer.parquet",
+        },
     )
 
 
