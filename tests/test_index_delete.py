@@ -237,3 +237,37 @@ def test_bm25_delete_equals_rebuild_on_survivors(spark, tmp_path):
     # compaction preserves search results and drops the tombstone join
     bm25_index_compact(spark, root, "full")
     assert res("full") == res("fresh")
+
+
+def test_path_not_found_detection_uses_error_condition(spark, tmp_path):
+    """is_path_not_found keys on the structured error condition, not a
+    message substring (r9 advice), and the installed Spark actually
+    raises PATH_NOT_FOUND as the condition for a missing parquet path —
+    if an upgrade renames the class, this pins the break here instead
+    of as every-live-view-read-raises in production."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from vectorsearch_applications_spark.sources.tombstones import (
+        is_path_not_found,
+        load_tombstones,
+    )
+
+    missing = str(tmp_path / "never_written")
+    with pytest.raises(AnalysisException) as exc:
+        spark.read.parquet(missing + "/tombstones").collect()
+    ex = exc.value
+    cond = (ex.getCondition() if hasattr(ex, "getCondition")
+            else ex.getErrorClass())
+    assert cond == "PATH_NOT_FOUND"  # the installed Spark's condition
+    assert is_path_not_found(ex)
+    # the None contract rides on it
+    assert load_tombstones(spark, missing, "doc_id") is None
+
+    # a non-path error whose MESSAGE happens to contain the token must
+    # not read as missing — substring matching got this wrong
+    class FakeEx(Exception):
+        def getCondition(self):
+            return "DIVIDE_BY_ZERO"
+
+    assert not is_path_not_found(FakeEx("mentions PATH_NOT_FOUND"))

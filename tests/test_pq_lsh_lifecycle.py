@@ -711,5 +711,11 @@ def test_pq_append_geometry_from_saved_codebook(spark, tmp_path):
     assert codes.filter(F.size("codes") != 4).count() == 0
     with pytest.raises(ValueError, match="built with n_sub=4"):
         pq_index_append(spark, root, "g", batch, n_sub=8)
-    with pytest.raises(ValueError, match="built with dim=64"):
+    with pytest.raises(ValueError, match="built with effective dim=64"):
         pq_index_append(spark, root, "g", batch, dim=32)
+    # dim means EFFECTIVE encoded width: any dim implying the same
+    # sub_dim (dim // n_sub) is the geometry the codebook was built
+    # with — a build dim not divisible by n_sub truncated trailing
+    # dims, so re-passing the original value must NOT raise (r9 advice)
+    assert pq_index_append(spark, root, "g", batch, dim=64) == 50
+    assert pq_index_append(spark, root, "g", batch, dim=67) == 50

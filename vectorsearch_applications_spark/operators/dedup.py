@@ -349,7 +349,9 @@ def _resolve_index_meta(
         row = spark.read.parquet(os.path.join(base, "meta")).head()
         saved = {k: int(row[k]) for k in legacy_defaults}
     except AnalysisException as ex:
-        if "PATH_NOT_FOUND" not in str(ex):
+        from ..sources.tombstones import is_path_not_found
+
+        if not is_path_not_found(ex):
             raise
         saved = None
     if saved is None:

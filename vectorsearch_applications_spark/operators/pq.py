@@ -604,18 +604,29 @@ def pq_index_append(
         F.max(F.size("cvec")).alias("sub_dim"),
     ).head()
     saved_n_sub = int(geo["n_sub"])
-    saved_dim = saved_n_sub * int(geo["sub_dim"])
-    for pname, given, saved in (
-        ("n_sub", n_sub, saved_n_sub),
-        ("dim", dim, saved_dim),
-    ):
-        if given is not None and int(given) != saved:
-            raise ValueError(
-                f"pq index at {base} was built with {pname}={saved} but "
-                f"the call passed {pname}={given}; a mismatched geometry "
-                "would encode wrong-width codes — rebuild with "
-                "pq_save_index to change it"
-            )
+    saved_sub_dim = int(geo["sub_dim"])
+    saved_dim = saved_n_sub * saved_sub_dim
+    if n_sub is not None and int(n_sub) != saved_n_sub:
+        raise ValueError(
+            f"pq index at {base} was built with n_sub={saved_n_sub} but "
+            f"the call passed n_sub={n_sub}; a mismatched geometry "
+            "would encode wrong-width codes — rebuild with "
+            "pq_save_index to change it"
+        )
+    # saved_dim is the EFFECTIVE encoded width: a build whose dim was
+    # not divisible by n_sub truncated the trailing dims, so a caller
+    # re-passing their original build dim is consistent whenever it
+    # yields the same sub_dim (dim // n_sub) — only a geometry that
+    # would encode different-width codes raises
+    if dim is not None and int(dim) // saved_n_sub != saved_sub_dim:
+        raise ValueError(
+            f"pq index at {base} was built with effective dim="
+            f"{saved_dim} ({saved_n_sub} sub-quantizers x "
+            f"{saved_sub_dim} dims) but the call passed dim={dim}, "
+            f"which implies sub_dim={int(dim) // saved_n_sub}; a "
+            "mismatched geometry would encode wrong-width codes — "
+            "rebuild with pq_save_index to change it"
+        )
     n_sub, dim = saved_n_sub, saved_dim
     codes = pq_encode(new_rows, cb, n_sub, dim, id_col, vec_col)
     partition_cols: list[str] = []

@@ -33,6 +33,30 @@ def _tomb_path(base: str) -> str:
     return os.path.join(base, TOMBSTONES)
 
 
+def is_path_not_found(ex) -> bool:
+    """True iff an AnalysisException is Spark's missing-path error.
+
+    Matches on the structured error condition (``getCondition()``,
+    Spark 4's name for ``getErrorClass()``) rather than a message
+    substring: a Spark upgrade that rewords the message must not make
+    every never-deleted index raise on its first live-view read, and a
+    path that merely CONTAINS the string 'PATH_NOT_FOUND' must not read
+    as missing. The substring probe survives only as a last-resort
+    fallback for exceptions carrying no condition at all. Pinned
+    against the installed Spark in tests/test_index_delete.py."""
+    for probe in ("getCondition", "getErrorClass"):
+        fn = getattr(ex, probe, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(ex)
+
+
 def load_tombstones(spark, base: str, id_col: str) -> DataFrame | None:
     """The tombstoned id set, or None when nothing was ever deleted.
 
@@ -50,7 +74,7 @@ def load_tombstones(spark, base: str, id_col: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path).select(id_col).distinct()
     except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
+        if is_path_not_found(ex):
             return None
         raise
 
