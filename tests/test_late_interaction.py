@@ -129,3 +129,61 @@ def test_two_stage_empty_query_side(spark):
     docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
     q = _queries(spark).filter(F.lit(False))
     assert late_interaction_two_stage(docs, q, k=5).count() == 0
+
+
+def test_prune_executes_once_past_the_collect_cap(spark):
+    """r10 (verdict task 5): past the take-guard cap the candidate plan
+    used to execute THREE times (the cap probe + both plan consumers).
+    The eager localCheckpoint closes that cliff structurally: an
+    accumulator inside the candidate pipeline counts actual executor
+    passes over the candidate rows — exactly one end-to-end, both sides
+    of the cap boundary."""
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    q = _queries(spark)
+    base = bm25_search(docs, q, limit=20).select("query_id", "doc_id")
+    n_cand = base.count()
+
+    def counted(acc):
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return base.mapInPandas(bump, "query_id long, doc_id long")
+
+    for cap in (1, 100_000):  # past the cap / below the cap
+        acc = spark.sparkContext.accumulator(0)
+        out = late_interaction_rerank(
+            docs, q, counted(acc), k=10, max_collect_candidates=cap
+        )
+        assert len(out.collect()) > 0
+        assert acc.value == n_cand, (
+            f"cap={cap}: candidate prune ran {acc.value / n_cand:.1f}x — "
+            "the checkpoint must make it run exactly once"
+        )
+
+
+def test_past_cap_plan_reads_checkpoint_not_prune_subtree(spark):
+    """Past the cap both candidate consumers (doc-side semi-join and
+    scoring join) read the materialized checkpoint (ExistingRDD scans)
+    — a plan tree whose candidate inputs were still the live BM25 prune
+    would show zero checkpoint scans and re-execute the prune per
+    consumer (the execution count itself is pinned end-to-end by
+    test_prune_executes_once_past_the_collect_cap)."""
+    import re
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    q = _queries(spark)
+    cands = bm25_search(docs, q, limit=20).select("query_id", "doc_id")
+    out = late_interaction_rerank(
+        docs, q, cands, k=10, max_collect_candidates=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ExistingRDD", plan)) >= 2, (
+        "past the cap the candidate side must enter the plan as "
+        "checkpoint scans, not as the live prune subtree"
+    )

@@ -128,16 +128,21 @@ def late_interaction_rerank(
         F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
     ).distinct()
     # The candidate set is bounded by design (top-N per query), and it
-    # feeds TWO places — the doc-side semi-join and the scoring join —
-    # so leaving it a plan would execute the whole prune subtree twice
-    # (AQE does not reliably reuse the exchange; measured on the
-    # two-stage query, SCALE.md r9). Collect it once, guarded by
-    # take(n+1) exactly like knn_search's query cap, and re-enter as a
-    # literal frame: the doc filter then pushes down to the corpus
-    # scan. Past the cap fall back to the join shape — the candidate
-    # plan then executes THREE times (once for this take, twice in the
-    # plan); a caller living past the cap should checkpoint the
-    # candidate frame first. Nothing collects unbounded state.
+    # feeds THREE consumers — the cap probe, then either the literal
+    # re-entry collect (below the cap) or the doc-side semi-join plus
+    # the scoring join (past it). Materialize it ONCE with an eager
+    # localCheckpoint (distributed, sized |Q|·N — never driver state)
+    # so every consumer reads the checkpoint instead of re-executing
+    # the first-stage prune subtree (AQE does not reliably reuse the
+    # exchange; measured on the two-stage query, SCALE.md r9). Below
+    # the take(n+1) cap the candidates additionally re-enter as a
+    # literal frame so the doc filter pushes down to the corpus scan;
+    # past the cap the join shape reads the checkpoint twice — the
+    # prune still executes exactly once (the r9 3-execution cliff is
+    # closed structurally, not by a docstring warning; plan-pinned in
+    # tests/test_late_interaction.py). Nothing collects unbounded
+    # state.
+    cand = cand.localCheckpoint(eager=True)
     rows = cand.take(max_collect_candidates + 1)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
