@@ -415,9 +415,18 @@ def bm25_prf_search(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokenize(query_col))).alias("term"),
     )
+    # Round-1 scores materialize ONCE (eager localCheckpoint, distributed
+    # — |Q|·|matching docs| rows, never driver state): they feed the
+    # feedback top-k AND round 2 directly. BM25 is additive over terms
+    # and the expansion set is disjoint from the query set (the
+    # left_anti below), so the expanded-set score is exactly
+    # s1 + Σ expansion-term contributions — round 2 therefore scores
+    # ONLY the expansion-term postings instead of re-scoring the whole
+    # expanded set (the r9 shape re-paid the q-term postings — the
+    # larger share — in round 2; measured −12% at sf0.1, SCALE.md r10).
     s1 = bm25_scores_from_terms(
         postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     fb = (
         s1.withColumn("rnk", F.row_number().over(w))
@@ -436,16 +445,23 @@ def bm25_prf_search(
         .filter(F.col("erk") <= n_expand)
         .select("query_id", "term")
     )
-    # no distinct: the union is provably duplicate-free — q_terms is
-    # per-query distinct (array_distinct before the explode), exp_terms
-    # is per-query distinct by construction (row_number <= n_expand) and
-    # disjoint from q_terms (the left_anti above) — so the dedup shuffle
-    # bought nothing. Wash at sf0.1 (same-JVM interleaved A/B: 4.54 vs
-    # 4.44 s median, identical results); at a real query fleet the
-    # removed exchange is |queries|·|terms| rows per search.
-    all_terms = q_terms.union(exp_terms)
-    s2 = bm25_scores_from_terms(
-        postings, term_stats, corpus_stats, all_terms, k1=k1, b=b
+    s_exp = bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, exp_terms, k1=k1, b=b
+    )
+    s2 = (
+        s1.withColumnRenamed("score", "_s1")
+        .join(
+            s_exp.withColumnRenamed("score", "_se"),
+            ["query_id", "doc_id"],
+            "full",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce("_s1", F.lit(0.0)) + F.coalesce("_se", F.lit(0.0))
+            ).alias("score"),
+        )
     )
     return (
         s2.withColumn("rank", F.row_number().over(w))
