@@ -671,3 +671,93 @@ def test_semantic_append_dedupe_redelivered_via_client(spark, tmp_path):
     )
     assert redelivered.count() == 0
     assert spark.read.parquet(asg).count() == n_after_first
+
+
+def test_mutation_invalidates_bm25_stats_cache(spark, tmp_path):
+    """r10 review finding: facade searches key the session-persisted
+    BM25 stats by collection path, so every mutating verb must drop
+    those entries — otherwise a search after batch_index_data scores
+    against pre-mutation postings and new docs can never be retrieved."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    half = docs.filter(F.col("doc_id") < 150)
+    rest = docs.filter(F.col("doc_id") >= 150)
+    c.create_collection("docs", half)
+    before = c.late_interaction_search("docs", "spark join order", limit=10)
+    assert all(r["doc_id"] < 150 for r in before.collect())
+
+    c.batch_index_data("docs", rest, not_null_cols=["doc_id", "text"])
+    after = {
+        (r["doc_id"], r["rank"])
+        for r in c.late_interaction_search(
+            "docs", "spark join order", limit=10
+        ).collect()
+    }
+    # fresh client (cold cache) over the mutated collection = truth
+    fresh = {
+        (r["doc_id"], r["rank"])
+        for r in SparkSearchClient(spark, str(tmp_path))
+        .late_interaction_search("docs", "spark join order", limit=10)
+        .collect()
+    }
+    assert after == fresh
+    # the corpus doubled, so the stats must have too: a stale-cache run
+    # returns `before` verbatim
+    assert after != {(r["doc_id"], r["rank"]) for r in before.collect()} or (
+        fresh == after
+    )
+
+
+def test_routed_query_cache_key_carries_source_columns(spark, tmp_path):
+    """r10 review finding: routed_query normalizes columns BEFORE the
+    pipeline, so two corpus views of one collection (different text
+    columns) must not alias to one cached postings build."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    # two text views with very different vocabularies
+    two = docs.select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("zzqx"), (F.col("doc_id") % 7).cast("string")).alias(
+            "alt"
+        ),
+    )
+    c.create_collection("docs", two)
+    routes = spark.createDataFrame(
+        [
+            ("search", "tell me about sleep"),
+            ("search", "what did they say about light"),
+            ("sql", "how many rows are there"),
+            ("sql", "count the rows in the table"),
+        ],
+        "route string, utterance string",
+    )
+    queries = spark.createDataFrame(
+        [(3, "zzqx3 zzqx3")], "query_id long, query string"
+    )
+    nl2sql = lambda q: "SELECT 'n' AS result_key, 1 AS result_value"  # noqa: E731
+    r_text = c.routed_query(
+        "docs", queries, routes, nl2sql=nl2sql, query_vectors="hash"
+    ).collect()
+    r_alt = c.routed_query(
+        "docs", queries, routes, nl2sql=nl2sql, query_vectors="hash",
+        text_col="alt",
+    ).collect()
+    # under the alt view the zzqx query has BM25 hits; under text it has
+    # none — an aliased cache would make both sides agree
+    alt_keys = {r["result_key"] for r in r_alt}
+    text_keys = {r["result_key"] for r in r_text}
+    assert alt_keys != text_keys
+    assert alt_keys  # the alt view really matched
+
+
+def test_build_dedup_index_rejects_family_irrelevant_params(spark, tmp_path):
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    c.create_collection("docs", docs)
+    with pytest.raises(ValueError, match="max_hamming is the simhash"):
+        c.build_dedup_index("docs", kind="minhash", max_hamming=2)
+    with pytest.raises(ValueError, match="n_centroids sizes the semantic"):
+        c.build_dedup_index("docs", kind="simhash", n_centroids=8)

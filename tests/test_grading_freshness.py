@@ -111,7 +111,12 @@ def test_rotation_is_schedulable_forever():
         f"registry ({len(names)}) exceeds hard rotation capacity "
         f"{(MAX_STALENESS + 1) * WINDOW}"
     )
-    sim = {n: last.get(n, current - 1) for n in names}  # new rows: grade now
+    # never-graded rows seed at the obligation horizon: the companion
+    # lint (test_never_graded_queries_are_in_window) forces them into
+    # the IMMEDIATE window, so the simulation must schedule them in its
+    # first round too — seeding them "fresh" would let an unschedulable
+    # registration push (e.g. 60 new rows at once) simulate as feasible
+    sim = {n: last.get(n, current - MAX_STALENESS - 1) for n in names}
     for rnd in range(current, current + 20):
         # obligatory: unscheduled would exceed horizon + grace next round
         oblig = [n for n in names if sim[n] <= rnd - MAX_STALENESS - 1]

@@ -89,6 +89,38 @@ def test_stream_rag_checkpoint_resume_is_idempotent(spark, tmp_path):
     assert ids == [0, 1, 2]
 
 
+def test_stream_rag_replay_overwrites_not_duplicates(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after losing the
+    checkpoint (the crash-between-sink-and-offset-commit window) must
+    OVERWRITE its own batch_id partition, not append a second copy of
+    every prompt."""
+    import shutil
+
+    docs, root = _setup(spark, tmp_path)
+    src = str(tmp_path / "queries_in")
+    out = str(tmp_path / "prompts_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(Q1 + Q2, SCHEMA).write.mode("append").parquet(src)
+    q = stream_rag_pipeline(spark, root, "corpus", docs, src, out, ckpt)
+    assert q.awaitTermination(300)
+    first = sorted(
+        (r["query_id"], r["n_context"], r["prompt"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 3
+
+    # replay: checkpoint gone, same source, same epoch ids re-issued
+    shutil.rmtree(ckpt)
+    q = stream_rag_pipeline(spark, root, "corpus", docs, src, out, ckpt)
+    assert q.awaitTermination(300)
+    replayed = sorted(
+        (r["query_id"], r["n_context"], r["prompt"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # not doubled, not reordered
+
+
 def test_stream_rag_empty_batch_is_noop(spark, tmp_path):
     """An empty source drain writes nothing and does not crash (the
     isEmpty guard) — empty micro-batches are routine under availableNow
@@ -105,3 +137,23 @@ def test_stream_rag_empty_batch_is_noop(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert not os.path.isdir(out) or spark.read.parquet(out).count() == 0
+
+
+def test_rag_answer_batch_non_default_id_col(spark, tmp_path):
+    """r10 review finding: the per-batch unit must work for collections
+    whose id column is not literally 'doc_id' (the index search and the
+    rerank both normalize to 'doc_id' internally)."""
+    docs, root = _setup(spark, tmp_path)
+    q = spark.createDataFrame(Q1, SCHEMA)
+    base = {
+        r["query_id"]: (r["n_context"], r["prompt"])
+        for r in rag_answer_batch(spark, root, "corpus", docs, q).collect()
+    }
+    renamed = docs.withColumnRenamed("doc_id", "chunk_id")
+    got = {
+        r["query_id"]: (r["n_context"], r["prompt"])
+        for r in rag_answer_batch(
+            spark, root, "corpus", renamed, q, id_col="chunk_id"
+        ).collect()
+    }
+    assert got == base

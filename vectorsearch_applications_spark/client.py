@@ -80,15 +80,32 @@ class SparkSearchClient:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def _invalidate_search_caches(self, name: str) -> None:
+        """Drop session caches describing a just-mutated collection: the
+        persisted BM25 stats (keyed by '<root>/<name>…') and the probed
+        embedding dims. Every mutating verb calls this — a search after
+        a mutation must never score against pre-mutation postings (r10
+        review finding; the operator API's docstring warns the caller,
+        but the facade picks cache keys on the user's behalf, so the
+        facade owns the invalidation too)."""
+        from .operators.bm25 import bm25_cache_invalidate
+
+        bm25_cache_invalidate(os.path.join(self.root, name))
+        self._dim_cache = {
+            k: v for k, v in self._dim_cache.items() if k[0] != name
+        }
+
     def create_collection(
         self,
         name: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
     ) -> str:
+        self._invalidate_search_caches(name)
         return _coll.create_collection(self.spark, self.root, name, df, partition_by)
 
     def delete_collection(self, name: str) -> None:
+        self._invalidate_search_caches(name)
         _coll.drop_collection(self.root, name)
 
     def show_all_collections(self) -> list[str]:
@@ -101,6 +118,7 @@ class SparkSearchClient:
         not_null_cols: list[str],
         error_threshold: float = 0.01,
     ) -> dict[str, int]:
+        self._invalidate_search_caches(name)
         return _coll.batch_index(
             self.spark, self.root, name, df, not_null_cols, error_threshold
         )
@@ -138,6 +156,7 @@ class SparkSearchClient:
     def merge(self, name: str, changes: DataFrame, **kw) -> dict[str, int]:
         """CDC MERGE (upsert+delete change set, last-writer-wins) — see
         sources/collections.py merge_collection."""
+        self._invalidate_search_caches(name)
         return _coll.merge_collection(self.spark, self.root, name, changes, **kw)
 
     def snapshot(self, name: str, tag: str) -> str:
@@ -145,6 +164,7 @@ class SparkSearchClient:
         return _coll.snapshot_collection(self.root, name, tag)
 
     def rollback(self, name: str, tag: str) -> None:
+        self._invalidate_search_caches(name)
         _coll.rollback_collection(self.root, name, tag)
 
     def snapshots(self, name: str) -> list[str]:
@@ -158,6 +178,7 @@ class SparkSearchClient:
 
     def recover(self, name: str) -> str:
         """Resolve staged-swap crash leftovers; returns the action taken."""
+        self._invalidate_search_caches(name)
         return _coll.recover_collection(self.root, name)
 
     def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
@@ -482,8 +503,8 @@ class SparkSearchClient:
         id_col: str = "doc_id",
         text_col: str = "text",
         vector_col: str = "embedding",
-        n_centroids: int = 16,
-        max_hamming: int = 3,
+        n_centroids: int | None = None,
+        max_hamming: int | None = None,
     ) -> str:
         """Persist a near-dup screening index next to the collection —
         the dedup twin of ``build_ann_index``, closing the facade gap
@@ -492,7 +513,11 @@ class SparkSearchClient:
         (hamming-ball band table), or 'semantic' (SemDeDup centroid
         assignments under a frozen stride-sampled codebook). Returns
         the index path; keep it fresh with ``append_to_dedup_index``.
-        """
+        ``max_hamming`` (simhash ball radius, default 3) and
+        ``n_centroids`` (semantic codebook size, default 16) each apply
+        to ONE family — passing either to a family it cannot affect
+        raises instead of silently ignoring it (same contract as the
+        append verb)."""
         from .operators.ann import ivf_build
         from .operators.dedup import (
             minhash_save_index,
@@ -500,6 +525,16 @@ class SparkSearchClient:
             simhash_save_index,
         )
 
+        if max_hamming is not None and kind != "simhash":
+            raise ValueError(
+                f"max_hamming is the simhash family's ball radius; the "
+                f"{kind!r} index cannot use it"
+            )
+        if n_centroids is not None and kind != "semantic":
+            raise ValueError(
+                f"n_centroids sizes the semantic family's codebook; the "
+                f"{kind!r} index cannot use it"
+            )
         corpus = self._dedup_corpus(
             self._load(collection), kind, id_col, text_col, vector_col
         )
@@ -507,10 +542,15 @@ class SparkSearchClient:
             return minhash_save_index(corpus, self.root, collection)
         if kind == "simhash":
             return simhash_save_index(
-                corpus, self.root, collection, max_hamming=max_hamming
+                corpus,
+                self.root,
+                collection,
+                max_hamming=3 if max_hamming is None else max_hamming,
             )
         if kind == "semantic":
-            cents, _ = ivf_build(corpus, n_centroids=n_centroids)
+            cents, _ = ivf_build(
+                corpus, n_centroids=16 if n_centroids is None else n_centroids
+            )
             return semantic_save_index(corpus, cents, self.root, collection)
         raise ValueError(
             f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
@@ -924,6 +964,15 @@ class SparkSearchClient:
                 f"query_vectors must be 'embeddings' or 'hash', "
                 f"got {query_vectors!r}"
             )
+        # the pipeline scores the NORMALIZED (doc_id, text) projection,
+        # so the stats cache's own (id_col, text_col) guard cannot see
+        # the SOURCE columns — carry non-default names in the key so two
+        # corpus views of one collection never alias to one postings
+        # build (r10 review finding); defaults keep the bare path, the
+        # same key late_interaction_search and the module rows share
+        ck = os.path.join(self.root, collection)
+        if (id_col, text_col) != ("doc_id", "text"):
+            ck += f"#{id_col}:{text_col}"
         return routed_query_pipeline(
             self.spark,
             queries,
@@ -935,7 +984,7 @@ class SparkSearchClient:
             n_retrieve=n_retrieve,
             k=limit,
             dim=self._embed_dim,
-            cache_key=os.path.join(self.root, collection),
+            cache_key=ck,
             always_search=always_search,
             query_vecs=qv,
         )

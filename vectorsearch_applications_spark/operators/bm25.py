@@ -86,6 +86,23 @@ def bm25_cache_clear() -> None:
     _INDEX_CACHE.clear()
 
 
+def bm25_cache_invalidate(prefix: str) -> int:
+    """Unpersist and drop every cached index whose corpus key starts
+    with ``prefix`` — the mutation hook: anything that rewrites a
+    corpus the cache may describe (collection overwrite, batch index,
+    MERGE, rollback) must call this or later searches silently score
+    against the pre-mutation postings (r10 review finding). Returns the
+    number of entries dropped."""
+    victims = [k for k in _INDEX_CACHE if str(k[1]).startswith(prefix)]
+    for k in victims:
+        for df in _INDEX_CACHE.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    return len(victims)
+
+
 def bm25_build_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -427,7 +444,15 @@ def bm25_prf_search(
     s1 = bm25_scores_from_terms(
         postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
     ).localCheckpoint(eager=True)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank on the ROUNDED score (repo float-determinism rule, same as
+    # late_interaction): the two-part s1+s_exp sum below changes ulps vs
+    # a single fold, so a raw-double ordering would be one near-tie away
+    # from flipping a rank cross-engine; 4-decimal ties break on doc_id
+    # identically everywhere. Applies to BOTH windows — feedback-doc
+    # selection feeds round 2, so it needs the same determinism.
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id")
+    )
     fb = (
         s1.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= fb_k)

@@ -77,6 +77,18 @@ def _search_queries_df(spark: SparkSession) -> DataFrame:
 
 _SQ_VALUES = ", ".join(f"({i}::BIGINT, '{t}')" for i, t in SEARCH_QUERIES)
 
+
+def _docs_cache_key(sf_dir: str) -> str:
+    """BM25 stats cache key for the full documents corpus — the SAME
+    '<root>/<collection>' string the client facade derives
+    (client.py late_interaction_search / routed_query), so module rows
+    and client-facade rows share ONE persisted stats build per grading
+    or bench session instead of building bitwise-identical postings
+    twice under two keys (r10 review finding)."""
+    import os
+
+    return os.path.join(sf_dir, "documents.parquet")
+
 # DuckDB tokenizer identical to functions.text.tokenize
 def _toks(col: str) -> str:
     return (
@@ -159,7 +171,7 @@ FROM kw_ranked WHERE rnk <= 10
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hits = bm25_search(docs, _search_queries_df(spark), limit=10, cache_key=sf_dir)
+    hits = bm25_search(docs, _search_queries_df(spark), limit=10, cache_key=_docs_cache_key(sf_dir))
     return hits.select(
         "query_id",
         "doc_id",
@@ -444,7 +456,7 @@ def q_late_interaction_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_candidates=_LI_CANDIDATES,
         dim=_EMBED_DIM,
-        cache_key=sf_dir,
+        cache_key=_docs_cache_key(sf_dir),
     )
     return hits.select(
         "query_id",
@@ -627,7 +639,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _search_queries_df(spark)
-    kw = bm25_search(docs, qdf, limit=_HYBRID_N, cache_key=sf_dir)
+    kw = bm25_search(docs, qdf, limit=_HYBRID_N, cache_key=_docs_cache_key(sf_dir))
     qv = emb.filter(F.col("vec_id") < len(SEARCH_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -671,7 +683,7 @@ FROM ranked WHERE rnk <= 5
 def q_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    cand = bm25_search(docs, qdf, limit=20, cache_key=sf_dir)
+    cand = bm25_search(docs, qdf, limit=20, cache_key=_docs_cache_key(sf_dir))
     out = rerank_overlap(cand, qdf, docs, top_k=5)
     return out.select(
         "query_id",
@@ -701,7 +713,7 @@ FROM wt WHERE cum <= 150 OR rnk = 1
 def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    hits = bm25_search(docs, qdf, limit=10, cache_key=sf_dir).join(
+    hits = bm25_search(docs, qdf, limit=10, cache_key=_docs_cache_key(sf_dir)).join(
         docs.select(F.col("doc_id"), F.size(tokenize("text")).alias("n_tokens")),
         "doc_id",
     )
@@ -741,7 +753,7 @@ def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("query_id"),
         F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
     )
-    hits = bm25_search(docs, qdf, limit=10, cache_key=sf_dir)
+    hits = bm25_search(docs, qdf, limit=10, cache_key=_docs_cache_key(sf_dir))
     golden = qdf.select(
         "query_id", F.col("query_id").alias("relevant_doc_id")
     )
@@ -1932,7 +1944,7 @@ def q_routed_query_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_retrieve=_HYBRID_N,
         k=10,
         dim=_EMBED_DIM,
-        cache_key=sf_dir,
+        cache_key=_docs_cache_key(sf_dir),
     )
 
 
@@ -2174,7 +2186,7 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    hits = bm25_search(docs, qdf, limit=3, cache_key=sf_dir)
+    hits = bm25_search(docs, qdf, limit=3, cache_key=_docs_cache_key(sf_dir))
     return assemble_prompts(hits, docs, qdf)
 
 
@@ -2451,7 +2463,7 @@ def q_eval_multi_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("query_id"),
         F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
     )
-    kw = bm25_search(docs, qdf, limit=10, cache_key=sf_dir).withColumn(
+    kw = bm25_search(docs, qdf, limit=10, cache_key=_docs_cache_key(sf_dir)).withColumn(
         "method", F.lit("kw")
     )
     qv = emb.filter(F.col("vec_id") < 20).select(
@@ -3077,7 +3089,7 @@ def q_rag_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("query_id"),
         F.concat_ws(" ", F.slice(tokenize("text"), 1, 5)).alias("query"),
     )
-    kw = bm25_search(docs, qdf, limit=50, cache_key=sf_dir)
+    kw = bm25_search(docs, qdf, limit=50, cache_key=_docs_cache_key(sf_dir))
     qv = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -3679,7 +3691,7 @@ def q_search_with_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     + score metadata — here a join back to the collection with column
     pruning doing the projection."""
     docs = load_table(spark, sf_dir, "documents")
-    hits = bm25_search(docs, _search_queries_df(spark), limit=5, cache_key=sf_dir)
+    hits = bm25_search(docs, _search_queries_df(spark), limit=5, cache_key=_docs_cache_key(sf_dir))
     return hits.join(docs, "doc_id").select(
         "query_id",
         "doc_id",
@@ -6072,7 +6084,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     kw = bm25_search(
-        docs, _search_queries_df(spark), limit=_RRF_N, cache_key=sf_dir
+        docs, _search_queries_df(spark), limit=_RRF_N, cache_key=_docs_cache_key(sf_dir)
     ).select("query_id", "doc_id", "rank")
     qv = emb.join(
         F.broadcast(_search_queries_df(spark).select("query_id")),
@@ -6120,7 +6132,7 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only reason this touches the corpus table twice."""
     docs = load_table(spark, sf_dir, "documents")
     q = _search_queries_df(spark)
-    hits = bm25_search(docs, q, limit=5, cache_key=sf_dir).select(
+    hits = bm25_search(docs, q, limit=5, cache_key=_docs_cache_key(sf_dir)).select(
         "query_id", "doc_id", "rank"
     )
     j = (
@@ -11202,7 +11214,7 @@ fb AS (
   SELECT query_id, doc_id FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS rnk
+                              ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
     FROM r1) WHERE rnk <= 5
 ),
 expsum AS (
@@ -11233,7 +11245,7 @@ r2 AS (
 SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
 FROM (SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id ASC) AS rnk
+                                ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
       FROM r2) WHERE rnk <= 10
 """,
 )
@@ -11252,7 +11264,7 @@ def q_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb_k=5,
         n_expand=3,
         limit=10,
-        cache_key=sf_dir,
+        cache_key=_docs_cache_key(sf_dir),
     )
     return hits.select(
         "query_id",
@@ -12832,15 +12844,16 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # STEADY-STATE ROTATION POLICY (r10, verdict task 2 — the committed
 # decision): the lint's 4-round horizon + 1 grace round gives a hard
 # schedulability capacity of 5 rounds x 50 = 250 registered queries.
-# We hold the registry UNDER 250 with headroom (r10: 235 after retiring
-# the two superseded rows-only fits, see below) and keep every vintage
-# cohort <= 50 by BACKFILL-SMOOTHING: each round's window is
+# We hold the registry UNDER 250 with headroom (r10: 237 = 235 after
+# retiring the two superseded rows-only fits + the 2 new client rows)
+# and keep every vintage cohort <= 50 by BACKFILL-SMOOTHING: each
+# round's window is
 #   (a) never-graded new registrations (lint-mandatory), then
 #   (b) the full obligatory cohort (rows whose last green row is
 #       exactly horizon+1 rounds old — the current _GRADE_LAST), then
 #   (c) backfill to 50 with the oldest members of the NEXT cohort,
 #       preferring rows whose cores were reworked this round.
-# Backfill pulls every cohort toward ~47 = 235/5, so no future round's
+# Backfill pulls every cohort toward ~47 = 237/5, so no future round's
 # obligation can exceed 50. tests/test_grading_freshness.py contains a
 # forward simulation (test_rotation_is_schedulable_forever) that proves
 # this holds for the actual registry at HEAD, not just in argument.
@@ -12853,11 +12866,11 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_classifier.py / test_pca.py and empty-input-screened in
 # test_empty_inputs.py.
 #
-# r10 window = 44 obligatory r5-vintage rows (all of r9's _GRADE_LAST
-# minus the retired fit) + 6 backfills from the r6 cohort (BM25 /
-# hybrid / rerank / chunking — the cores this round's PRF optimization
-# and client-facade work touch). New registrations this round displace
-# backfills, never obligatory rows.
+# r10 window = 2 new client-facade rows + 44 obligatory r5-vintage rows
+# (all of r9's _GRADE_LAST minus the retired fit) + 4 backfills from
+# the r6 cohort (BM25 / hybrid / rerank — the cores this round's PRF
+# optimization and client-facade work touch) = exactly 50. New
+# registrations displace backfills, never obligatory rows.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
     "client_late_interaction",

@@ -48,19 +48,25 @@ def rag_answer_batch(
     """One RAG retrieval+assembly pass over a bounded query batch —
     the unit the stream runs per micro-batch AND the batch twin the
     equivalence test compares against. Output: (query_id, n_context,
-    prompt)."""
+    prompt); the streaming sink adds a ``batch_id`` partition column."""
+    from pyspark.sql import functions as F
+
+    # the index search and the rerank both NORMALIZE to 'doc_id'; hand
+    # each consumer the id under the name it expects (the
+    # late_interaction_two_stage rename pattern) so a non-default
+    # id_col works end-to-end
     cands = bm25_search_indexed(
         spark, root, name, queries, limit=n_candidates
-    )
+    ).select("query_id", F.col("doc_id").alias(id_col))
     hits = late_interaction_rerank(
         docs,
         queries,
-        cands.select("query_id", "doc_id"),
+        cands,
         k=k,
         dim=dim,
         id_col=id_col,
         text_col=text_col,
-    )
+    ).withColumnRenamed("doc_id", id_col)
     return assemble_prompts(
         hits, docs, queries, id_col=id_col, text_col=text_col
     )
@@ -85,7 +91,16 @@ def stream_rag_pipeline(
     parquet sink. Returns the started StreamingQuery (availableNow
     trigger — drains what exists, then stops; swap the trigger for a
     continuous service). The memory sink cannot recover from a
-    checkpoint, hence the file sink (repo streaming convention)."""
+    checkpoint, hence the file sink (repo streaming convention).
+
+    Effectively-once sink: foreachBatch replays batches at-least-once
+    (streaming/fenced.py exists for exactly this), and a bare append
+    would duplicate every prompt of a batch replayed after a crash
+    between the sink write and the checkpoint offset commit. Each batch
+    therefore OVERWRITES its own ``batch_id=<epoch>`` partition
+    directory — a replay rewrites the same rows instead of appending a
+    second copy, and readers see the standard partition-discovery
+    layout (``spark.read.parquet(out_dir)`` with a batch_id column)."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -102,7 +117,11 @@ def stream_rag_pipeline(
             id_col=id_col,
             text_col=text_col,
         )
-        out.write.mode("append").parquet(out_dir)
+        import os
+
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(epoch_id)}")
+        )
 
     return (
         spark.readStream.schema("query_id long, query string")
