@@ -761,3 +761,45 @@ def test_build_dedup_index_rejects_family_irrelevant_params(spark, tmp_path):
         c.build_dedup_index("docs", kind="minhash", max_hamming=2)
     with pytest.raises(ValueError, match="n_centroids sizes the semantic"):
         c.build_dedup_index("docs", kind="simhash", n_centroids=8)
+
+
+def test_client_late_interaction_knn_stage(spark, tmp_path, monkeypatch):
+    """first_stage='knn' on the facade: without a persisted index the
+    exact prune makes it equal the module's knn two-stage (same hash
+    space — the collection has no vector column); after build_ann_index
+    the prune probes the on-disk index and must NOT rebuild in-plan
+    (poisoned-builder proof, the vector_search reuse pattern)."""
+    from vectorsearch_applications_spark.operators.late_interaction import (
+        late_interaction_two_stage,
+    )
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    c.create_collection("docs", docs)
+    q = "spark join order"
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query string")
+
+    got = c.late_interaction_search(
+        "docs", q, limit=10, n_candidates=20, first_stage="knn"
+    )
+    want = late_interaction_two_stage(
+        docs, qdf, k=10, n_candidates=20, first_stage="knn"
+    ).drop("query_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    import vectorsearch_applications_spark.operators.ann as ann_mod
+
+    c.build_ann_index("docs", kind="ivf")
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan index rebuild in the knn li stage")
+
+    monkeypatch.setattr(ann_mod, "ivf_build", boom)
+    hits = c.late_interaction_search(
+        "docs", q, limit=10, n_candidates=20, first_stage="knn"
+    )
+    rows = sorted(hits.collect(), key=lambda r: r["rank"])
+    assert 0 < len(rows) <= 10
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
