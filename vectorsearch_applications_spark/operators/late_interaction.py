@@ -130,19 +130,23 @@ def late_interaction_rerank(
     # The candidate set is bounded by design (top-N per query), and it
     # feeds THREE consumers — the cap probe, then either the literal
     # re-entry collect (below the cap) or the doc-side semi-join plus
-    # the scoring join (past it). Materialize it ONCE with an eager
-    # localCheckpoint (distributed, sized |Q|·N — never driver state)
-    # so every consumer reads the checkpoint instead of re-executing
-    # the first-stage prune subtree (AQE does not reliably reuse the
-    # exchange; measured on the two-stage query, SCALE.md r9). Below
-    # the take(n+1) cap the candidates additionally re-enter as a
-    # literal frame so the doc filter pushes down to the corpus scan;
-    # past the cap the join shape reads the checkpoint twice — the
-    # prune still executes exactly once (the r9 3-execution cliff is
-    # closed structurally, not by a docstring warning; plan-pinned in
-    # tests/test_late_interaction.py). Nothing collects unbounded
-    # state.
-    cand = cand.localCheckpoint(eager=True)
+    # the scoring join (past it). A LAZY localCheckpoint (distributed,
+    # sized |Q|·N — never driver state) makes every partition of the
+    # prune subtree compute exactly once: the take's own job
+    # materializes-and-persists what it scans, Spark's checkpoint hook
+    # fills any partitions an early-terminating take skipped, and both
+    # past-cap plan consumers read the stored partitions instead of
+    # re-executing the prune (AQE does not reliably reuse the exchange;
+    # measured on the two-stage query, SCALE.md r9 — the r9 shape paid
+    # THREE prune executions past the cap). eager=False, not True: an
+    # eager checkpoint runs a separate materialization job before the
+    # take, measured +13% on the below-cap graded path at sf0.1
+    # (SCALE.md r10); the lazy form rides the job the old shape already
+    # paid. Below the cap the candidates additionally re-enter as a
+    # literal frame so the doc filter pushes down to the corpus scan.
+    # Nothing collects unbounded state; execution count pinned by the
+    # accumulator test in tests/test_late_interaction.py.
+    cand = cand.localCheckpoint(eager=False)
     rows = cand.take(max_collect_candidates + 1)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
