@@ -803,3 +803,76 @@ def test_client_late_interaction_knn_stage(spark, tmp_path, monkeypatch):
     rows = sorted(hits.collect(), key=lambda r: r["rank"])
     assert 0 < len(rows) <= 10
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_text_index_lifecycle_and_keyword_reuse(spark, tmp_path, monkeypatch):
+    """r10: the facade's seventh index family — build/append/delete/
+    compact for the persisted BM25 index, with keyword_search probing
+    the on-disk tables for unfiltered single-field searches (equality
+    with the in-plan path, then a poisoned-builder proof of reuse)."""
+    import vectorsearch_applications_spark.operators.bm25 as bm25_mod
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    standing = docs.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    c.create_collection("docs", standing)
+    q = "spark join order"
+
+    inplan = sorted(map(tuple, c.keyword_search("docs", q, limit=5).collect()))
+    c.build_text_index("docs")
+    indexed = sorted(map(tuple, c.keyword_search("docs", q, limit=5).collect()))
+    assert indexed == inplan  # same scores, same ranking
+
+    # reuse proof: poison the in-plan stats builder — the indexed path
+    # must not touch it
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan stats build despite persisted index")
+
+    monkeypatch.setattr(bm25_mod, "bm25_build_stats", boom)
+    assert c.keyword_search("docs", q, limit=5).count() > 0
+    # multi-field and filtered searches still take the in-plan path
+    with pytest.raises(Exception):
+        c.keyword_search("docs", q, limit=5, filters=F.col("doc_id") > 0).count()
+    monkeypatch.undo()
+
+    # append == rebuild-equivalent search: grow the collection to the
+    # full corpus (batch_index_data is a validated REPLACE — reference
+    # semantics — so hand it the whole new generation) and bring the
+    # index up to date with the o(|batch|) append
+    c.batch_index_data("docs", docs, not_null_cols=["doc_id", "text"])
+    assert c.append_to_text_index("docs", batch) > 0
+    after = {
+        r["doc_id"]: r["score"]
+        for r in c.keyword_search("docs", q, limit=5).collect()
+    }
+    # rebuild truth via the module path over the full corpus; the
+    # appended index's stats are the MERGE arithmetic, so scores agree
+    # to float dust (|Δavgdl| < 1e-9, test_index_delete.py's bound),
+    # not bitwise — near-ties may swap adjacent ranks, so compare
+    # per-doc scores over the top set
+    from vectorsearch_applications_spark.operators.bm25 import bm25_search
+
+    truth = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(
+            docs, spark.createDataFrame([(0, q)], "query_id long, query string"),
+            limit=10,
+        ).collect()
+    }
+    assert set(after) <= set(truth)
+    assert all(abs(after[d] - truth[d]) < 1e-9 for d in after)
+
+    # delete leg: victim vanishes from results immediately; compact keeps it out
+    victim = max(after, key=after.get)
+    assert c.delete_from_text_index(
+        "docs", spark.createDataFrame([(victim,)], "doc_id long")
+    ) == 1
+    remaining = {r["doc_id"] for r in c.keyword_search("docs", q, limit=5).collect()}
+    assert victim not in remaining
+    assert c.compact_text_index("docs") > 0
+    remaining2 = {r["doc_id"] for r in c.keyword_search("docs", q, limit=5).collect()}
+    assert victim not in remaining2
+
+    with pytest.raises(ValueError, match="build_text_index first"):
+        c.append_to_text_index("other", batch)

@@ -206,7 +206,28 @@ class SparkSearchClient:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """BM25 over ``query_properties`` (multi-field Lucene semantics).
-        Output: (doc_id, rank, score, *return_properties)."""
+        Output: (doc_id, rank, score, *return_properties).
+
+        When a persisted text index exists (``build_text_index``) and
+        the search is unfiltered over exactly the indexed field, the
+        query probes the on-disk postings/stats tables instead of
+        re-deriving them in-plan — the same reuse rule as
+        vector_search's ANN indexes. Multi-field or filtered searches
+        always score in-plan (the index covers one corpus view)."""
+        meta = self._text_index_meta(collection)
+        if (
+            filters is None
+            and meta is not None
+            and list(query_properties) == [meta["text_col"]]
+            and id_col == meta["id_col"]
+        ):
+            from .operators.bm25 import bm25_search_indexed
+
+            hits = bm25_search_indexed(
+                self.spark, self.root, collection,
+                self._query_df(query), limit=limit,
+            ).withColumnRenamed("doc_id", id_col)
+            return self._format(hits, collection, return_properties, id_col)
         docs = self._docs(collection, filters)
         hits = bm25_search_multifield(
             docs,
@@ -216,6 +237,87 @@ class SparkSearchClient:
             limit=limit,
         )
         return self._format(hits, collection, return_properties, id_col)
+
+    # -- persisted text (BM25) index lifecycle ------------------------------
+
+    def _text_index_meta(self, collection: str) -> dict | None:
+        import json
+
+        p = os.path.join(
+            self.root, f"{collection}__bm25", "_facade_meta.json"
+        )
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def build_text_index(
+        self,
+        collection: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> str:
+        """Persist the collection's BM25 postings/term/corpus tables on
+        disk (operators/bm25.py bm25_save_index) — the text twin of
+        ``build_ann_index``, completing the facade's index verb set
+        across all seven families (the operator layer had the full BM25
+        lifecycle since r8/r9; the facade did not). An underscore
+        sidecar records which (id_col, text_col) view was indexed so
+        ``keyword_search`` only reuses the index for exactly that view.
+        Keep it fresh with ``append_to_text_index`` after every
+        ``batch_index_data``; returns the index path."""
+        import json
+
+        from .operators.bm25 import bm25_save_index
+
+        path = bm25_save_index(
+            self._load(collection), self.root, collection,
+            id_col=id_col, text_col=text_col,
+        )
+        with open(os.path.join(path, "_facade_meta.json"), "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col}, f)
+        return path
+
+    def append_to_text_index(
+        self, collection: str, new_rows: DataFrame
+    ) -> int:
+        """Bring the persisted text index up to date with a just-indexed
+        batch: O(|batch|) — new postings append, the tiny term/corpus
+        stats merge arithmetically; the standing corpus is never
+        re-tokenized (bm25_index_append_persisted). Column view resolves
+        from the index's own sidecar (authoritative-build-parameter
+        contract). Returns the appended doc count."""
+        from .operators.bm25 import bm25_index_append_persisted
+
+        meta = self._text_index_meta(collection)
+        if meta is None:
+            raise ValueError(
+                f"no persisted text index for {collection!r} — "
+                "build_text_index first"
+            )
+        return bm25_index_append_persisted(
+            self.spark, self.root, collection, new_rows,
+            id_col=meta["id_col"], text_col=meta["text_col"],
+        )
+
+    def delete_from_text_index(
+        self, collection: str, deleted_ids: DataFrame, id_col: str = "doc_id"
+    ) -> int:
+        """Tombstone docs out of the persisted text index: O(|batch|),
+        stats corrected immediately, searches skip the ids via the live
+        view (bm25_index_delete). Returns newly-deleted id count."""
+        from .operators.bm25 import bm25_index_delete
+
+        ids = deleted_ids.select(F.col(id_col).alias("doc_id"))
+        return bm25_index_delete(self.spark, self.root, collection, ids)
+
+    def compact_text_index(self, collection: str) -> int:
+        """Fold accumulated text-index tombstones into a physical
+        rewrite (maintenance cadence, like compact_ann_index). Returns
+        live postings rows kept."""
+        from .operators.bm25 import bm25_index_compact
+
+        return bm25_index_compact(self.spark, self.root, collection)
 
     def vector_search(
         self,
