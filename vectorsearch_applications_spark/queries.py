@@ -12866,71 +12866,17 @@ def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_classifier.py / test_pca.py and empty-input-screened in
 # test_empty_inputs.py.
 #
-# r10 window = 2 new client-facade rows + 44 obligatory r5-vintage rows
-# (all of r9's _GRADE_LAST minus the retired fit) + 4 backfills from
-# the r6 cohort (BM25 / hybrid / rerank — the cores this round's PRF
-# optimization and client-facade work touch) = exactly 50. New
+# r11 window = the 43 obligatory r6-vintage rows (r10's _GRADE_LAST;
+# all bitwise-green in the r10 judge's 237/237 preflight sweep at HEAD)
+# + 7 backfills from the r7 cohort, preferring rows riding the cores
+# this round reworks (BM25 indexed/bucketed layout, RAG prompt
+# assembly, the routed/text2sql facade arms) = exactly 50. New
 # registrations displace backfills, never obligatory rows.
 _GRADE_FIRST = [
     # new this round (never driver-graded):
-    "client_late_interaction",
-    "client_routed_query",
-    # the 44 obligatory r5-vintage deferrals (r9 _GRADE_LAST; all
-    # bitwise-green in the r9 judge's 237/237 preflight sweep at HEAD)
-    "user_feature_store",
-    "events_peak_concurrency",
-    "scd2_user_state",
-    "stream_attribution_batch_twin",
-    "cluster_aware_split",
-    "curriculum_order",
-    "customer_reorder_intervals",
-    "customer_spend_balance_spearman",
-    "dedup_cross_source_matrix",
-    "dedup_jaccard_prefix_filter",
-    "dedup_survivorship_by_source",
-    "distinct_count_fm_sketch",
-    "docs_readability",
-    "docs_source_profile",
-    "embedding_drift_audit",
-    "events_anomaly_zscore",
-    "events_burst_users",
-    "events_decayed_trending",
-    "events_first_touch_attribution",
-    "events_hourly_seasonality",
-    "events_transition_matrix",
-    "gopher_quality_flags",
-    "graph_2hop_reach",
-    "graph_triangle_count",
-    "graph_triangle_count_oriented",
-    "heavy_hitters_cms",
-    "histogram_quantiles_binned",
-    "join_key_skew_profile",
-    "lineitem_covariance_moments",
-    "orders_cohort_ltv",
-    "orders_constraint_audit",
-    "orders_mode_priority",
-    "orders_unpivot_metrics",
-    "padding_waste_by_bucket",
-    "part_fuzzy_match",
-    "parts_price_size_skyline",
-    "parttype_concentration_hhi",
-    "phrase_match_positional",
-    "quality_composite_rank",
-    "quality_score_quantile_norm",
-    "sample_weighted_orders",
-    "span_corruption_plan",
-    "split_leakage_audit",
-    "token_budget_allocation",
-    # r6-vintage backfill (policy step (c)): cores touched this round
-    "bm25_search",
-    "bm25_multifield",
-    "hybrid_search",
-    "rerank_overlap",
-]
-# r6-vintage rows deferred to the r11 rotation under the lint's grace
-# clause (cores carry pytest + preflight coverage at HEAD; they become
-# r11's obligatory cohort — 43 rows, leaving 7 free r11 slots).
-_GRADE_LAST = [
+    "rag_answer_batch",
+    "client_hybrid_search",
+    # the 43 obligatory r6-vintage deferrals (r10 _GRADE_LAST)
     "ann_ivf_recall_exact",
     "ann_ivfpq_search",
     "ann_pq_adc",
@@ -12974,6 +12920,58 @@ _GRADE_LAST = [
     "temporal_split_embargo",
     "zonemap_prune_estimate",
     "zorder_layout_orders",
+    # r7-vintage backfill (policy step (c)): cores touched this round —
+    # BM25 search paths (indexed layout + round-rank), prompt/RAG
+    # assembly, and the facade's routed/text2sql composition
+    "search_with_properties",
+    "prompt_assembly",
+    "rag_pipeline_eval",
+    "qa_generation",
+    "text2sql_guarded",
+]
+# r7-vintage rows deferred to the r12 rotation under the lint's grace
+# clause (cores carry pytest + preflight coverage at HEAD; they become
+# r12's obligatory cohort — 39 rows, leaving 11 free r12 slots).
+_GRADE_LAST = [
+    "ann_ivf_exhaustive",
+    "ann_quantized_search",
+    "benchmark_contamination_report",
+    "cheapest_part_per_brand",
+    "corpus_bpe_token_stats",
+    "corpus_curation_pipeline",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "decontaminate_benchmark",
+    "dedup_simhash",
+    "dedup_token_savings",
+    "doc_fingerprints",
+    "embedding_project_frozen",
+    "eval_decontamination",
+    "eval_multi_method",
+    "event_scalar_functions",
+    "events_tumbling_agg",
+    "expanded_content_w2",
+    "generation_eval_polling",
+    "grouped_content_hash",
+    "langid_ngram",
+    "multimodal_binary_meta",
+    "nation_revenue",
+    "order_priority_pivot",
+    "part_like_filter",
+    "quality_length_filter",
+    "quality_repetition_filter",
+    "rollup_lineitem",
+    "route_classify",
+    "segment_priority_union",
+    "segment_stats",
+    "text_profile",
+    "top_customer_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "train_val_split",
+    "window_running_total",
 ]
 
 
