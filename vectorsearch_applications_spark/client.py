@@ -38,6 +38,12 @@ from .sources import collections as _coll
 
 _EMBED_DIM = 16
 
+# Every persisted index family the facade can build next to a collection
+# (<root>/<name>__<family>). The staleness protocol below covers all of
+# them: a mutated collection flags its indexes on disk so implicit reuse
+# falls back to in-plan scoring until the index is repaired or rebuilt.
+_INDEX_FAMILIES = ("bm25", "ivf", "pq", "lsh", "minhash", "simhash", "semantic")
+
 
 def exact_match(prop: str, value) -> Column:
     """Filter builder: property equals value (reference FilterFactory
@@ -95,6 +101,69 @@ class SparkSearchClient:
             k: v for k, v in self._dim_cache.items() if k[0] != name
         }
 
+    # -- persisted-index staleness protocol ---------------------------------
+    #
+    # Session caches invalidate in memory, but the ON-DISK indexes a
+    # mutated collection leaves behind stay authoritative to implicit
+    # reuse (keyword_search's text-index probe, _ann_search's isdir
+    # checks) — so an unfiltered search after a MERGE could return
+    # pre-mutation postings, including deleted docs (r10 advice,
+    # medium). Every mutating verb therefore flags the collection's
+    # index directories with a ``_stale.json`` marker; implicit reuse
+    # skips flagged indexes (falling back to in-plan scoring, which is
+    # always correct), and the marker clears only when the index is
+    # repaired (the documented batch_index_data → append_to_*_index
+    # flow) or rebuilt (build_*_index).
+
+    def _index_dir(self, name: str, family: str) -> str:
+        return os.path.join(self.root, f"{name}__{family}")
+
+    def _mark_indexes_stale(self, name: str, verb: str) -> None:
+        import json
+
+        for fam in _INDEX_FAMILIES:
+            d = self._index_dir(name, fam)
+            if os.path.isdir(d):
+                with open(os.path.join(d, "_stale.json"), "w") as f:
+                    json.dump({"verb": verb}, f)
+
+    def _stale_meta(self, name: str, family: str) -> dict | None:
+        import json
+
+        p = os.path.join(self._index_dir(name, family), "_stale.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _clear_stale(self, name: str, family: str) -> None:
+        p = os.path.join(self._index_dir(name, family), "_stale.json")
+        if os.path.isfile(p):
+            os.remove(p)
+
+    def _check_append_repairs_stale(self, name: str, family: str) -> None:
+        """Gate for the append verbs: an append REPAIRS an index flagged
+        by batch_index_data (the documented keep-it-fresh flow — the
+        caller hands the same batch to both verbs), but cannot repair a
+        MERGE/rollback/recover/recreate, where standing rows changed or
+        vanished underneath the index. Raising beats silently appending
+        onto an index that will keep serving pre-mutation rows."""
+        meta = self._stale_meta(name, family)
+        if meta is not None and meta.get("verb") != "batch_index_data":
+            raise ValueError(
+                f"the persisted {family} index for {name!r} is stale "
+                f"after {meta.get('verb')} — an append cannot repair it; "
+                f"rebuild the index first"
+            )
+
+    def _drop_index_dirs(self, name: str) -> None:
+        import shutil
+
+        for fam in _INDEX_FAMILIES:
+            d = self._index_dir(name, fam)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
     def create_collection(
         self,
         name: str,
@@ -102,11 +171,21 @@ class SparkSearchClient:
         partition_by: list[str] | None = None,
     ) -> str:
         self._invalidate_search_caches(name)
-        return _coll.create_collection(self.spark, self.root, name, df, partition_by)
+        out = _coll.create_collection(
+            self.spark, self.root, name, df, partition_by
+        )
+        # recreate case: indexes of a previous same-name collection are
+        # orphans describing the old corpus — only a rebuild repairs them
+        self._mark_indexes_stale(name, "create_collection")
+        return out
 
     def delete_collection(self, name: str) -> None:
         self._invalidate_search_caches(name)
         _coll.drop_collection(self.root, name)
+        # the collection's index directories are orphans now — removing
+        # them stops a future same-name collection from inheriting them
+        # (drop_collection itself only removes <root>/<name>; r10 advice)
+        self._drop_index_dirs(name)
 
     def show_all_collections(self) -> list[str]:
         return _coll.list_collections(self.root)
@@ -119,9 +198,14 @@ class SparkSearchClient:
         error_threshold: float = 0.01,
     ) -> dict[str, int]:
         self._invalidate_search_caches(name)
-        return _coll.batch_index(
+        out = _coll.batch_index(
             self.spark, self.root, name, df, not_null_cols, error_threshold
         )
+        # persisted indexes now lag the collection; searches fall back
+        # to in-plan scoring until append_to_*_index with the new batch
+        # (which clears this flag) or a full rebuild
+        self._mark_indexes_stale(name, "batch_index_data")
+        return out
 
     def get_doc_count(self, name: str) -> int:
         return self._load(name).count()
@@ -157,7 +241,9 @@ class SparkSearchClient:
         """CDC MERGE (upsert+delete change set, last-writer-wins) — see
         sources/collections.py merge_collection."""
         self._invalidate_search_caches(name)
-        return _coll.merge_collection(self.spark, self.root, name, changes, **kw)
+        out = _coll.merge_collection(self.spark, self.root, name, changes, **kw)
+        self._mark_indexes_stale(name, "merge")
+        return out
 
     def snapshot(self, name: str, tag: str) -> str:
         """Tag the current generation (hard-link copy) for diff/rollback."""
@@ -166,6 +252,7 @@ class SparkSearchClient:
     def rollback(self, name: str, tag: str) -> None:
         self._invalidate_search_caches(name)
         _coll.rollback_collection(self.root, name, tag)
+        self._mark_indexes_stale(name, "rollback")
 
     def snapshots(self, name: str) -> list[str]:
         return _coll.list_snapshots(self.root, name)
@@ -179,7 +266,12 @@ class SparkSearchClient:
     def recover(self, name: str) -> str:
         """Resolve staged-swap crash leftovers; returns the action taken."""
         self._invalidate_search_caches(name)
-        return _coll.recover_collection(self.root, name)
+        action = _coll.recover_collection(self.root, name)
+        # only recoveries that change the LIVE generation invalidate the
+        # indexes; discarding unused staging/old leftovers does not
+        if action in ("promoted_staging", "restored_old"):
+            self._mark_indexes_stale(name, "recover")
+        return action
 
     def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
         """What changed between tag and the live generation, per key."""
@@ -208,16 +300,20 @@ class SparkSearchClient:
         """BM25 over ``query_properties`` (multi-field Lucene semantics).
         Output: (doc_id, rank, score, *return_properties).
 
-        When a persisted text index exists (``build_text_index``) and
-        the search is unfiltered over exactly the indexed field, the
-        query probes the on-disk postings/stats tables instead of
-        re-deriving them in-plan — the same reuse rule as
-        vector_search's ANN indexes. Multi-field or filtered searches
-        always score in-plan (the index covers one corpus view)."""
+        When a persisted text index exists (``build_text_index``), is
+        not flagged stale by a collection mutation, and the search is
+        unfiltered over exactly the indexed field, the query probes the
+        on-disk postings/stats tables instead of re-deriving them
+        in-plan — the same reuse rule as vector_search's ANN indexes.
+        Multi-field or filtered searches always score in-plan (the
+        index covers one corpus view), as do searches against a stale
+        index (correct-but-slower until the index is appended-to or
+        rebuilt — the staleness protocol above)."""
         meta = self._text_index_meta(collection)
         if (
             filters is None
             and meta is not None
+            and self._stale_meta(collection, "bm25") is None
             and list(query_properties) == [meta["text_col"]]
             and id_col == meta["id_col"]
         ):
@@ -276,6 +372,7 @@ class SparkSearchClient:
         )
         with open(os.path.join(path, "_facade_meta.json"), "w") as f:
             json.dump({"id_col": id_col, "text_col": text_col}, f)
+        self._clear_stale(collection, "bm25")  # a rebuild is the repair
         return path
 
     def append_to_text_index(
@@ -295,10 +392,13 @@ class SparkSearchClient:
                 f"no persisted text index for {collection!r} — "
                 "build_text_index first"
             )
-        return bm25_index_append_persisted(
+        self._check_append_repairs_stale(collection, "bm25")
+        n = bm25_index_append_persisted(
             self.spark, self.root, collection, new_rows,
             id_col=meta["id_col"], text_col=meta["text_col"],
         )
+        self._clear_stale(collection, "bm25")
+        return n
 
     def delete_from_text_index(
         self, collection: str, deleted_ids: DataFrame, id_col: str = "doc_id"
@@ -452,17 +552,17 @@ class SparkSearchClient:
             ).select(F.col(id_col).alias("vec_id"), "embedding")
             dim = self._embed_dim
         if kind == "ivf":
-            return ivf_save_index(
+            path = ivf_save_index(
                 corpus,
                 self.root,
                 collection,
                 n_centroids=n_centroids,
                 refine_iterations=refine_iterations,
             )
-        if kind == "ivfpq":
+        elif kind == "ivfpq":
             cents, _ = ivf_build(corpus, n_centroids=n_centroids)
             n_sub = 8 if dim % 8 == 0 else 1
-            return pq_save_index(
+            path = pq_save_index(
                 corpus,
                 self.root,
                 collection,
@@ -471,11 +571,14 @@ class SparkSearchClient:
                 dim=dim,
                 centroids=cents,
             )
-        if kind == "lsh":
-            return lsh_save_index(corpus, self.root, collection, dim=dim)
-        raise ValueError(
-            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
-        )
+        elif kind == "lsh":
+            path = lsh_save_index(corpus, self.root, collection, dim=dim)
+        else:
+            raise ValueError(
+                f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+            )
+        self._clear_stale(collection, "pq" if kind == "ivfpq" else kind)
+        return path
 
     def append_to_ann_index(
         self,
@@ -512,18 +615,24 @@ class SparkSearchClient:
                 self._embed_dim,
             ).select(F.col(id_col).alias("vec_id"), "embedding")
             dim = self._embed_dim
+        fam = "pq" if kind == "ivfpq" else kind
+        if kind in ("ivf", "ivfpq", "lsh"):
+            self._check_append_repairs_stale(collection, fam)
         if kind == "ivf":
-            return ivf_index_append(self.spark, self.root, collection, corpus)
-        if kind == "ivfpq":
+            n = ivf_index_append(self.spark, self.root, collection, corpus)
+        elif kind == "ivfpq":
             # geometry resolves from the SAVED codebook (pq_index_append)
             # — passing the facade's recomputed n_sub/dim here could only
             # ever agree or corrupt, so pass nothing
-            return pq_index_append(self.spark, self.root, collection, corpus)
-        if kind == "lsh":
-            return lsh_index_append(self.spark, self.root, collection, corpus)
-        raise ValueError(
-            f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
-        )
+            n = pq_index_append(self.spark, self.root, collection, corpus)
+        elif kind == "lsh":
+            n = lsh_index_append(self.spark, self.root, collection, corpus)
+        else:
+            raise ValueError(
+                f"unknown index kind {kind!r} (use ivf|ivfpq|lsh)"
+            )
+        self._clear_stale(collection, fam)
+        return n
 
     def delete_from_ann_index(
         self,
@@ -641,22 +750,25 @@ class SparkSearchClient:
             self._load(collection), kind, id_col, text_col, vector_col
         )
         if kind == "minhash":
-            return minhash_save_index(corpus, self.root, collection)
-        if kind == "simhash":
-            return simhash_save_index(
+            path = minhash_save_index(corpus, self.root, collection)
+        elif kind == "simhash":
+            path = simhash_save_index(
                 corpus,
                 self.root,
                 collection,
                 max_hamming=3 if max_hamming is None else max_hamming,
             )
-        if kind == "semantic":
+        elif kind == "semantic":
             cents, _ = ivf_build(
                 corpus, n_centroids=16 if n_centroids is None else n_centroids
             )
-            return semantic_save_index(corpus, cents, self.root, collection)
-        raise ValueError(
-            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
-        )
+            path = semantic_save_index(corpus, cents, self.root, collection)
+        else:
+            raise ValueError(
+                f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+            )
+        self._clear_stale(collection, kind)
+        return path
 
     def append_to_dedup_index(
         self,
@@ -711,16 +823,18 @@ class SparkSearchClient:
                 "tombstone + compact instead)"
             )
         batch = self._dedup_corpus(new_rows, kind, id_col, text_col, vector_col)
+        if kind in ("minhash", "simhash", "semantic"):
+            self._check_append_repairs_stale(collection, kind)
         if kind == "minhash":
-            return minhash_index_append(
+            out = minhash_index_append(
                 self.spark, self.root, collection, batch
             )
-        if kind == "simhash":
-            return simhash_index_append(
+        elif kind == "simhash":
+            out = simhash_index_append(
                 self.spark, self.root, collection, batch, max_hamming=max_hamming
             )
-        if kind == "semantic":
-            return semantic_index_append(
+        elif kind == "semantic":
+            out = semantic_index_append(
                 self.spark,
                 self.root,
                 collection,
@@ -728,9 +842,12 @@ class SparkSearchClient:
                 0.4 if threshold is None else threshold,
                 dedupe_redelivered=dedupe_redelivered,
             )
-        raise ValueError(
-            f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
-        )
+        else:
+            raise ValueError(
+                f"unknown dedup index kind {kind!r} (use minhash|simhash|semantic)"
+            )
+        self._clear_stale(collection, kind)
+        return out
 
     def delete_from_dedup_index(
         self,
@@ -812,8 +929,10 @@ class SparkSearchClient:
         if backend == "ivf":
             from .operators.ann import ivf_build, ivf_search, ivf_search_indexed
 
-            if not filtered and os.path.isdir(
-                os.path.join(self.root, f"{collection}__ivf")
+            if (
+                not filtered
+                and os.path.isdir(os.path.join(self.root, f"{collection}__ivf"))
+                and self._stale_meta(collection, "ivf") is None
             ):
                 return ivf_search_indexed(
                     self.spark, self.root, collection, corpus, q,
@@ -830,8 +949,10 @@ class SparkSearchClient:
                 lsh_search_indexed,
             )
 
-            if not filtered and os.path.isdir(
-                os.path.join(self.root, f"{collection}__lsh")
+            if (
+                not filtered
+                and os.path.isdir(os.path.join(self.root, f"{collection}__lsh"))
+                and self._stale_meta(collection, "lsh") is None
             ):
                 return lsh_search_indexed(
                     self.spark, self.root, collection, q, k=limit
@@ -847,8 +968,12 @@ class SparkSearchClient:
             )
 
             n_sub = 8 if dim % 8 == 0 else 1
-            if not filtered and os.path.isdir(
-                os.path.join(self.root, f"{collection}__pq", "centroids")
+            if (
+                not filtered
+                and os.path.isdir(
+                    os.path.join(self.root, f"{collection}__pq", "centroids")
+                )
+                and self._stale_meta(collection, "pq") is None
             ):
                 return ivfpq_search_indexed(
                     self.spark, self.root, collection, q,
@@ -971,8 +1096,11 @@ class SparkSearchClient:
             backend = "exact"
             for b, marker in (("ivf", ""), ("lsh", ""), ("ivfpq", "centroids")):
                 fam = "pq" if b == "ivfpq" else b
-                if os.path.isdir(
-                    os.path.join(self.root, f"{collection}__{fam}", marker)
+                if (
+                    os.path.isdir(
+                        os.path.join(self.root, f"{collection}__{fam}", marker)
+                    )
+                    and self._stale_meta(collection, fam) is None
                 ):
                     backend = b
                     break

@@ -25,6 +25,8 @@ map-side partial aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,8 +94,20 @@ def bm25_cache_invalidate(prefix: str) -> int:
     corpus the cache may describe (collection overwrite, batch index,
     MERGE, rollback) must call this or later searches silently score
     against the pre-mutation postings (r10 review finding). Returns the
-    number of entries dropped."""
-    victims = [k for k in _INDEX_CACHE if str(k[1]).startswith(prefix)]
+    number of entries dropped.
+
+    Matching is exact-key or prefix + delimiter (path separator / the
+    '#' column-view suffix) — a bare startswith would also evict
+    sibling collections sharing the prefix ('docs' dropping 'docs2',
+    'docs_v2'): safe but silently discards their warm builds (r10
+    advice)."""
+    victims = [
+        k
+        for k in _INDEX_CACHE
+        if str(k[1]) == prefix
+        or str(k[1]).startswith(prefix + os.sep)
+        or str(k[1]).startswith(prefix + "#")
+    ]
     for k in victims:
         for df in _INDEX_CACHE.pop(k):
             try:
@@ -728,12 +742,21 @@ def bm25_search_indexed(
 ) -> DataFrame:
     """Top-``limit`` BM25 hits per query against a PERSISTED index — no
     corpus scan, no stats rebuild: the only inputs are the saved postings /
-    stats tables and the query batch."""
+    stats tables and the query batch.
+
+    Ranks on round(score, 4) with a doc_id tie-break (the repo
+    float-determinism rule, same as bm25_prf_search/late_interaction):
+    incremental appends change the per-doc aggregation order, so a
+    raw-double ordering here would be one near-tie away from disagreeing
+    with itself across appends — and with the in-plan path
+    keyword_search silently switches against (r10 advice)."""
     postings, term_stats, corpus_stats = bm25_load_index(spark, root, name)
     scores = bm25_scores_from_stats(
         postings, term_stats, corpus_stats, queries, k1=k1, b=b
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id")
+    )
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= limit)
