@@ -221,6 +221,9 @@ HEADLINE = [
     # round 10 additions
     "client_late_interaction",
     "client_routed_query",
+    # round 11 additions
+    "rag_answer_batch",
+    "client_hybrid_search",
 ]
 
 

@@ -68,6 +68,7 @@ BOUNDED_BNLJ = {
     "routed_query_pipeline",  # hybrid arm: BM25 stats + ≤|batch|-row query broadcasts
     "client_routed_query",  # same plan through the client facade
     "client_late_interaction",  # same bounded broadcasts as late_interaction_two_stage
+    "client_hybrid_search",  # hybrid_search's 1-row BM25 corpus-stats broadcast
     "ngram_collocations",  # 1-row corpus token count broadcast
     "prompt_assembly",
     "quality_length_filter",

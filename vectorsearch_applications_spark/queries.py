@@ -371,17 +371,44 @@ def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LI_CANDIDATES = 50
 
 
-def _li_two_stage_oracle(sq_values: str, final_cols: str) -> str:
+def _li_two_stage_oracle(
+    sq_values: str,
+    final_cols: str,
+    *,
+    n_candidates: int = _LI_CANDIDATES,
+    k: int = 10,
+    round_rank_prune: bool = False,
+    tail: str | None = None,
+) -> str:
     """Two-stage late-interaction oracle: the BM25 prune CTE feeding the
     Σ-maxsim SQL over the candidate set. Shared verbatim by the module
-    entry (late_interaction_two_stage, all canned queries) and the
+    entry (late_interaction_two_stage, all canned queries), the
     client-facade row (client_late_interaction, one query and no
-    query_id output) so the two registrations cannot drift."""
+    query_id output), and the RAG row (rag_answer_batch — r10 verdict
+    task 3: ``round_rank_prune=True`` matches the PERSISTED-index prune,
+    bm25_search_indexed ranks on round(score,4)+doc_id because appends
+    change the per-doc fold order; ``tail`` appends the prompt-assembly
+    CTEs after ``ranked``) so the registrations cannot drift."""
+    cand = (
+        f"""kw_rounded AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
+  FROM kw_scored
+),
+cand AS (SELECT query_id, doc_id FROM kw_rounded WHERE rnk <= {n_candidates})"""
+        if round_rank_prune
+        else f"cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rnk <= {n_candidates})"
+    )
+    if tail is None:
+        tail = f"""SELECT {final_cols}
+FROM ranked WHERE rnk <= {k}
+"""
     return f"""
 WITH {_BM25_PREFIX},
 queries AS (SELECT * FROM (VALUES {sq_values}) v(query_id, query)),
 {_BM25_SCORING},
-cand AS (SELECT query_id, doc_id FROM kw_ranked WHERE rnk <= {_LI_CANDIDATES}),
+{cand},
 qsrc AS (SELECT query_id, {_toks("query")} AS toks FROM queries),
 qt AS (
   SELECT query_id, i - 1 AS q_pos, toks[i] AS tok
@@ -422,9 +449,7 @@ ranked AS (
                             ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
   FROM scored
 )
-SELECT {final_cols}
-FROM ranked WHERE rnk <= 10
-"""
+{tail}"""
 
 
 @register(
@@ -499,6 +524,85 @@ def q_client_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
         (F.round("score", 4) + F.lit(0.0)).alias("score"),
     )
+
+
+_RAG_K = 5
+_RAG_CANDIDATES = 25
+_RAG_INDEX_ROOTS: dict[str, str] = {}
+
+
+def _rag_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Writable root holding a persisted BM25 index over the ``sf_dir``
+    documents corpus, built once per (process, sf_dir): the graded
+    rag_answer_batch row exercises the PERSISTED-index prune
+    (bm25_search_indexed — the whole point of the streaming RAG path is
+    that micro-batches never rebuild corpus stats), and the testdata
+    directory is read-only, so the index tables live in a temp dir that
+    the driver/bench/preflight session reuses across calls."""
+    import os
+    import tempfile
+
+    root = _RAG_INDEX_ROOTS.get(sf_dir)
+    if root is None or not os.path.isdir(os.path.join(root, "documents__bm25")):
+        from .operators.bm25 import bm25_save_index
+
+        root = tempfile.mkdtemp(prefix="ragidx_")
+        bm25_save_index(
+            load_table(spark, sf_dir, "documents"), root, "documents"
+        )
+        _RAG_INDEX_ROOTS[sf_dir] = root
+    return root
+
+
+@register(
+    "rag_answer_batch",
+    _li_two_stage_oracle(
+        _SQ_VALUES,
+        "",
+        n_candidates=_RAG_CANDIDATES,
+        round_rank_prune=True,
+        tail=f""",
+top AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {_RAG_K}),
+ctx AS (
+  SELECT t.query_id, count(*) AS n_context,
+         string_agg(x.text, ' | ' ORDER BY t.rnk) AS ctx
+  FROM top t JOIN documents x USING (doc_id)
+  GROUP BY t.query_id
+)
+SELECT c.query_id, c.n_context,
+       'Question: ' || q.query || ' Context: ' || c.ctx AS prompt
+FROM ctx c JOIN queries q ON q.query_id = c.query_id
+""",
+    ),
+)
+def q_rag_answer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 RAG retrieval+assembly pipeline over PERSISTED indexes
+    (streaming/rag.py rag_answer_batch — r10 verdict task 3): persisted
+    BM25 prune (bm25_search_indexed over saved postings/stats, round-rank
+    per the indexed-path determinism rule) → Σ-maxsim late-interaction
+    rerank of the bounded candidate set → rank-ordered prompt assembly.
+    This is the unit the streaming pipeline runs per micro-batch
+    (stream==batch pinned in test_stream_rag.py); grading it closes the
+    one §3.1 composition that was test-tier only. The oracle is the
+    SHARED two-stage builder (late_interaction_two_stage /
+    client_late_interaction) with the indexed prune's round-rank and the
+    prompt_assembly tail, so the three registrations cannot drift.
+    Reference: src/app.py retrieve→assemble→generate, rag_ui.py:104."""
+    from .streaming.rag import rag_answer_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _rag_index_root(spark, sf_dir)
+    out = rag_answer_batch(
+        spark,
+        root,
+        "documents",
+        docs,
+        _search_queries_df(spark),
+        k=_RAG_K,
+        n_candidates=_RAG_CANDIDATES,
+        dim=_EMBED_DIM,
+    )
+    return out.select("query_id", "n_context", "prompt")
 
 
 @register(
@@ -578,24 +682,9 @@ def q_ann_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_ALPHA = 0.25
 _HYBRID_N = 50
 
-
-@register(
-    "hybrid_search",
-    f"""
-WITH {_BM25_PREFIX},
-queries AS (SELECT * FROM (VALUES {_SQ_VALUES}) v(query_id, query)),
-{_BM25_SCORING},
-kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= {_HYBRID_N}),
-kw_norm AS (
-  SELECT query_id, doc_id,
-         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
-              THEN 0.0
-              ELSE (score - min(score) OVER (PARTITION BY query_id))
-                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
-         END * {1.0 - _HYBRID_ALPHA} AS kw_score
-  FROM kw_top
-),
-qv AS (
+# The module row's dense arm: pre-computed embeddings table, query
+# vectors = the embedding rows sharing the query ids.
+_HYBRID_DENSE_EMBTBL = """qv AS (
   SELECT q.query_id, e.embedding::DOUBLE[] AS qv
   FROM queries q JOIN embeddings e ON e.vec_id = q.query_id
 ),
@@ -608,15 +697,69 @@ vec_ranked AS (
   SELECT query_id, doc_id, 1.0 - distance AS sim,
          row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
   FROM vec_scored
+)"""
+
+# The client-facade row's dense arm: the collection has no vector
+# column, so the facade hash-embeds doc text and the query string
+# (functions/embed.py, restated by _EMBED_SQL — the semantic_text_search
+# dense arm) and runs exact cosine kNN over the hashed vectors.
+_HYBRID_DENSE_HASHED = f"""qsrc AS (SELECT query_id AS eid, {_toks('query')} AS toks FROM queries),
+{_EMBED_SQL.format(name='cq', src='qsrc', dmax=_EMBED_DIM - 1)},
+dsrc AS (SELECT doc_id AS eid, {_toks('text')} AS toks FROM documents),
+{_EMBED_SQL.format(name='cd', src='dsrc', dmax=_EMBED_DIM - 1)},
+vec_scored AS (
+  SELECT q.eid AS query_id, e.eid AS doc_id, 1.0 - sum(q.v * e.v) AS distance
+  FROM cq_emb q JOIN cd_emb e USING (d)
+  GROUP BY q.eid, e.eid
 ),
-vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= {_HYBRID_N}),
+vec_ranked AS (
+  SELECT query_id, doc_id, 1.0 - distance AS sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, doc_id ASC) AS rnk
+  FROM vec_scored
+)"""
+
+
+def _hybrid_fusion_oracle(
+    sq_values: str,
+    dense_sql: str,
+    final_cols: str,
+    *,
+    n_arm: int = _HYBRID_N,
+    k_final: int = 10,
+    alpha: float = _HYBRID_ALPHA,
+) -> str:
+    """Alpha-fusion oracle: BM25 keyword arm (shared CTEs) + a dense arm
+    supplied as SQL defining ``vec_ranked(query_id, doc_id, sim, rnk)``,
+    each arm cut to ``n_arm`` and min-max normalized per query, weighted
+    (1-alpha)/alpha, full-outer summed, ranked. Shared by the module row
+    (hybrid_search — embeddings-table dense arm, arm depth 50)
+    and the client-facade row (client_hybrid_search — hash-embedded
+    dense arm, arm depth = the facade's ``limit``) so the two
+    registrations cannot drift (the client_* one-oracle-builder rule
+    from r10)."""
+    return f"""
+WITH {_BM25_PREFIX},
+queries AS (SELECT * FROM (VALUES {sq_values}) v(query_id, query)),
+{_BM25_SCORING},
+kw_top AS (SELECT query_id, doc_id, score FROM kw_ranked WHERE rnk <= {n_arm}),
+kw_norm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 0.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END * {1.0 - alpha} AS kw_score
+  FROM kw_top
+),
+{dense_sql},
+vec_top AS (SELECT query_id, doc_id, sim FROM vec_ranked WHERE rnk <= {n_arm}),
 vec_norm AS (
   SELECT query_id, doc_id,
          CASE WHEN max(sim) OVER (PARTITION BY query_id) = min(sim) OVER (PARTITION BY query_id)
               THEN 0.0
               ELSE (sim - min(sim) OVER (PARTITION BY query_id))
                    / (max(sim) OVER (PARTITION BY query_id) - min(sim) OVER (PARTITION BY query_id))
-         END * {_HYBRID_ALPHA} AS vec_score
+         END * {alpha} AS vec_score
   FROM vec_top
 ),
 fused AS (
@@ -631,9 +774,18 @@ final_ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
   FROM fused
 )
-SELECT query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score
-FROM final_ranked WHERE rnk <= 10
-""",
+SELECT {final_cols}
+FROM final_ranked WHERE rnk <= {k_final}
+"""
+
+
+@register(
+    "hybrid_search",
+    _hybrid_fusion_oracle(
+        _SQ_VALUES,
+        _HYBRID_DENSE_EMBTBL,
+        "query_id, doc_id, rnk::BIGINT AS rank, round(score, 4) AS score",
+    ),
 )
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -647,6 +799,49 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = hybrid_search(kw, vec, alpha=_HYBRID_ALPHA, limit=10)
     return fused.select(
         "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_CLIENT_HYBRID_LIMIT = 30
+
+
+@register(
+    "client_hybrid_search",
+    _hybrid_fusion_oracle(
+        f"(0::BIGINT, '{SEARCH_QUERIES[0][1]}')",
+        _HYBRID_DENSE_HASHED,
+        "doc_id, rnk::BIGINT AS rank, round(score, 4) AS score",
+        n_arm=_CLIENT_HYBRID_LIMIT,
+        k_final=_CLIENT_HYBRID_LIMIT,
+    ),
+)
+def q_client_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion THROUGH the client facade (client.py
+    SparkSearchClient.hybrid_search — the reference's hottest interactive
+    path, rag_ui.py:104-147 drives hybrid α=0.25 per user query). r11
+    gave this verb the same persisted-artifact reuse every other search
+    verb has (keyword arm via _keyword_hits' text-index/stats-cache
+    routing, dense arm via the backend knob + session-persisted
+    hash-embedded corpus); grading it pins the routing refactor to the
+    module semantics. The facade retrieves BOTH arms at ``limit`` and
+    fuses (vs the module row's fixed depth-50 arms cut to 10), so the
+    oracle is the SAME fusion builder with arm depth = limit: the two
+    registrations share every CTE except the declared dense arm
+    (hash-embedded text here — the collection has no vector column —
+    restated by the semantic_text_search embedding SQL)."""
+    from .client import SparkSearchClient
+
+    client = SparkSearchClient(spark, sf_dir)
+    hits = client.hybrid_search(
+        "documents.parquet",
+        SEARCH_QUERIES[0][1],
+        alpha=_HYBRID_ALPHA,
+        limit=_CLIENT_HYBRID_LIMIT,
+    )
+    return hits.select(
         "doc_id",
         F.col("rank").cast("bigint").alias("rank"),
         F.round("score", 4).alias("score"),
