@@ -229,6 +229,28 @@ HEADLINE = [
 
 N_RUNS = 3  # interleaved timed sweeps per query; medians reported
 
+# Host-noise canary (r10 verdict "what's wrong" #1: three rounds of
+# snapshots needed manual "trust the A/Bs, the box was noisy" addenda —
+# the artifact now carries its own noise floor). A fixed CPU-bound job
+# is timed before each sweep and after the last one; a sweep is NOISY
+# if the slower of its enclosing canaries exceeds the session's canary
+# floor by more than CANARY_THRESHOLD. Noisy sweeps are excluded from
+# the reported medians when at least one clean sweep exists; the
+# snapshot records every canary time, the floor, and which sweeps were
+# discarded, so a reader can re-derive the call.
+CANARY_THRESHOLD = 1.5
+
+
+def _canary(spark) -> float:
+    """Seconds for a fixed CPU-bound job — pure compute, no I/O, no
+    shuffle variance: a clean proxy for how contended the host is right
+    now."""
+    start = time.perf_counter()
+    spark.range(30_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000003)"
+    ).collect()
+    return time.perf_counter() - start
+
 
 def _round_arg() -> int | None:
     """Explicit round from --round N / SPARK_GRAFT_ROUND — the BENCH_r*
@@ -272,6 +294,11 @@ def main() -> None:
     # observed), so single-shot timings can't distinguish a regression
     # from noise. Interleaving the sweeps (q1..qN, q1..qN, q1..qN) spreads
     # any transient load spike across queries instead of poisoning one.
+    # Each sweep is bracketed by canary timings; sweeps whose enclosing
+    # canaries blow past the session floor are discarded from the medians
+    # (self-qualifying snapshot — see CANARY_THRESHOLD above).
+    _canary(spark)  # untimed JIT warmup for the canary job itself
+    canaries = [_canary(spark)]
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_RUNS):
         for name in HEADLINE:
@@ -279,9 +306,20 @@ def main() -> None:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - start)
+        canaries.append(_canary(spark))
+
+    floor = min(canaries)
+    noisy = [
+        i
+        for i in range(N_RUNS)
+        if max(canaries[i], canaries[i + 1]) > floor * CANARY_THRESHOLD
+    ]
+    kept = [i for i in range(N_RUNS) if i not in noisy] or list(range(N_RUNS))
+    all_noisy = not [i for i in range(N_RUNS) if i not in noisy]
 
     timings = {
-        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+        name: round(statistics.median([ts[i] for i in kept]), 3)
+        for name, ts in runs.items()
     }
     total = round(sum(timings.values()), 3)
 
@@ -304,6 +342,16 @@ def main() -> None:
             round(sum(ts[i] for ts in runs.values()), 3)
             for i in range(N_RUNS)
         ],
+        # self-qualifying noise record (r10 verdict): canary seconds
+        # bracketing each sweep, the session floor, and which sweeps the
+        # medians excluded. all_sweeps_noisy=true means nothing beat the
+        # threshold and the medians kept everything — treat the snapshot
+        # as low-signal and lean on same-JVM A/Bs instead.
+        "canary_sec": [round(c, 3) for c in canaries],
+        "canary_floor": round(floor, 3),
+        "canary_threshold": CANARY_THRESHOLD,
+        "discarded_sweeps": noisy if not all_noisy else [],
+        "all_sweeps_noisy": all_noisy,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as fh:

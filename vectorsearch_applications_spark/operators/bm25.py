@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -346,8 +346,19 @@ def bm25_scores_from_terms(
 
     # q_terms and q_term_stats are tiny next to postings: broadcast both so
     # the postings table is filtered to query terms without shuffling it.
+    # A bucket-partitioned postings table (bm25_save_index) joins on
+    # (bucket, term) when the caller minted buckets on the query side —
+    # bucket is a pure function of term, so the extra key changes no
+    # rows, but it is the partition column Catalyst turns into a
+    # dynamic-pruning subquery: the scan skips every bucket directory
+    # the query's terms don't hash into.
+    join_keys = (
+        ["bucket", "term"]
+        if "bucket" in postings.columns and "bucket" in q_terms.columns
+        else ["term"]
+    )
     scored_terms = (
-        postings.join(F.broadcast(q_terms), "term")
+        postings.join(F.broadcast(q_terms), join_keys)
         .join(F.broadcast(q_term_stats), "term")
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
@@ -518,42 +529,84 @@ def bm25_prf_search(
     )
 
 
+_BM25_N_BUCKETS = 32
+
+
+def _term_bucket(col: Column, n_buckets: int) -> Column:
+    """Directory-partition bucket for a term: pmod(xxhash64(term), N).
+    Pure function of the term, so the probe side re-mints buckets for
+    its query terms with the same expression — the equi-join key
+    Catalyst pushes into the partitioned scan (the lsh_search_bucketed
+    idiom)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
 def bm25_save_index(
     docs: DataFrame,
     root: str,
     name: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = _BM25_N_BUCKETS,
 ) -> str:
     """Persist the BM25 index tables as parquet next to the collection —
     the deployment shape the session cache (`bm25_cached_stats`) stands in
     for locally: build once (the expensive full-corpus job), query many
     across sessions/clusters.
 
-    Layout: <root>/<name>__bm25/{postings,term_stats,corpus_stats}. At
-    100 TB, repartition postings by term (or bucket via saveAsTable) so
-    query-time term lookups prune files; the plain layout here still only
-    *flows* matching rows through the broadcast semi-join — the scan reads
-    but never shuffles non-matching postings.
-    """
+    Layout: <root>/<name>__bm25/{postings,term_stats,corpus_stats,meta}
+    with postings PARTITIONED by ``bucket = pmod(xxhash64(term),
+    n_buckets)`` — the directory-partition idiom the LSH/IVF/PQ/semantic
+    families use: a query's term buckets prune the postings scan to
+    their directories (plan-pinned in test_scale_plans.py), so at 100 TB
+    a search reads |query-term buckets|/n_buckets of the postings files
+    instead of all of them. ``n_buckets`` persists in the 1-row meta
+    table and is AUTHORITATIVE for every later append (the r9
+    build-params convention: layout resolves from disk, never from
+    call-site kwargs). Term lookups additionally flow only matching
+    rows through the broadcast term semi-join, exactly as before."""
     import os
 
     base = os.path.join(root, f"{name}__bm25")
+    spark = docs.sparkSession
     postings, term_stats, corpus_stats = bm25_build_stats(docs, id_col, text_col)
-    postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+    postings.withColumn(
+        "bucket", _term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(base, "postings")
+    )
     term_stats.write.mode("overwrite").parquet(os.path.join(base, "term_stats"))
     corpus_stats.write.mode("overwrite").parquet(
         os.path.join(base, "corpus_stats")
     )
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "meta"))
     return base
+
+
+def bm25_index_n_buckets(spark, root: str, name: str) -> int | None:
+    """The saved postings bucket count, or None for a pre-bucketing
+    index (plain layout — still readable, just not partition-pruned).
+    Disk is authoritative (r9 convention): appends and probes resolve
+    the layout from here, never from call-site arguments."""
+    import os
+
+    meta_path = os.path.join(root, f"{name}__bm25", "meta")
+    if not os.path.isdir(meta_path):
+        return None
+    return spark.read.parquet(meta_path).head()["n_buckets"]
 
 
 def bm25_load_index(
     spark, root: str, name: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Load the persisted index. Postings come back as the LIVE view
-    (minus tombstoned docs — bm25_index_delete); the term/corpus stats
-    files are already rewritten at delete time, so no view is needed."""
+    (minus tombstoned docs — bm25_index_delete) and, for a bucketed
+    layout, carry the ``bucket`` partition column (the scoring core
+    joins on it when both sides have it, which is what lets Catalyst
+    prune the partitioned scan); the term/corpus stats files are
+    already rewritten at delete time, so no view is needed."""
     import os
 
     from ..sources.tombstones import apply_tombstones
@@ -699,11 +752,19 @@ def bm25_index_append_persisted(
     new_postings, new_terms, new_corpus = bm25_build_stats(
         new_docs, id_col, text_col
     )
+    # layout is resolved from DISK (meta table), never from kwargs —
+    # an append minted under a different bucket count would durably
+    # corrupt the standing table's partition pruning (r9 convention)
+    n_buckets = bm25_index_n_buckets(spark, root, name)
+    if n_buckets is not None:
+        new_postings = new_postings.withColumn(
+            "bucket", _term_bucket(F.col("term"), n_buckets)
+        )
     saved_terms = spark.read.parquet(os.path.join(base, "term_stats"))
     saved_corpus = spark.read.parquet(os.path.join(base, "corpus_stats"))
     _, term_stats, corpus_stats = bm25_merge_stats(
-        (new_postings.limit(0), saved_terms, saved_corpus),
-        (new_postings.limit(0), new_terms, new_corpus),
+        (new_postings.limit(0).drop("bucket"), saved_terms, saved_corpus),
+        (new_postings.limit(0).drop("bucket"), new_terms, new_corpus),
     )
     # the merged stats plans READ the directories about to be
     # overwritten — pin them (and the postings slice) eagerly first
@@ -717,8 +778,12 @@ def bm25_index_append_persisted(
         "postings",
         new_docs.select(F.col(id_col).alias("doc_id")),
         "doc_id",
+        partition_col="bucket" if n_buckets is not None else None,
     )
-    new_postings.write.mode("append").parquet(os.path.join(base, "postings"))
+    writer = new_postings.write.mode("append")
+    if n_buckets is not None:
+        writer = writer.partitionBy("bucket")
+    writer.parquet(os.path.join(base, "postings"))
     term_stats.write.mode("overwrite").parquet(
         os.path.join(base, "term_stats")
     )
@@ -730,13 +795,19 @@ def bm25_index_append_persisted(
 
 def bm25_index_compact(spark, root: str, name: str) -> int:
     """Fold postings tombstones into a physical rewrite (stats files are
-    already live); returns surviving postings rows."""
+    already live); returns surviving postings rows. A bucketed layout
+    rewrites with its partitioning intact (meta is authoritative)."""
     import os
 
     from ..sources.tombstones import compact_table
 
+    n_buckets = bm25_index_n_buckets(spark, root, name)
     return compact_table(
-        spark, os.path.join(root, f"{name}__bm25"), "postings", "doc_id"
+        spark,
+        os.path.join(root, f"{name}__bm25"),
+        "postings",
+        "doc_id",
+        partition_col="bucket" if n_buckets is not None else None,
     )
 
 
@@ -758,10 +829,33 @@ def bm25_search_indexed(
     incremental appends change the per-doc aggregation order, so a
     raw-double ordering here would be one near-tie away from disagreeing
     with itself across appends — and with the in-plan path
-    keyword_search silently switches against (r10 advice)."""
+    keyword_search silently switches against (r10 advice).
+
+    Against a bucketed layout (bm25_save_index's partitioned postings)
+    the query terms re-mint their buckets from the saved meta and
+    re-enter the plan as a LITERAL bucket set (the repo's collect-once
+    pattern — the collect is bounded by min(|query terms|, n_buckets)
+    rows): a STATIC PartitionFilter prunes the postings scan to the
+    query's bucket directories at planning time, with none of dynamic
+    pruning's selectivity heuristics in the way. Plan-pinned in
+    test_scale_plans.py."""
     postings, term_stats, corpus_stats = bm25_load_index(spark, root, name)
-    scores = bm25_scores_from_stats(
-        postings, term_stats, corpus_stats, queries, k1=k1, b=b
+    q_terms = queries.select(
+        F.col("query_id"),
+        F.explode(F.array_distinct(tokenize("query"))).alias("term"),
+    )
+    n_buckets = bm25_index_n_buckets(spark, root, name)
+    if n_buckets is not None and "bucket" in postings.columns:
+        q_terms = q_terms.withColumn(
+            "bucket", _term_bucket(F.col("term"), n_buckets)
+        )
+        touched = [
+            r["bucket"]
+            for r in q_terms.select("bucket").distinct().collect()
+        ]
+        postings = postings.filter(F.col("bucket").isin(touched))
+    scores = bm25_scores_from_terms(
+        postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 4)), F.asc("doc_id")
