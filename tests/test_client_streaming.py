@@ -1,0 +1,143 @@
+"""Facade streaming verbs (r11, r10 verdict stretch): the client owns
+the streaming story like it owns the batch one — stream_rag serves a
+query stream from the collection's persisted text index, stream_ingest
+is the reference's batch-upsert add-data flow as an effectively-once
+foreachBatch stream with the keep-fresh text-index repair."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_applications_spark.client import SparkSearchClient
+from vectorsearch_applications_spark.sources.io import load_table
+from vectorsearch_applications_spark.streaming.rag import rag_answer_batch
+
+from .conftest import SF_SMOKE
+
+Q = [(0, "spark join order"), (1, "window agg stream")]
+SCHEMA = "query_id long, query string"
+
+
+def test_client_stream_rag_requires_fresh_index(spark, tmp_path):
+    """The service loop must never silently degrade to per-batch corpus
+    scans: no persisted text index -> raise naming build_text_index; a
+    stale one (post-merge) -> raise naming the repair verbs."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    c.create_collection("docs", docs)
+    with pytest.raises(ValueError, match="build_text_index"):
+        c.stream_rag(
+            "docs",
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+    c.build_text_index("docs")
+    c.merge(
+        "docs",
+        docs.limit(1)
+        .withColumn("text", F.lit("changed"))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1).cast("long")),
+    )
+    with pytest.raises(ValueError, match="stale"):
+        c.stream_rag(
+            "docs",
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+
+
+def test_client_stream_rag_equals_batch_twin(spark, tmp_path):
+    """Prompts served by the facade stream equal the rag_answer_batch
+    composition over the same queries (stream==batch discipline, through
+    the client's index-meta plumbing)."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    c.create_collection("docs", docs)
+    c.build_text_index("docs")
+    src = str(tmp_path / "queries_in")
+    out = str(tmp_path / "prompts_out")
+    spark.createDataFrame(Q, SCHEMA).write.mode("append").parquet(src)
+
+    q = c.stream_rag("docs", src, out, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    got = {
+        r["query_id"]: (r["n_context"], r["prompt"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["query_id"]: (r["n_context"], r["prompt"])
+        for r in rag_answer_batch(
+            spark,
+            str(tmp_path),
+            "docs",
+            c._load("docs"),
+            spark.createDataFrame(Q, SCHEMA),
+        ).collect()
+    }
+    assert got == want and set(got) == {0, 1}
+
+
+def test_client_stream_ingest_effectively_once_and_keeps_index_fresh(
+    spark, tmp_path
+):
+    """Ingest is effectively-once keyed by doc identity: redelivered ids
+    screen out via the anti-join (a full checkpoint-loss replay appends
+    nothing), and the persisted text index stays FRESH through the
+    keep-fresh append — proven by a poisoned-builder keyword search that
+    finds a streamed-in doc without rebuilding stats."""
+    import vectorsearch_applications_spark.operators.bm25 as bm25_mod
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    standing = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 350)
+    )  # 50 redelivered ids + 50 new
+    c.create_collection("docs", standing)
+    c.build_text_index("docs")
+    n0 = c.get_doc_count("docs")
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    batch.write.mode("append").parquet(src)
+    q = c.stream_ingest("docs", src, ckpt, not_null_cols=["doc_id", "text"])
+    assert q.awaitTermination(300)
+    n1 = c.get_doc_count("docs")
+    assert n1 == n0 + batch.count() - 50  # only the genuinely-new ids
+
+    # full redelivery (checkpoint lost): every id already present -> no-op
+    shutil.rmtree(ckpt)
+    q = c.stream_ingest("docs", src, ckpt, not_null_cols=["doc_id", "text"])
+    assert q.awaitTermination(300)
+    assert c.get_doc_count("docs") == n1
+    assert c._load("docs").select("doc_id").distinct().count() == n1
+
+    # the keep-fresh append repaired the stale flag: the persisted index
+    # serves searches (builder poisoned) and covers the streamed docs
+    assert c._stale_meta("docs", "bm25") is None
+    monkey = pytest.MonkeyPatch()
+    try:
+        monkey.setattr(
+            bm25_mod,
+            "bm25_build_stats",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("stats rebuilt despite fresh persisted index")
+            ),
+        )
+        hits = c.keyword_search("docs", "spark join order", limit=n1).collect()
+    finally:
+        monkey.undo()
+    hit_ids = {r["doc_id"] for r in hits}
+    streamed_only = {
+        r["doc_id"]
+        for r in batch.filter(F.col("doc_id") >= 300)
+        .select("doc_id")
+        .collect()
+    }
+    assert hit_ids & streamed_only, "streamed docs never became searchable"

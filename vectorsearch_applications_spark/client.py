@@ -1465,9 +1465,12 @@ class SparkSearchClient:
         at-least-once REPLAYS re-deliver only already-present ids and
         become no-ops — effectively-once keyed by doc identity, the
         streaming/rag.py sink discipline applied to ingest), validates
-        and appends through ``batch_index_data``, then repairs the
-        persisted text index with ``append_to_text_index`` when one
-        exists (the documented keep-fresh flow). Other index families
+        and appends through the O(|batch|) ``batch_append`` (same
+        not-null checks and error budget as ``batch_index_data``, but
+        the standing generation is never rewritten — a micro-batch must
+        not pay corpus-sized work), then repairs the persisted text
+        index with ``append_to_text_index`` when one exists (the
+        documented keep-fresh flow). Other index families
         follow the staleness protocol: flagged by the append, searches
         fall back in-plan until their own append/rebuild. A crash
         between the collection append and the index repair leaves the
@@ -1487,7 +1490,15 @@ class SparkSearchClient:
             ).localCheckpoint(eager=True)
             if fresh.isEmpty():
                 return
-            self.batch_index_data(collection, fresh, not_null_cols)
+            self._invalidate_search_caches(collection)
+            _coll.batch_append(
+                self.spark, self.root, collection, fresh, not_null_cols
+            )
+            # same staleness contract as batch_index_data: the new rows
+            # are not in any persisted index yet; the text-index append
+            # below repairs its flag, other families fall back in-plan
+            # until their own append/rebuild
+            self._mark_indexes_stale(collection, "batch_index_data")
             if self._text_index_meta(collection) is not None:
                 self.append_to_text_index(collection, fresh)
 

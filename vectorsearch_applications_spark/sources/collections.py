@@ -134,6 +134,47 @@ def batch_index(
         flagged.unpersist()
 
 
+def batch_append(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    not_null_cols: list[str],
+    error_threshold: float = 0.01,
+) -> dict[str, int]:
+    """Validated APPEND into an existing collection — the streaming
+    ingest unit (client.stream_ingest). Same not-null checks and error
+    budget as :func:`batch_index` (the reference's >1% abort,
+    weaviate_interface_v4.py:459,469-472), but good rows append to the
+    standing generation instead of replacing it — O(|batch|) per
+    micro-batch regardless of corpus size — and failures append to the
+    quarantine (a stream accumulates its rejects; it does not get a
+    clean-re-index reset). Returns {"indexed": n_good, "quarantined":
+    n_bad}."""
+    ok = F.lit(True)
+    for c in not_null_cols:
+        ok = ok & F.col(c).isNotNull()
+    flagged = df.withColumn("_ok", ok).persist()
+    try:
+        n_total = flagged.count()
+        n_bad = flagged.filter(~F.col("_ok")).count()
+        if n_total > 0 and n_bad / n_total > error_threshold:
+            raise IndexingError(
+                f"{n_bad}/{n_total} rows failed validation "
+                f"(> {error_threshold:.0%} budget); append aborted"
+            )
+        good = flagged.filter(F.col("_ok")).drop("_ok")
+        if n_total - n_bad:
+            good.write.mode("append").parquet(os.path.join(root, name))
+        if n_bad:
+            flagged.filter(~F.col("_ok")).drop("_ok").write.mode(
+                "append"
+            ).parquet(os.path.join(root, f"{name}__quarantine"))
+        return {"indexed": n_total - n_bad, "quarantined": n_bad}
+    finally:
+        flagged.unpersist()
+
+
 def update_collection(
     spark: SparkSession,
     root: str,
