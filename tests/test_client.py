@@ -1088,3 +1088,69 @@ def test_hybrid_multifield_session_cache_reuse(spark, tmp_path, monkeypatch):
         c.hybrid_search(
             "docs", q, limit=5, filters=F.col("doc_id") > 10
         ).count()
+
+
+def test_merge_stale_flag_not_downgraded_by_batch_index(spark, tmp_path):
+    """r11 review: a later batch_index_data must not rewrite a merge's
+    non-repairable stale marker to its repairable verb — the next append
+    would then falsely 'repair' an index whose standing rows changed."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    c.create_collection("docs", docs)
+    c.build_text_index("docs")
+    c.merge(
+        "docs",
+        docs.limit(1)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(1).cast("long")),
+    )
+    c.batch_index_data("docs", docs, not_null_cols=["doc_id", "text"])
+    assert c._stale_meta("docs", "bm25")["verb"] == "merge"
+    with pytest.raises(ValueError, match="stale after merge"):
+        c.append_to_text_index("docs", docs.limit(1))
+
+
+def test_keyword_search_custom_id_col_in_plan(spark, tmp_path):
+    """r11 review: with NO persisted index the in-plan arm must hand the
+    caller the id under its own name (the scoring core normalizes to
+    'doc_id'; the indexed arm already renamed — both branches of the
+    routing rule now agree)."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 100)
+        .withColumnRenamed("doc_id", "uid")
+    )
+    c.create_collection("docs", docs)
+    hits = c.keyword_search(
+        "docs", "spark join order", limit=5, id_col="uid",
+        return_properties=["lang"],
+    )
+    assert "uid" in hits.columns and "lang" in hits.columns
+    assert hits.count() == 5
+
+
+def test_text_index_rebuild_clears_tombstones(spark, tmp_path):
+    """r11 review: build_text_index over a collection whose previous
+    index tombstoned a doc must serve that doc again — a leftover
+    tombstone table applied to the NEW postings would suppress it
+    forever."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    c.create_collection("docs", docs)
+    c.build_text_index("docs")
+    victim = c.keyword_search("docs", "spark join order", limit=1).collect()[0][
+        "doc_id"
+    ]
+    c.delete_from_text_index(
+        "docs", spark.createDataFrame([(victim,)], "doc_id long")
+    )
+    assert victim not in {
+        r["doc_id"]
+        for r in c.keyword_search("docs", "spark join order", limit=5).collect()
+    }
+    c.build_text_index("docs")  # rebuild over the UNCHANGED collection
+    assert victim in {
+        r["doc_id"]
+        for r in c.keyword_search("docs", "spark join order", limit=5).collect()
+    }

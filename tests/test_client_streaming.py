@@ -98,7 +98,18 @@ def test_client_stream_ingest_effectively_once_and_keeps_index_fresh(
     standing = docs.filter(F.col("doc_id") < 300)
     batch = docs.filter(
         (F.col("doc_id") >= 250) & (F.col("doc_id") < 350)
-    )  # 50 redelivered ids + 50 new
+    ).unionByName(
+        # one invalid row (null text): quarantined, never indexed — the
+        # fresh slice is 51 rows, so the default 1% budget would abort;
+        # the widened threshold below admits it
+        docs.limit(1).select(
+            F.lit(999_999).alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )  # 50 redelivered ids + 50 new + 1 reject
     c.create_collection("docs", standing)
     c.build_text_index("docs")
     n0 = c.get_doc_count("docs")
@@ -106,17 +117,33 @@ def test_client_stream_ingest_effectively_once_and_keeps_index_fresh(
     src = str(tmp_path / "docs_in")
     ckpt = str(tmp_path / "ingest_ckpt")
     batch.write.mode("append").parquet(src)
-    q = c.stream_ingest("docs", src, ckpt, not_null_cols=["doc_id", "text"])
+    q = c.stream_ingest(
+        "docs", src, ckpt, not_null_cols=["doc_id", "text"],
+        error_threshold=0.05,
+    )
     assert q.awaitTermination(300)
     n1 = c.get_doc_count("docs")
-    assert n1 == n0 + batch.count() - 50  # only the genuinely-new ids
+    assert n1 == n0 + 50  # genuinely-new valid ids only
+    # the reject is quarantined, not in the collection and not indexed
+    qdir = str(tmp_path / "docs__quarantine")
+    assert spark.read.parquet(qdir).count() == 1
+    assert (
+        c._load("docs").filter(F.col("doc_id") == 999_999).count() == 0
+    )
 
-    # full redelivery (checkpoint lost): every id already present -> no-op
+    # full redelivery (checkpoint lost): every valid id already present
+    # and the reject screens against the quarantine — a no-op, NOT a
+    # re-validation that trips the 1% budget (r11 review)
     shutil.rmtree(ckpt)
-    q = c.stream_ingest("docs", src, ckpt, not_null_cols=["doc_id", "text"])
+    q = c.stream_ingest(
+        "docs", src, ckpt, not_null_cols=["doc_id", "text"],
+        # DEFAULT budget on the replay: if the reject were re-validated
+        # instead of screened, 1/1 = 100% > 1% would abort the stream
+    )
     assert q.awaitTermination(300)
     assert c.get_doc_count("docs") == n1
     assert c._load("docs").select("doc_id").distinct().count() == n1
+    assert spark.read.parquet(qdir).count() == 1  # not re-quarantined
 
     # the keep-fresh append repaired the stale flag: the persisted index
     # serves searches (builder poisoned) and covers the streamed docs

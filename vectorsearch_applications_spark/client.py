@@ -136,7 +136,16 @@ class SparkSearchClient:
         for fam in _INDEX_FAMILIES:
             d = self._index_dir(name, fam)
             if os.path.isdir(d):
-                with open(os.path.join(d, "_stale.json"), "w") as f:
+                p = os.path.join(d, "_stale.json")
+                # never DOWNGRADE an existing flag: if a merge/rollback/
+                # recreate already flagged this index (append cannot
+                # repair those), a later batch_index_data must not
+                # rewrite the marker to its repairable verb — the next
+                # append would then falsely "repair" an index whose
+                # standing rows changed underneath it (r11 review)
+                if verb == "batch_index_data" and os.path.isfile(p):
+                    continue
+                with open(p, "w") as f:
                     json.dump({"verb": verb}, f)
 
     def _stale_meta(self, name: str, family: str) -> dict | None:
@@ -183,13 +192,16 @@ class SparkSearchClient:
         partition_by: list[str] | None = None,
     ) -> str:
         self._invalidate_search_caches(name)
-        out = _coll.create_collection(
+        # recreate case: indexes of a previous same-name collection are
+        # orphans describing the old corpus — only a rebuild repairs
+        # them. Flag BEFORE the mutation commits: a crash in between
+        # leaves a conservative flag (searches fall back in-plan,
+        # always correct), never an unflagged stale index (r11 review —
+        # the same ordering rule applies to every mutating verb below)
+        self._mark_indexes_stale(name, "create_collection")
+        return _coll.create_collection(
             self.spark, self.root, name, df, partition_by
         )
-        # recreate case: indexes of a previous same-name collection are
-        # orphans describing the old corpus — only a rebuild repairs them
-        self._mark_indexes_stale(name, "create_collection")
-        return out
 
     def delete_collection(self, name: str) -> None:
         self._invalidate_search_caches(name)
@@ -210,14 +222,15 @@ class SparkSearchClient:
         error_threshold: float = 0.01,
     ) -> dict[str, int]:
         self._invalidate_search_caches(name)
-        out = _coll.batch_index(
+        # persisted indexes will lag the new generation; searches fall
+        # back to in-plan scoring until append_to_*_index with the new
+        # batch (which clears this flag) or a full rebuild. Flagged
+        # BEFORE the write commits (crash-window rule, see
+        # create_collection).
+        self._mark_indexes_stale(name, "batch_index_data")
+        return _coll.batch_index(
             self.spark, self.root, name, df, not_null_cols, error_threshold
         )
-        # persisted indexes now lag the collection; searches fall back
-        # to in-plan scoring until append_to_*_index with the new batch
-        # (which clears this flag) or a full rebuild
-        self._mark_indexes_stale(name, "batch_index_data")
-        return out
 
     def get_doc_count(self, name: str) -> int:
         return self._load(name).count()
@@ -253,9 +266,8 @@ class SparkSearchClient:
         """CDC MERGE (upsert+delete change set, last-writer-wins) — see
         sources/collections.py merge_collection."""
         self._invalidate_search_caches(name)
-        out = _coll.merge_collection(self.spark, self.root, name, changes, **kw)
-        self._mark_indexes_stale(name, "merge")
-        return out
+        self._mark_indexes_stale(name, "merge")  # crash-window rule
+        return _coll.merge_collection(self.spark, self.root, name, changes, **kw)
 
     def snapshot(self, name: str, tag: str) -> str:
         """Tag the current generation (hard-link copy) for diff/rollback."""
@@ -263,8 +275,8 @@ class SparkSearchClient:
 
     def rollback(self, name: str, tag: str) -> None:
         self._invalidate_search_caches(name)
+        self._mark_indexes_stale(name, "rollback")  # crash-window rule
         _coll.rollback_collection(self.root, name, tag)
-        self._mark_indexes_stale(name, "rollback")
 
     def snapshots(self, name: str) -> list[str]:
         return _coll.list_snapshots(self.root, name)
@@ -278,11 +290,32 @@ class SparkSearchClient:
     def recover(self, name: str) -> str:
         """Resolve staged-swap crash leftovers; returns the action taken."""
         self._invalidate_search_caches(name)
+        # crash-window rule, with a twist: whether this recovery changes
+        # the live generation is only known AFTER it runs, so flag
+        # conservatively first and withdraw OUR flag (never a
+        # pre-existing one) if the action turned out not to touch the
+        # live data
+        import json
+
+        pre = {
+            fam: self._stale_meta(name, fam) for fam in _INDEX_FAMILIES
+        }
+        self._mark_indexes_stale(name, "recover")
         action = _coll.recover_collection(self.root, name)
-        # only recoveries that change the LIVE generation invalidate the
-        # indexes; discarding unused staging/old leftovers does not
-        if action in ("promoted_staging", "restored_old"):
-            self._mark_indexes_stale(name, "recover")
+        if action not in ("promoted_staging", "restored_old"):
+            for fam, meta in pre.items():
+                if meta is None:
+                    self._clear_stale(name, fam)
+                elif meta.get("verb") != "recover":
+                    # put back the pre-existing marker verbatim — a
+                    # repairable batch_index_data flag must not be
+                    # upgraded by a recovery that touched nothing
+                    p = os.path.join(
+                        self._index_dir(name, fam), "_stale.json"
+                    )
+                    if os.path.isdir(os.path.dirname(p)):
+                        with open(p, "w") as f:
+                            json.dump(meta, f)
         return action
 
     def diff(self, name: str, tag: str, key_col: str) -> DataFrame:
@@ -358,6 +391,10 @@ class SparkSearchClient:
                 self._query_df(query), limit=limit,
             ).withColumnRenamed("doc_id", id_col)
         docs = self._docs(collection, filters)
+        # the scoring core normalizes its output id to 'doc_id'
+        # regardless of id_col — rename back so BOTH branches of this
+        # rule hand the caller the id under its own name (r11 review:
+        # a custom id_col previously worked indexed but broke in-plan)
         return bm25_search_multifield(
             docs,
             self._query_df(query),
@@ -369,7 +406,7 @@ class SparkSearchClient:
                 if filters is None
                 else None
             ),
-        )
+        ).withColumnRenamed("doc_id", id_col)
 
     # -- persisted text (BM25) index lifecycle ------------------------------
 
@@ -1458,6 +1495,7 @@ class SparkSearchClient:
         checkpoint_dir: str,
         not_null_cols: list[str],
         id_col: str = "doc_id",
+        error_threshold: float = 0.01,
     ):
         """foreachBatch document ingest — the reference's batch-upsert
         add-data flow (weaviate_interface_v4.py) as a stream: each
@@ -1470,37 +1508,48 @@ class SparkSearchClient:
         the standing generation is never rewritten — a micro-batch must
         not pay corpus-sized work), then repairs the persisted text
         index with ``append_to_text_index`` when one exists (the
-        documented keep-fresh flow). Other index families
-        follow the staleness protocol: flagged by the append, searches
-        fall back in-plan until their own append/rebuild. A crash
-        between the collection append and the index repair leaves the
-        index flagged stale (replays screen to empty, so they cannot
-        repair it) — correct-but-slower until the next batch or a
-        rebuild, never wrong. Returns the started StreamingQuery."""
+        documented keep-fresh flow) — ONLY rows that passed validation
+        reach the index, so quarantined rows are in neither the
+        collection nor the index and the two cannot diverge (r11
+        review). Re-delivered ids screen against the collection AND the
+        quarantine, so a checkpoint-loss replay of a batch with rejects
+        is a no-op instead of a re-validation that trips the error
+        budget. Other index families follow the staleness protocol:
+        flagged BEFORE the append (crash-window rule), searches fall
+        back in-plan until their own append/rebuild; a crash between
+        the collection append and the index repair leaves the
+        conservative flag standing — correct-but-slower until the next
+        batch or a rebuild, never wrong. Returns the started
+        StreamingQuery."""
         schema = self._load(collection).schema
+        qpath = os.path.join(self.root, f"{collection}__quarantine")
 
         def _batch(batch_df: DataFrame, epoch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            existing = self._load(collection).select(id_col)
+            seen = self._load(collection).select(id_col)
+            if os.path.isdir(qpath):
+                seen = seen.unionByName(
+                    self.spark.read.parquet(qpath).select(id_col)
+                )
             # eager pin BEFORE the append: a lazy plan would re-read the
             # directory it just appended to (repo convention)
             fresh = batch_df.join(
-                existing, id_col, "left_anti"
+                seen, id_col, "left_anti"
             ).localCheckpoint(eager=True)
             if fresh.isEmpty():
                 return
             self._invalidate_search_caches(collection)
-            _coll.batch_append(
-                self.spark, self.root, collection, fresh, not_null_cols
-            )
-            # same staleness contract as batch_index_data: the new rows
-            # are not in any persisted index yet; the text-index append
-            # below repairs its flag, other families fall back in-plan
-            # until their own append/rebuild
             self._mark_indexes_stale(collection, "batch_index_data")
+            _coll.batch_append(
+                self.spark, self.root, collection, fresh, not_null_cols,
+                error_threshold,
+            )
             if self._text_index_meta(collection) is not None:
-                self.append_to_text_index(collection, fresh)
+                ok = F.lit(True)
+                for c in not_null_cols:
+                    ok = ok & F.col(c).isNotNull()
+                self.append_to_text_index(collection, fresh.filter(ok))
 
         return (
             self.spark.readStream.schema(schema)

@@ -426,6 +426,14 @@ def ivf_save_index(
     import os
 
     base = os.path.join(root, f"{name}__ivf")
+    # rebuild = clean slate: a leftover tombstone table from the
+    # previous generation would be applied to the NEW rows by the
+    # load path, suppressing re-ingested docs (r11 review, fixed
+    # fleet-wide across the six save_index functions)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     centroids, _ = ivf_build(corpus, id_col, vec_col, n_centroids)
     if refine_iterations > 0:
         centroids = ivf_refine(

@@ -569,6 +569,14 @@ def bm25_save_index(
 
     base = os.path.join(root, f"{name}__bm25")
     spark = docs.sparkSession
+    # a REBUILD starts from a clean slate: a leftover tombstone table
+    # from the previous generation would be applied to the NEW postings
+    # (bm25_load_index), silently suppressing any doc ever deleted from
+    # the old index even after the rebuild re-ingested it (r11 review)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     postings, term_stats, corpus_stats = bm25_build_stats(docs, id_col, text_col)
     postings.withColumn(
         "bucket", _term_bucket(F.col("term"), n_buckets)

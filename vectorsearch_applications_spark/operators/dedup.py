@@ -401,6 +401,14 @@ def minhash_save_index(
     import os
 
     base = os.path.join(root, f"{name}__minhash")
+    # rebuild = clean slate: a leftover tombstone table from the
+    # previous generation would be applied to the NEW rows by the
+    # load path, suppressing re-ingested docs (r11 review, fixed
+    # fleet-wide across the six save_index functions)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     bands = minhash_bands(
         docs, id_col, text_col, num_hashes, band_size, shingle_n
     )
@@ -814,6 +822,14 @@ def simhash_save_index(
     import os
 
     base = os.path.join(root, f"{name}__simhash")
+    # rebuild = clean slate: a leftover tombstone table from the
+    # previous generation would be applied to the NEW rows by the
+    # load path, suppressing re-ingested docs (r11 review, fixed
+    # fleet-wide across the six save_index functions)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     simhash_bands(docs, id_col, text_col, bits, max_hamming).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(os.path.join(base, "bands"))
@@ -1473,6 +1489,14 @@ def semantic_save_index(
     from .ann import assign_nearest_centroid
 
     base = os.path.join(root, f"{name}__semantic")
+    # rebuild = clean slate: a leftover tombstone table from the
+    # previous generation would be applied to the NEW rows by the
+    # load path, suppressing re-ingested docs (r11 review, fixed
+    # fleet-wide across the six save_index functions)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     asg = assign_nearest_centroid(
         corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
     )

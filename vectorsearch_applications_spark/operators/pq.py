@@ -412,6 +412,14 @@ def pq_save_index(
     import os
 
     base = os.path.join(root, f"{name}__pq")
+    # rebuild = clean slate: a leftover tombstone table from the
+    # previous generation would be applied to the NEW rows by the
+    # load path, suppressing re-ingested docs (r11 review, fixed
+    # fleet-wide across the six save_index functions)
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     cb = pq_codebook(corpus, n_codes, n_sub, dim, id_col, vec_col)
     codes = pq_encode(corpus, cb, n_sub, dim, id_col, vec_col)
     cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))

@@ -510,9 +510,7 @@ def q_client_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage Σ-maxsim SQL as late_interaction_two_stage restricted to
     that query — the two registrations share one oracle builder, so the
     facade cannot silently diverge from the module entry it wraps."""
-    from .client import SparkSearchClient
-
-    client = SparkSearchClient(spark, sf_dir)
+    client = _client_for(spark, sf_dir)
     hits = client.late_interaction_search(
         "documents.parquet",
         SEARCH_QUERIES[0][1],
@@ -806,6 +804,24 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLIENT_HYBRID_LIMIT = 30
+_CLIENT_CACHE: dict = {}
+
+
+def _client_for(spark: SparkSession, sf_dir: str):
+    """One facade instance per (Spark app, sf_dir) — the graded client
+    rows are invoked repeatedly by bench's interleaved sweeps and the
+    driver's grading pass, and a fresh client per call would re-derive
+    (and leak, via persist() with no unpersist) the session-scoped
+    caches the facade exists to reuse: the hash-embedded corpus
+    (_embed_cache), the BM25 stats cache keys, and the dim probe (r11
+    review). Keyed by applicationId so a new Spark app never sees
+    another app's cached DataFrames."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLIENT_CACHE:
+        from .client import SparkSearchClient
+
+        _CLIENT_CACHE[key] = SparkSearchClient(spark, sf_dir)
+    return _CLIENT_CACHE[key]
 
 
 @register(
@@ -832,9 +848,7 @@ def q_client_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     registrations share every CTE except the declared dense arm
     (hash-embedded text here — the collection has no vector column —
     restated by the semantic_text_search embedding SQL)."""
-    from .client import SparkSearchClient
-
-    client = SparkSearchClient(spark, sf_dir)
+    client = _client_for(spark, sf_dir)
     hits = client.hybrid_search(
         "documents.parquet",
         SEARCH_QUERIES[0][1],
@@ -2156,9 +2170,7 @@ def q_client_routed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     facade's plumbing — collection loading, view registration, the
     collection-keyed BM25 stats cache — must not change a single value
     of the module entry's answer."""
-    from .client import SparkSearchClient
-
-    client = SparkSearchClient(spark, sf_dir)
+    client = _client_for(spark, sf_dir)
     routes = spark.createDataFrame(
         [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
     )
