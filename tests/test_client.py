@@ -819,10 +819,26 @@ def test_text_index_lifecycle_and_keyword_reuse(spark, tmp_path, monkeypatch):
     c.create_collection("docs", standing)
     q = "spark join order"
 
-    inplan = sorted(map(tuple, c.keyword_search("docs", q, limit=5).collect()))
+    inplan = sorted(
+        (r["doc_id"], r["rank"], r["score"])
+        for r in c.keyword_search("docs", q, limit=5).collect()
+    )
     c.build_text_index("docs")
-    indexed = sorted(map(tuple, c.keyword_search("docs", q, limit=5).collect()))
-    assert indexed == inplan  # same scores, same ranking
+    indexed = sorted(
+        (r["doc_id"], r["rank"], r["score"])
+        for r in c.keyword_search("docs", q, limit=5).collect()
+    )
+    # same docs, same ranking; scores agree to float dust, not bitwise —
+    # the r11 bucketed postings layout changes the per-doc fold order of
+    # the score sum (the same parquet-roundtrip effect test_index_delete
+    # pins on |Δ|), which is exactly why the indexed path ranks on
+    # round(score, 4) + doc_id
+    assert [(d, rk) for d, rk, _ in indexed] == [
+        (d, rk) for d, rk, _ in inplan
+    ]
+    assert all(
+        abs(a[2] - b[2]) < 1e-9 for a, b in zip(indexed, inplan)
+    )
 
     # reuse proof: poison the in-plan stats builder — the indexed path
     # must not touch it
