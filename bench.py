@@ -308,7 +308,14 @@ def main() -> None:
             runs[name].append(time.perf_counter() - start)
         canaries.append(_canary(spark))
 
-    floor = min(canaries)
+    # the floor comes from the SWEEP-regime canaries (canaries[1:]):
+    # the pristine post-warmup reading runs in a quieter JVM (no GC debt
+    # from 190 executed plans) and is systematically unreachable during
+    # sweeps — a floor including it would stamp every run all-noisy
+    # (observed on the first r11 take: 0.149 pristine vs a consistent
+    # 0.38-0.43 during sweeps whose totals agreed within 5%). It stays
+    # in the record as the pristine reference point.
+    floor = min(canaries[1:])
     noisy = [
         i
         for i in range(N_RUNS)
