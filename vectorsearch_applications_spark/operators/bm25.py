@@ -597,13 +597,29 @@ def bm25_index_n_buckets(spark, root: str, name: str) -> int | None:
     """The saved postings bucket count, or None for a pre-bucketing
     index (plain layout — still readable, just not partition-pruned).
     Disk is authoritative (r9 convention): appends and probes resolve
-    the layout from here, never from call-site arguments."""
+    the layout from here, never from call-site arguments.
+
+    Read with pyarrow, not a Spark action: this runs on EVERY indexed
+    search, and `spark.read.parquet(...).head()` schedules a full job
+    for a 1-row local file — a fixed ~0.1-0.2 s driver round-trip per
+    search. The local-file read is consistent with the repo-wide
+    ``os.path.isdir`` index-layout probes (local/shared FS assumed)."""
     import os
 
     meta_path = os.path.join(root, f"{name}__bm25", "meta")
     if not os.path.isdir(meta_path):
         return None
-    return spark.read.parquet(meta_path).head()["n_buckets"]
+    import pyarrow.parquet as pq
+
+    for f in sorted(
+        f for f in os.listdir(meta_path) if f.endswith(".parquet")
+    ):
+        t = pq.read_table(
+            os.path.join(meta_path, f), columns=["n_buckets"]
+        )
+        if t.num_rows:  # Spark may emit empty leading part files
+            return t["n_buckets"][0].as_py()
+    return None
 
 
 def bm25_load_index(
