@@ -687,3 +687,71 @@ def test_bm25_indexed_probe_prunes_term_buckets(spark, tmp_path):
         for r in df.collect()
     }
     assert plain == bucketed
+
+
+def test_bm25_bucketed_append_preserves_layout_and_pruning(spark, tmp_path):
+    """Append contract for the bucketed text layout (disk-authoritative
+    params, r9 convention): an append into a bucketed index lands its
+    postings INSIDE the bucket directories (no stray unpartitioned
+    files), the search stays statically pruned afterwards, and scores
+    match a from-scratch bucketed rebuild of the full corpus."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_append_persisted,
+        bm25_save_index,
+        bm25_search_indexed,
+    )
+    from vectorsearch_applications_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    root = str(tmp_path)
+    bm25_save_index(docs.filter(F.col("doc_id") % 2 != 0), root, "a", n_buckets=8)
+    n = bm25_index_append_persisted(
+        spark, root, "a", docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    assert n > 0
+    pdir = os.path.join(root, "a__bm25", "postings")
+    stray = [
+        f for f in os.listdir(pdir)
+        if f.endswith(".parquet")  # data files outside bucket=* dirs
+    ]
+    assert not stray, f"append wrote unpartitioned postings: {stray}"
+
+    q = spark.createDataFrame(
+        [(0, "spark join order"), (1, "window agg stream")],
+        "query_id long, query string",
+    )
+    appended = bm25_search_indexed(spark, root, "a", q, limit=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        appended.explain("formatted")
+    pf = [
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and any("bucket" in ln and " IN " in ln for ln in pf)
+
+    bm25_save_index(docs, root, "full", n_buckets=8)
+    want = {
+        (r["query_id"], r["doc_id"]): (r["rank"], round(r["score"], 6))
+        for r in bm25_search_indexed(spark, root, "full", q, limit=10).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], round(r["score"], 6))
+        for r in appended.collect()
+    }
+    # same hits and ranks; scores to rounding (append merges corpus
+    # stats as the weighted average of slice averages — a different
+    # float expression than one global mean, by design)
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    assert all(abs(got[k][1] - want[k][1]) < 1e-4 for k in got)
