@@ -1532,10 +1532,23 @@ class SparkSearchClient:
                 seen = seen.unionByName(
                     self.spark.read.parquet(qpath).select(id_col)
                 )
+            # identity screen, corpus-shuffle-free: a direct
+            # batch ⟕̸ seen anti-join would put the CORPUS on the
+            # build side (only the right side of a LeftAnti broadcasts),
+            # shuffling it every micro-batch at scale. Instead the
+            # corpus id column is scanned ONCE per batch with the tiny
+            # batch broadcast as a semi-join probe — the redelivered set
+            # that comes back is bounded by |batch| and broadcasts into
+            # the anti-join.
+            redelivered = seen.join(
+                F.broadcast(batch_df.select(id_col).distinct()),
+                id_col,
+                "semi",
+            )
             # eager pin BEFORE the append: a lazy plan would re-read the
             # directory it just appended to (repo convention)
             fresh = batch_df.join(
-                seen, id_col, "left_anti"
+                F.broadcast(redelivered), id_col, "left_anti"
             ).localCheckpoint(eager=True)
             if fresh.isEmpty():
                 return
