@@ -1170,3 +1170,46 @@ def test_text_index_rebuild_clears_tombstones(spark, tmp_path):
         r["doc_id"]
         for r in c.keyword_search("docs", "spark join order", limit=5).collect()
     }
+
+
+def test_rerank_search_matches_module_composition(spark, tmp_path):
+    """r11: the reference drives its ReRanker over a search response
+    (reranker.py:50 from the app loop) — the facade verb must equal the
+    module composition (keyword first stage → rerank_overlap) exactly."""
+    from vectorsearch_applications_spark.operators.bm25 import bm25_search
+    from vectorsearch_applications_spark.operators.rerank import rerank_overlap
+
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    c.create_collection("docs", docs)
+    q = "spark join order"
+    got = sorted(
+        (r["doc_id"], r["rank"], round(r["cross_score"], 6))
+        for r in c.rerank_search("docs", q, limit=20, top_k=5).collect()
+    )
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query string")
+    hits = bm25_search(docs, qdf, limit=20)
+    want = sorted(
+        (r["doc_id"], r["rank"], round(r["cross_score"], 6))
+        for r in rerank_overlap(hits, qdf, docs, top_k=5).collect()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_rag_answer_rerank_and_token_threshold_stages(spark, tmp_path):
+    """r11: the app loop's middle stages (rag_ui.py:104-147 — rerank to
+    top-k, then validate_token_threshold's keep-prefix-within-budget
+    rule) compose into rag_answer: a tiny budget prunes context but
+    never to zero, and the reranked context is a subset of the
+    retrieved candidates."""
+    c = SparkSearchClient(spark, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    c.create_collection("docs", docs)
+    q = "spark join order"
+    full = c.rag_answer("docs", q, limit=8).collect()[0]
+    staged = c.rag_answer(
+        "docs", q, limit=8, rerank_topk=4, token_threshold=60
+    ).collect()[0]
+    assert full["n_context"] == 8
+    assert 1 <= staged["n_context"] <= 4  # reranked cut + budget prune
+    assert staged["prompt"].startswith("Question: ")

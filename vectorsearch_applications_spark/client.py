@@ -1389,6 +1389,54 @@ class SparkSearchClient:
             query_vecs=qv,
         )
 
+    def rerank_search(
+        self,
+        collection: str,
+        query: str,
+        limit: int = 50,
+        top_k: int = 5,
+        threshold: float | None = None,
+        alpha: float | None = None,
+        query_properties: Sequence[str] = ("text",),
+        return_properties: Sequence[str] | None = None,
+        filters: Column | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        backend: str = "exact",
+    ) -> DataFrame:
+        """Retrieve-then-rerank (the reference's ReRanker over a search
+        response, reranker.py:50 driven from the app loop,
+        rag_ui.py:104-147): first stage retrieves ``limit`` candidates —
+        keyword (``alpha=None``, the _keyword_hits routing incl. the
+        persisted text index) or hybrid (``alpha`` set, the full
+        persisted-artifact hybrid) — and the deterministic cross-scorer
+        re-ranks to ``top_k`` with threshold-with-fallback semantics
+        (operators/rerank.py; swap in model_rerank_factory's
+        CrossEncoder scorer in deployment). Output: (<id_col>, rank,
+        cross_score, *return_properties)."""
+        from .operators.rerank import rerank_overlap
+
+        if alpha is None:
+            hits = self._keyword_hits(
+                collection, query, limit, query_properties, filters, id_col
+            )
+        else:
+            hits = self.hybrid_search(
+                collection, query, alpha=alpha, limit=limit,
+                query_properties=query_properties, filters=filters,
+                id_col=id_col, text_col=text_col, backend=backend,
+            ).withColumn("query_id", F.lit(0).cast("long"))
+        reranked = rerank_overlap(
+            hits.withColumnRenamed(id_col, "doc_id"),
+            self._query_df(query),
+            self._docs(collection, filters),
+            id_col=id_col,
+            text_col=text_col,
+            top_k=top_k,
+            threshold=threshold,
+        ).withColumnRenamed("doc_id", id_col)
+        return self._format(reranked, collection, return_properties, id_col)
+
     def rag_answer(
         self,
         collection: str,
@@ -1400,12 +1448,20 @@ class SparkSearchClient:
         id_col: str = "doc_id",
         text_col: str = "text",
         backend: str = "exact",
+        rerank_topk: int | None = None,
+        token_threshold: int | None = None,
     ) -> DataFrame:
-        """The reference's app loop (retrieve → assemble context prompt →
-        generate, ``src/app.py`` / SURVEY §3.1) as ONE DataFrame plan:
-        hybrid retrieval, rank-ordered context assembly, async-batched
-        completion (deterministic stub unless ``acomplete_fn`` supplies a
-        real egress). Output: (query_id, n_context, prompt, completion).
+        """The reference's app loop (retrieve → rerank → validate token
+        threshold → assemble context prompt → generate, ``src/app.py`` /
+        rag_ui.py:104-147 / SURVEY §3.1) as ONE DataFrame plan: hybrid
+        retrieval, optional cross-scorer rerank to ``rerank_topk``
+        (reranker.py:50), optional token-budget context validation
+        (``token_threshold`` — app_functions.validate_token_threshold's
+        rule: keep the rank-ordered prefix within budget, never return
+        an empty context), rank-ordered assembly, async-batched
+        completion (deterministic stub unless ``acomplete_fn`` supplies
+        a real egress). Output: (query_id, n_context, prompt,
+        completion).
 
         Inherits hybrid_search's index reuse wholesale: the keyword arm
         probes a persisted text index / the session stats cache, and
@@ -1419,9 +1475,34 @@ class SparkSearchClient:
             collection, query, alpha=alpha, limit=limit, id_col=id_col,
             text_col=text_col, backend=backend,
         ).withColumn("query_id", F.lit(0).cast("long"))
+        docs = self._load(collection)
+        if rerank_topk is not None:
+            from .operators.rerank import rerank_overlap
+
+            hits = rerank_overlap(
+                hits.withColumnRenamed(id_col, "doc_id"),
+                self._query_df(query),
+                docs,
+                id_col=id_col,
+                text_col=text_col,
+                top_k=rerank_topk,
+            ).withColumnRenamed("doc_id", id_col)
+        if token_threshold is not None:
+            from .functions.text import tokenize as _tok
+            from .operators.topk import token_budget_truncate
+
+            toks = docs.select(
+                F.col(id_col),
+                F.size(_tok(text_col)).alias("_n_tokens"),
+            )
+            hits = token_budget_truncate(
+                hits.join(toks, id_col),
+                "_n_tokens",
+                token_threshold,
+            ).drop("_n_tokens")
         prompts = assemble_prompts(
             hits,
-            self._load(collection),
+            docs,
             self._query_df(query),
             id_col=id_col,
             text_col=text_col,
