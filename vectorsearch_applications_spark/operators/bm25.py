@@ -529,7 +529,19 @@ def bm25_prf_search(
     )
 
 
-_BM25_N_BUCKETS = 32
+_BM25_N_BUCKETS = 32  # legacy fixed default, kept for explicit callers
+# Adaptive layout target (r11 optimization round): ~8M postings rows per
+# bucket directory ≈ 150-300 MB of parquet — the guide's healthy-file
+# band. Below one bucket's worth of postings, directory-partitioning is
+# pure overhead (measured at sf0.1: 32 directory listings + the
+# bucket-literal collect job made the bucketed probe +35% SLOWER than
+# the plain layout while pruning saved a few KB); above it, pruning is
+# linear in corpus size. The build derives n_buckets from the corpus'
+# measured token mass, so toy scales get 1 bucket (no listing fan-out,
+# no prune job) and a 100 TB corpus gets the full pruned fan-out —
+# scale-adaptive partitioning instead of a constant tuned to either.
+_BM25_TOKENS_PER_BUCKET = 8_000_000
+_BM25_MAX_BUCKETS = 4096
 
 
 def _term_bucket(col: Column, n_buckets: int) -> Column:
@@ -547,7 +559,7 @@ def bm25_save_index(
     name: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = _BM25_N_BUCKETS,
+    n_buckets: int | None = None,
 ) -> str:
     """Persist the BM25 index tables as parquet next to the collection —
     the deployment shape the session cache (`bm25_cached_stats`) stands in
@@ -564,7 +576,16 @@ def bm25_save_index(
     table and is AUTHORITATIVE for every later append (the r9
     build-params convention: layout resolves from disk, never from
     call-site kwargs). Term lookups additionally flow only matching
-    rows through the broadcast term semi-join, exactly as before."""
+    rows through the broadcast term semi-join, exactly as before.
+
+    ``n_buckets=None`` (default) sizes the layout from the corpus:
+    ceil(token mass / _BM25_TOKENS_PER_BUCKET), capped at
+    _BM25_MAX_BUCKETS — one bucket per ~8M postings rows, so small
+    corpora get a single directory (no listing fan-out, no probe-side
+    bucket job: the fixed costs that made a 32-way layout +35% slower
+    at sf0.1) and a 100 TB corpus gets a fully pruned fan-out. Pass an
+    explicit count to override (the plan-pinning tests do)."""
+    import math
     import os
 
     base = os.path.join(root, f"{name}__bm25")
@@ -578,6 +599,12 @@ def bm25_save_index(
 
         shutil.rmtree(base, ignore_errors=True)
     postings, term_stats, corpus_stats = bm25_build_stats(docs, id_col, text_col)
+    if n_buckets is None:
+        head = corpus_stats.head()
+        mass = (head["n_docs"] or 0) * (head["avgdl"] or 0.0) if head else 0
+        n_buckets = max(
+            1, min(_BM25_MAX_BUCKETS, math.ceil(mass / _BM25_TOKENS_PER_BUCKET))
+        )
     postings.withColumn(
         "bucket", _term_bucket(F.col("term"), n_buckets)
     ).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -869,7 +896,11 @@ def bm25_search_indexed(
         F.explode(F.array_distinct(tokenize("query"))).alias("term"),
     )
     n_buckets = bm25_index_n_buckets(spark, root, name)
-    if n_buckets is not None and "bucket" in postings.columns:
+    # n_buckets == 1 (the adaptive layout's small-corpus shape): every
+    # term lives in bucket 0, so the prune is vacuous — skip the
+    # bucket-literal collect job rather than pay a Spark action to
+    # compute the filter `bucket IN (0)`.
+    if n_buckets is not None and n_buckets > 1 and "bucket" in postings.columns:
         q_terms = q_terms.withColumn(
             "bucket", _term_bucket(F.col("term"), n_buckets)
         )

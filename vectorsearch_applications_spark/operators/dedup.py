@@ -131,6 +131,34 @@ def minhash_signatures(
     )
 
 
+def minhash_bands_from_wide(
+    sig: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Band table derived from an ALREADY-BUILT wide signature frame —
+    the projection half of :func:`minhash_bands`, split out so a caller
+    that needs both the signatures and the bands (e.g. the Jaccard
+    accuracy ladder) can build the expensive signature table once and
+    derive the bands from it instead of re-running the shingle→vocab→
+    min-agg pipeline per consumer."""
+    n_bands = num_hashes // band_size
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * band_size + j}").cast("string")
+                    for j in range(band_size)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+    )
+
+
 def minhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -148,24 +176,8 @@ def minhash_bands(
     appended batch mints its own band rows without touching the standing
     corpus (minhash_index_append).
     """
-    n_bands = num_hashes // band_size
     sig = minhash_signatures_wide(docs, id_col, text_col, num_hashes, shingle_n)
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * band_size + j}").cast("string")
-                    for j in range(band_size)
-                ],
-            )
-        )
-        for b in range(n_bands)
-    ]
-    return sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
-    )
+    return minhash_bands_from_wide(sig, num_hashes, band_size)
 
 
 def minhash_bands_projection(
@@ -284,9 +296,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band —
     the full-rebuild shape: band table + bucket self-join
-    (minhash_bands / minhash_pairs_from_bands)."""
+    (minhash_bands / minhash_pairs_from_bands). The band table is
+    checkpointed so the shingle→vocab-hash→min-agg signature pipeline
+    runs once, not once per self-join side (r11 optimization round)."""
     return minhash_pairs_from_bands(
-        minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
+        minhash_bands(
+            docs, id_col, text_col, num_hashes, band_size, shingle_n
+        ).localCheckpoint(eager=False)
     )
 
 
@@ -741,7 +757,13 @@ def simhash_neardup_pairs(
     the exact hamming check only runs on candidates. Exact result, no
     quadratic scan.
     """
+    # the band table feeds both sides of the candidate self-join —
+    # without the checkpoint the tokenize→tf→32-bit-fold fingerprint
+    # pipeline replans (and re-executes) per side (r11 optimization
+    # round; the minhash_pairs_from_bands callers get the same reuse
+    # from their own checkpointed band frames)
     bands = simhash_bands(docs, id_col, text_col, bits, max_hamming)
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -9785,11 +9785,15 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = i.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
     )
+    # the canonical edge set feeds THREE join arms (e1/e2/e3) — without
+    # the checkpoint the co-purchase self-join + distinct replans per arm
+    # (before-plan: 12 parquet scans / 28 exchanges for one 1-row answer)
     e = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -11176,6 +11180,10 @@ def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = li.select("l_orderkey", "l_partkey").distinct()
     a = i.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = i.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # e feeds both halves of the symmetric union and s feeds three arms
+    # (wedge self-join ×2 + the direct-neighbor anti-join) — checkpoint
+    # both so the co-purchase build runs once, not six times
+    # (before-plan: 24 parquet scans / 50 exchanges)
     e = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
@@ -11183,10 +11191,11 @@ def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("pa", "pb").alias("u"), F.greatest("pa", "pb").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     s = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     s1 = s.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
     s2 = s.select(F.col("src").alias("mid"), F.col("dst").alias("nb2"))
     two = (
@@ -12404,7 +12413,8 @@ def q_dedup_minhash_jaccard_estimate(
     from operator import add as _add
 
     from .operators.dedup import (
-        minhash_lsh_pairs,
+        minhash_bands_from_wide,
+        minhash_pairs_from_bands,
         minhash_signatures_wide,
         shingles,
     )
@@ -12412,8 +12422,18 @@ def q_dedup_minhash_jaccard_estimate(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 300
     )
-    cand = minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
-    wide = minhash_signatures_wide(docs, num_hashes=16)
+    # ONE signature build feeds all three consumers (candidate bands +
+    # both sides of the slot-agreement self-join): unchecked, Catalyst
+    # re-plans the shingle→vocab-hash→min-agg pipeline per reference —
+    # the r11-before plan carried 24 parquet scans of the same docs
+    # slice. localCheckpoint pins it (the encode_corpus pattern); all
+    # outputs are integers/md5 so reuse is value-identical.
+    wide = minhash_signatures_wide(docs, num_hashes=16).localCheckpoint(
+        eager=False
+    )
+    cand = minhash_pairs_from_bands(
+        minhash_bands_from_wide(wide, num_hashes=16, band_size=4)
+    )
     am = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(16)],
@@ -12437,9 +12457,12 @@ def q_dedup_minhash_jaccard_estimate(
             ).alias("mh_matches"),
         )
     )
+    # same reuse for the exploded shingle table: three consumers (sizes
+    # + both sides of the exact-intersection self-join) would otherwise
+    # re-tokenize and re-shingle the corpus slice per reference
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh")
     )
