@@ -3,6 +3,8 @@ joins, salted aggregation correctness."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from vectorsearch_applications_spark.operators.skew import (
@@ -92,9 +94,12 @@ def test_salted_aggregate_matches_plain(spark):
 
 def test_bm25_broadcasts_filtered_stats_not_full_vocab(spark):
     """The full-vocabulary term_stats (10^8-10^9 terms at 100 TB) must be
-    semi-joined down to the query vocabulary BEFORE any broadcast: the
-    executed plan must contain the LeftSemi filter, and the broadcast that
-    feeds the scoring join must consume it."""
+    filtered down to the query vocabulary BEFORE any broadcast. r11 shape:
+    the stats side reaches its broadcast only through an inner join whose
+    BUILD side is the broadcast query-term list (the former LeftSemi +
+    separate stats/corpus broadcasts collapsed into one combined frame),
+    so the only broadcast the postings scoring join consumes is
+    |(query, term)|-sized — never the raw vocabulary table."""
     from vectorsearch_applications_spark.operators.bm25 import bm25_search
 
     docs = load_table(spark, SF_SMOKE, "documents")
@@ -102,9 +107,18 @@ def test_bm25_broadcasts_filtered_stats_not_full_vocab(spark):
         F.col("doc_id").alias("query_id"), F.col("text").alias("query")
     )
     plan = _plan(bm25_search(docs, queries, limit=5))
-    assert "LeftSemi" in plan  # term_stats ⋉ query vocab precedes broadcast
-    # both remaining equi-joins (query terms, filtered stats) broadcast
-    assert plan.count("BroadcastHashJoin") >= 3  # incl. the semi itself
+    # The scoring join's build side is the combined stats frame: a
+    # BroadcastExchange directly above the crossJoin that rides the 1-row
+    # corpus stats along with the q_terms-filtered term stats.
+    assert re.search(
+        r"BroadcastExchange [^\n]*\n\s*\+- BroadcastNestedLoopJoin "
+        r"BuildRight, Cross",
+        plan,
+    ), plan
+    # postings ⋈ combined-stats, plus term_stats ⋈ broadcast(q_terms):
+    # the vocabulary table is only ever the STREAM side of a broadcast
+    # join, never the build side.
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_global_topk_uses_take_ordered(spark):

@@ -337,15 +337,25 @@ def bm25_scores_from_terms(
     terms come from feedback documents, not from tokenizing query text."""
     # term_stats spans the FULL corpus vocabulary (10^8-10^9 terms at
     # 100 TB of web text) — broadcasting it whole OOMs at exactly the
-    # target scale. Semi-join it down to the query vocabulary first (the
-    # semi-join broadcasts the tiny query-term list, so term_stats is
-    # filtered executor-side without a shuffle), then broadcast the
-    # filtered stats: at most |distinct query terms| rows.
-    q_vocab = q_terms.select("term").distinct()
-    q_term_stats = term_stats.join(F.broadcast(q_vocab), "term", "semi")
+    # target scale. Join it down to the query's terms first (the tiny
+    # query-term list broadcasts into the join, so term_stats is
+    # filtered executor-side without a shuffle) and ride the 1-row
+    # corpus stats along: ONE broadcast frame of at most
+    # |(query, term)| rows carries everything the scoring expression
+    # needs. r11 optimization round: the previous shape broadcast
+    # q_terms, the semi-joined term_stats, and corpus_stats SEPARATELY
+    # — three broadcast-exchange builds (plus the semi-join's own
+    # q_vocab broadcast) per search, each a scheduled job; for an
+    # interactive search verb those fixed costs dominated at bench
+    # scale. Same joined rows in the same postings-driven order, so
+    # scores are bitwise identical (A/B-asserted).
+    q_with_stats = (
+        term_stats.join(F.broadcast(q_terms), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+    )
 
-    # q_terms and q_term_stats are tiny next to postings: broadcast both so
-    # the postings table is filtered to query terms without shuffling it.
+    # The combined frame is tiny next to postings: broadcast it so the
+    # postings table is filtered to query terms without shuffling it.
     # A bucket-partitioned postings table (bm25_save_index) joins on
     # (bucket, term) when the caller minted buckets on the query side —
     # bucket is a pure function of term, so the extra key changes no
@@ -358,9 +368,7 @@ def bm25_scores_from_terms(
         else ["term"]
     )
     scored_terms = (
-        postings.join(F.broadcast(q_terms), join_keys)
-        .join(F.broadcast(q_term_stats), "term")
-        .crossJoin(F.broadcast(corpus_stats))
+        postings.join(F.broadcast(q_with_stats), join_keys)
         .withColumn(
             "idf",
             F.log(
