@@ -206,3 +206,55 @@ def test_encode_vocab_checkpoint_matches_unchunked(spark):
         encode_vocab(vocab, merges, checkpoint_every=8).collect()
     )
     assert unchunked == chunked
+
+
+def test_learned_vocab_equals_encode_vocab(spark):
+    # the (word, syms) map returned by learn_bpe_merges_with_vocab must
+    # be exactly encode_vocab(distinct corpus words, learned merges):
+    # learning applies merge i to words rewritten under merges 1..i-1,
+    # the same chain encode_vocab replays, and translate(syms, ' ', '')
+    # reconstructs the word key byte-for-byte
+    from vectorsearch_applications_spark.operators.bpe import (
+        learn_bpe_merges_with_vocab,
+    )
+
+    docs = _docs(
+        spark,
+        ["aa ab aa ba", "banana bandana", "cab cabbage abba", "aa aa"],
+    )
+    merges_df, enc_map = learn_bpe_merges_with_vocab(spark, docs, n_merges=4)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    vocab = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\W+"), lambda x: x != ""
+            )
+        ).alias("word")
+    ).distinct()
+    want = sorted(encode_vocab(vocab, merges).collect())
+    got = sorted(enc_map.collect())
+    assert got == want
+
+
+def test_encode_corpus_with_prebuilt_map_identical(spark):
+    # encode_map is a pure reuse: same per-doc output, bitwise
+    from vectorsearch_applications_spark.operators.bpe import (
+        learn_bpe_merges_with_vocab,
+    )
+
+    docs = _docs(
+        spark, ["aa ab aa", "banana band", "cab cabbage", "aa banana"]
+    )
+    merges_df, enc_map = learn_bpe_merges_with_vocab(spark, docs, n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    base = sorted(map(repr, encode_corpus(docs, merges).collect()))
+    reused = sorted(
+        map(repr, encode_corpus(docs, merges, encode_map=enc_map).collect())
+    )
+    assert base == reused

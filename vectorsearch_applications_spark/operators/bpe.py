@@ -171,6 +171,7 @@ def encode_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_map: bool | None = None,
+    encode_map: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-scale BPE ENCODE — apply a learned merge list to every
     document and emit per-doc token counts, the ordered token-stream
@@ -206,12 +207,21 @@ def encode_corpus(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
     )
-    # the encode map feeds two consumers (symbol-id table, per-word
-    # stats); localCheckpoint pins the vocabulary-sized fold output so
-    # the corpus-distinct + merge-fold chain runs once, not per branch
-    enc = encode_vocab(
-        words.select("word").distinct(), merges
-    ).localCheckpoint(eager=False)
+    # ``encode_map``: a prebuilt (word, syms) map — callers that just
+    # LEARNED the merges already hold it (learn_bpe_merges_with_vocab);
+    # rebuilding it here would re-tokenize the corpus, re-distinct the
+    # vocabulary and re-run every merge fold for a bitwise-identical
+    # table. Without one, the map feeds two consumers (symbol-id table,
+    # per-word stats); localCheckpoint pins the vocabulary-sized fold
+    # output so the corpus-distinct + merge-fold chain runs once, not
+    # per branch (a supplied map is already checkpoint-backed upstream).
+    enc = (
+        encode_map
+        if encode_map is not None
+        else encode_vocab(
+            words.select("word").distinct(), merges
+        ).localCheckpoint(eager=False)
+    )
     sym_ids = (
         enc.select(F.explode(F.split("syms", " ")).alias("sym"))
         .distinct()
@@ -258,6 +268,31 @@ def learn_bpe_merges(
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns (merge_rank,
     left, right, pair_count) — the merge table a tokenizer ships."""
+    return learn_bpe_merges_with_vocab(spark, docs, n_merges, text_col)[0]
+
+
+def learn_bpe_merges_with_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """learn_bpe_merges, also returning the (word, syms) encode map.
+
+    Training already holds the answer an encoder needs: after the final
+    iteration the word-frequency table's symbol strings ARE
+    ``encode_vocab(distinct corpus words, learned merges)`` — learning
+    applies merge i to words rewritten under merges 1..i-1, the exact
+    chain encode_vocab replays. The word key is recoverable because
+    symbols are \\W-free (tokenize()'s guarantee): stripping the symbol
+    separator, ``translate(syms, ' ', '')``, reconstructs the word
+    byte-for-byte. r11 optimization round: the encode-after-learn
+    queries (bpe_encode_corpus, tokenizer_fertility_by_source)
+    previously re-tokenized the corpus, re-distincted the vocabulary and
+    re-ran every merge fold to rebuild this exact table — one corpus
+    pass and n_merges vocabulary-sized fold materializations of pure
+    recomputation (guide §1.2-1). Bitwise identical by construction;
+    asserted in test_bpe.py::test_learned_vocab_equals_encode_vocab."""
     words = word_frequency_table(docs, text_col).select(
         F.concat_ws(" ", F.split("word", "")).alias("syms"), "cnt"
     )
@@ -275,7 +310,11 @@ def learn_bpe_merges(
         l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merges.append((i + 1, l, r, c))
         words = apply_merge(words, l, r).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )
+    encode_map = words.select(
+        F.translate("syms", " ", "").alias("word"), "syms"
+    )
+    return merges_df, encode_map

@@ -7119,16 +7119,21 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched once (operators/bpe.py:encode_corpus). Per-doc output pins
     the whole artifact: token counts, the id-assignment sum, and the md5
     of the exact ordered symbol stream."""
-    from .operators.bpe import encode_corpus, learn_bpe_merges
+    from .operators.bpe import encode_corpus, learn_bpe_merges_with_vocab
 
     d = load_table(spark, sf_dir, "documents")
-    learned = learn_bpe_merges(spark, d, n_merges=5).orderBy("merge_rank")
-    merges = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
+    learned, enc_map = learn_bpe_merges_with_vocab(spark, d, n_merges=5)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learned.orderBy("merge_rank").collect()
+    ]
     # broadcast_map=True is a per-call choice: the sf-scale vocabulary is
     # known benchmark-sized; a 100 TB caller passes False (shuffle-hash
     # co-partitioned on word) or None (size-estimated) — both plan shapes
-    # are pinned in test_scale_plans.py.
-    return encode_corpus(d, merges, broadcast_map=True)
+    # are pinned in test_scale_plans.py. encode_map: learning already
+    # rewrote the vocabulary under the merges — reuse it instead of
+    # re-deriving it from the corpus (bitwise-identical by construction).
+    return encode_corpus(d, merges, broadcast_map=True, encode_map=enc_map)
 
 
 @register(
@@ -7168,13 +7173,17 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     one plain doc-stats scan — integer sums are associative, so skipping
     the per-doc intermediate is value-identical (the oracle keeps the
     per-doc restatement as independent evidence of exactly that)."""
-    from .operators.bpe import encode_vocab, join_encode_map, learn_bpe_merges
+    from .operators.bpe import join_encode_map, learn_bpe_merges_with_vocab
 
     d = load_table(spark, sf_dir, "documents")
-    learned = learn_bpe_merges(spark, d, n_merges=5).orderBy("merge_rank")
-    merges = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
+    # learning already rewrote the vocabulary under the merges — its
+    # (word, syms) map IS encode_vocab(distinct corpus words, merges),
+    # so reuse it instead of re-tokenizing the corpus and re-running
+    # every merge fold (bitwise-identical by construction; the merge
+    # list itself is not needed here, only the per-word token counts).
+    _, enc_map = learn_bpe_merges_with_vocab(spark, d, n_merges=5)
     words = d.select("source", F.explode(tokenize("text")).alias("word"))
-    word_toks = encode_vocab(words.select("word").distinct(), merges).select(
+    word_toks = enc_map.select(
         "word", F.size(F.split("syms", " ")).alias("n_toks")
     )
     # broadcast_map=True: sf-scale vocab is benchmark-sized; the 100 TB
