@@ -51,6 +51,16 @@ def rerank_overlap(
 
     hits: (query_id, doc_id, ...) candidate lists (e.g. hybrid output).
     Output: (query_id, doc_id, rank, cross_score).
+
+    Plan shape (r11 optimization round): the doc tokenize runs ABOVE the
+    doc join, so only the |hits| joined rows pay it — the previous shape
+    projected tokenize under the join, which tokenized EVERY corpus row
+    per rerank call (a projection is never pushed through a join, so it
+    ran on each streamed probe row before the match check — guide §4.1
+    "pass only the columns the function needs" / §2.3 compute less).
+    The join tree itself is unchanged (a first cut that also forced the
+    candidate subtree into a broadcast build taxed rag_pipeline_eval
+    +17% — the barrier cost more than the tokenize it saved locally).
     """
     pairs = (
         hits.select("query_id", "doc_id")
@@ -64,11 +74,10 @@ def rerank_overlap(
             "query_id",
         )
         .join(
-            docs.select(
-                F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_dt")
-            ),
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
             "doc_id",
         )
+        .withColumn("_dt", tokenize(F.col(text_col)))
         .withColumn("cross_score", _jaccard(F.col("_qt"), F.col("_dt")))
         .select("query_id", "doc_id", "cross_score")
     )

@@ -922,9 +922,14 @@ FROM wt WHERE cum <= 150 OR rnk = 1
 def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qdf = _search_queries_df(spark)
-    hits = bm25_search(docs, qdf, limit=10, cache_key=_docs_cache_key(sf_dir)).join(
-        docs.select(F.col("doc_id"), F.size(tokenize("text")).alias("n_tokens")),
-        "doc_id",
+    # size(tokenize) ABOVE the join: only the |Q|·10 joined rows pay the
+    # tokenize, not every corpus row (r11 — the rerank_overlap reorder;
+    # same join tree as before, only the expensive projection moved up)
+    hits = (
+        bm25_search(docs, qdf, limit=10, cache_key=_docs_cache_key(sf_dir))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("n_tokens", F.size(tokenize("text")))
+        .drop("text")
     )
     pruned = token_budget_truncate(hits, "n_tokens", budget=150)
     return pruned.select(
