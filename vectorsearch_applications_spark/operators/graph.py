@@ -153,9 +153,14 @@ def pagerank_int(
 
     Plan per iteration: ranks ⋈ edges on src (the edge relation is the big
     side — shuffle keyed src), re-aggregate on dst (second keyed shuffle),
-    left-join onto the node set. At 100 TB pre-partition edges by src once
-    and the per-iteration src join becomes Exchange-free; lineage is cut
-    per round with localCheckpoint like connected_components.
+    left-join onto the node set. At 100 TB — where |V| exceeds the
+    broadcast threshold — pre-partition edges by src once by compiling
+    the invariant checkpoints with AQE off so LogicalRDD advertises the
+    hash partitioning and the per-iteration src join becomes
+    Exchange-free; under AQE the checkpoint captures UnknownPartitioning
+    and the same repartition is pure extra shuffle, measured +28% at
+    bench scale (OPTIMIZATION_r11.md §5). Lineage is cut per round with
+    localCheckpoint like connected_components.
     """
     # materialize the loop-invariant relations once: without the
     # checkpoint, every iteration's plan re-derives edges (the upstream
@@ -166,22 +171,24 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # the loop invariants are checkpointed PRE-PARTITIONED on their
-    # per-iteration join keys (r11: the docstring's "pre-partition edges
-    # by src once" promise, paid): LogicalRDD preserves the physical
-    # partitioning through localCheckpoint, so EnsureRequirements drops
-    # the big-side exchange from every iteration's contribution join
-    # (only the rank frame shuffles) and the nodes-side exchange from
-    # every dangling left join. Same-JVM interleaved A/B at sf0.1
-    # (10 sweeps/side, identical results asserted): 3.165 → 2.997 s
-    # median (−5%) — within this box's noise band, recorded honestly;
-    # the removed work is |E| + |V| shuffled rows PER ITERATION, which
-    # is the scaling term on a 100 TB link graph.
+    # the loop invariants are NOT pre-partitioned on the join keys
+    # (r11 probe): under AQE, Dataset.localCheckpoint captures
+    # UnknownPartitioning(0) — AdaptiveSparkPlanExec cannot promise an
+    # output partitioning at checkpoint-capture time — so a repartition
+    # before the checkpoint never removes a downstream exchange; it only
+    # adds one to the invariant build (the r11-build session's −5% A/B
+    # "win" for it was noise). The AQE-off compile that DOES advertise
+    # hashpartitioning measured +28% and was rejected: with no exchange
+    # above the big side, AQE loses its stage boundary and cannot
+    # runtime-convert the per-iteration SMJ to broadcast, which at
+    # bench scale (|V| broadcastable) dominates. The static
+    # co-partitioned shape only wins when |V| exceeds the broadcast
+    # threshold — at that scale flip it via an AQE-off plan compile of
+    # the invariants (OPTIMIZATION_r11.md §5).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition("node")
         .localCheckpoint(eager=False)
     )
     # out-degree is loop-invariant — attach it to the edge relation ONCE
@@ -192,7 +199,7 @@ def pagerank_int(
     # edges would all land in one window task, the exact skew shape this
     # module bans elsewhere.
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    e_deg = e.join(outd, "src").repartition("src").localCheckpoint(eager=False)
+    e_deg = e.join(outd, "src").localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (
