@@ -78,10 +78,16 @@ for name in NAMES:
         qs = load_queries(root)
         rows[tag] = sorted(map(repr, qs[name](spark, SF).collect()))
     if not SKIP_EQ and rows["old"] != rows["new"]:
-        diff = [
-            (a, b) for a, b in zip(rows["old"], rows["new"]) if a != b
-        ][:3]
-        sys.exit(f"RESULTS DIFFER for {name}: {diff}")
+        # symmetric difference, not positional zip: a dropped/duplicated
+        # row shifts every later position (and zip truncates), which
+        # printed an empty/near-useless diff for count mismatches
+        only_old = sorted(set(rows["old"]) - set(rows["new"]))[:3]
+        only_new = sorted(set(rows["new"]) - set(rows["old"]))[:3]
+        sys.exit(
+            f"RESULTS DIFFER for {name}: "
+            f"{len(rows['old'])} vs {len(rows['new'])} rows; "
+            f"only-old={only_old} only-new={only_new}"
+        )
     print(f"{name}: results identical ({len(rows['new'])} rows)"
           if not SKIP_EQ else f"{name}: eq-check skipped")
 

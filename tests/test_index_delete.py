@@ -271,3 +271,37 @@ def test_path_not_found_detection_uses_error_condition(spark, tmp_path):
             return "DIVIDE_BY_ZERO"
 
     assert not is_path_not_found(FakeEx("mentions PATH_NOT_FOUND"))
+
+
+def test_bm25_save_index_empty_corpus_completes(spark, tmp_path):
+    """A zero-postings build (empty slice, or every text token-less)
+    must complete and leave a coherent layout — not die with
+    UNABLE_TO_INFER_SCHEMA after the postings write (r11 review: the
+    term_stats read-back needs the writer's schema, because a
+    partitionBy write of zero rows emits no schema-bearing part file)."""
+    import os
+
+    from vectorsearch_applications_spark.operators.bm25 import (
+        bm25_index_n_buckets,
+    )
+
+    root = str(tmp_path)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    base = bm25_save_index(empty, root, "edge")
+    assert os.path.isdir(os.path.join(base, "postings"))
+    assert spark.read.parquet(os.path.join(base, "term_stats")).count() == 0
+    cs = spark.read.parquet(os.path.join(base, "corpus_stats")).collect()
+    assert len(cs) == 1 and cs[0]["n_docs"] == 0
+    assert bm25_index_n_buckets(spark, root, "edge") == 1
+
+    # the same name REBUILDS cleanly over real docs and is searchable
+    docs = spark.createDataFrame(
+        [(0, "spark join shuffle"), (1, "window agg state")],
+        "doc_id long, text string",
+    )
+    bm25_save_index(docs, root, "edge")
+    queries = spark.createDataFrame(
+        [(0, "shuffle join")], "query_id long, query string"
+    )
+    rows = bm25_search_indexed(spark, root, "edge", queries, limit=5).collect()
+    assert [r["doc_id"] for r in rows] == [0]

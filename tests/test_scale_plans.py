@@ -119,6 +119,44 @@ def test_bm25_broadcasts_filtered_stats_not_full_vocab(spark):
     # the vocabulary table is only ever the STREAM side of a broadcast
     # join, never the build side.
     assert plan.count("BroadcastHashJoin") >= 2
+    # Pin the stream-side property itself (r11 review: the two checks
+    # above still pass if a future edit flips the inner join to
+    # broadcast(term_stats) — exactly the 10^8-term driver-OOM shape
+    # this test exists to catch). Subtree invariant: every
+    # BroadcastExchange whose subtree contains the per-term df
+    # aggregate must ALSO contain the query-vocabulary explode
+    # (array_distinct — only the q_terms arm uses it), i.e. the stats
+    # table reaches a broadcast only AFTER the q_terms inner join has
+    # bounded it to the query vocabulary. A raw-vocabulary broadcast
+    # (either join order) is an exchange holding the df aggregate with
+    # no array_distinct beneath it.
+    term_df_agg = re.compile(
+        r"HashAggregate\(keys=\[term#\d+\], functions=\[count\(1\)\]"
+    )
+    subtrees = _broadcast_exchange_subtrees(plan)
+    stats_carrying = [s for s in subtrees if term_df_agg.search(s)]
+    assert stats_carrying, plan  # the combined frame IS broadcast
+    for sub in stats_carrying:
+        assert "array_distinct" in sub, sub
+
+
+def _broadcast_exchange_subtrees(plan: str) -> list[str]:
+    """The operator lines under each BroadcastExchange node, by the
+    tree-printer's marker depth (children indent strictly deeper)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = max(ln.find("+-"), ln.find(":-"))
+        sub = []
+        for nxt in lines[i + 1:]:
+            nd = max(nxt.find("+-"), nxt.find(":-"))
+            if nd <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
 
 
 def test_global_topk_uses_take_ordered(spark):

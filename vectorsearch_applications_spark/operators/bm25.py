@@ -545,7 +545,6 @@ def bm25_prf_search(
     )
 
 
-_BM25_N_BUCKETS = 32  # legacy fixed default, kept for explicit callers
 # Adaptive layout target (r11 optimization round): ~8M postings rows per
 # bucket directory ≈ 150-300 MB of parquet — the guide's healthy-file
 # band. Below one bucket's worth of postings, directory-partitioning is
@@ -629,13 +628,21 @@ def bm25_save_index(
         n_buckets = max(
             1, min(_BM25_MAX_BUCKETS, math.ceil(mass / _BM25_TOKENS_PER_BUCKET))
         )
-    postings.withColumn(
+    bucketed = postings.withColumn(
         "bucket", _term_bucket(F.col("term"), n_buckets)
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(base, "postings")
     )
+    # read back with the writer's schema: a zero-postings corpus (empty
+    # slice, all token-less texts) leaves the partitionBy directory with
+    # no schema-bearing part files, and schema INFERENCE over it throws
+    # UNABLE_TO_INFER_SCHEMA mid-build (r11 review finding) — the
+    # explicit schema keeps the empty build completing like the
+    # pre-read-back shape did
     term_stats = (
-        spark.read.parquet(os.path.join(base, "postings"))
+        spark.read.schema(bucketed.schema)
+        .parquet(os.path.join(base, "postings"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )

@@ -198,6 +198,16 @@ def encode_corpus(
     after merges), token_id_sum (pins the id assignment), token_fp (md5
     of the space-joined symbol stream in document order — pins the exact
     encoded sequence). Docs with zero tokens have no stream and drop.
+
+    ``encode_map`` contract: an optional precomputed (word, syms) map —
+    pass the one :func:`learn_bpe_merges_with_vocab` returned for THIS
+    corpus slice and ``text_col`` (its symbol table is bitwise-identical
+    to rebuilding encode_vocab from ``merges``, which is what the
+    default path does). The map joins INNER against the doc word
+    stream, so a map learned on a different slice silently drops every
+    uncovered word from n_words/n_bpe_tokens/token_fp instead of
+    raising — supplying a foreign map is caller error, not a supported
+    re-tokenization mode.
     """
     from pyspark.sql import Window
 
