@@ -74,6 +74,72 @@ def test_hash_embed_deterministic_unit_norm(spark):
     assert abs(sum(x * x for x in e[1]) - 1.0) < 1e-9
 
 
+def test_hash_embed_col_name_path_bitwise_equal(spark):
+    """The named-column fast construction path (one JVM-parsed SQL
+    expression, functions/embed.py:_HASH_EMBED_SQL) must produce
+    bitwise-identical vectors to the Column-input DataFrame-API path —
+    same Catalyst tree, different assembly route."""
+    df = spark.createDataFrame(
+        [
+            (1, "What is vector search and how does BM25 differ?"),
+            (2, ""),
+            (3, "   "),
+            (4, "a"),
+            (5, "The quick brown fox; jumps OVER 13 lazy dogs!!"),
+            (6, "unicode λ test ümlaut ß"),
+            (7, None),
+        ],
+        "id long, text string",
+    )
+    for dim in (8, 16):
+        a = df.select(
+            "id", hash_embed_col(F.col("text"), dim).alias("e")
+        ).collect()
+        b = df.select("id", hash_embed_col("text", dim).alias("e")).collect()
+        assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_hash_embed_ids_sql_construction_bitwise_equal(spark):
+    """hash_embed_ids' SQL-string construction must match the
+    DataFrame-API form it replaced bitwise (same tree: per-dim md5-byte
+    contributions, groupBy sums, left-fold norm seeded 0.0D)."""
+    from vectorsearch_applications_spark.functions.embed import (
+        _dim_contrib,
+        hash_embed_ids,
+    )
+    from vectorsearch_applications_spark.functions.text import tokenize
+
+    df = load_table(spark, SF_SMOKE, "documents").limit(60)
+    dim = 16
+    toks = df.select(
+        F.col("doc_id").alias("_eid"), F.explode(tokenize("text")).alias("_t")
+    )
+    per_tok = toks.select(
+        "_eid",
+        *[_dim_contrib(F.col("_t"), d).alias(f"_v{d}") for d in range(dim)],
+    )
+    sums = per_tok.groupBy("_eid").agg(
+        *[F.sum(f"_v{d}").alias(f"_s{d}") for d in range(dim)]
+    )
+    raw = F.array(*[F.col(f"_s{d}") for d in range(dim)])
+    norm = F.sqrt(
+        sum(
+            (F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim)),
+            F.lit(0.0),
+        )
+    )
+    legacy = sums.select(
+        F.col("_eid").alias("doc_id"),
+        F.when(norm == 0, raw)
+        .otherwise(F.transform(raw, lambda x: x / norm))
+        .alias("embedding"),
+    )
+    new = hash_embed_ids(df, "doc_id", "text", dim)
+    assert sorted(map(repr, legacy.collect())) == sorted(
+        map(repr, new.collect())
+    )
+
+
 def test_model_embed_plumbing_with_fake_encoder(spark):
     """The mapInPandas embedding path with an injected deterministic encoder
     (the model lib is absent in this container — the plumbing is the test)."""

@@ -74,9 +74,7 @@ class SparkSearchClient:
     ) -> None:
         self.spark = spark
         self.root = root
-        self._embed_query = embed_query_fn or (
-            lambda c: hash_embed_col(c, embed_dim)
-        )
+        self._embed_query_fn = embed_query_fn
         self._embed_dim = embed_dim
         # (collection, vector_col) -> embedding dim. Array columns don't
         # carry their length in the schema, so the first ANN search per
@@ -90,6 +88,18 @@ class SparkSearchClient:
         # hot-path recompute). Mutating verbs drop entries via
         # _invalidate_search_caches, same as the stats cache.
         self._embed_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+    def _embed_query(self, col_name: str) -> Column:
+        """Query-text embedding column for the named input column.
+
+        A custom ``embed_query_fn`` keeps its documented Column→Column
+        contract; the default takes ``hash_embed_col``'s named-column
+        fast construction path (one JVM-parsed expression instead of
+        ~10 py4j-assembled lambdas — bitwise-identical tree, see
+        functions/embed.py:_HASH_EMBED_SQL)."""
+        if self._embed_query_fn is not None:
+            return self._embed_query_fn(F.col(col_name))
+        return hash_embed_col(col_name, self._embed_dim)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -544,7 +554,7 @@ class SparkSearchClient:
             )
             dim = self._embed_dim
         q = self._query_df(query).select(
-            "query_id", self._embed_query(F.col("query")).alias("query_vec")
+            "query_id", self._embed_query("query").alias("query_vec")
         )
         if backend != "exact":
             hits = self._ann_search(
@@ -1142,7 +1152,7 @@ class SparkSearchClient:
             )
             dim = self._embed_dim
         q = self._query_df(query).select(
-            "query_id", self._embed_query(F.col("query")).alias("query_vec")
+            "query_id", self._embed_query("query").alias("query_vec")
         )
         if backend == "exact":
             vec = knn_search(corpus, q, k=limit)
@@ -1355,7 +1365,7 @@ class SparkSearchClient:
             # kNN matmul rejects it loudly.
             qv = queries.select(
                 "query_id",
-                self._embed_query(F.col("query")).alias("query_vec"),
+                self._embed_query("query").alias("query_vec"),
             )
         elif query_vectors == "embeddings":
             qv = None

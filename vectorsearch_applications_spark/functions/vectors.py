@@ -27,6 +27,27 @@ def dot(a: Column, b: Column) -> Column:
     return dot_double(_as_double(a), _as_double(b))
 
 
+def dot_double_sql(a: str, b: str) -> str:
+    """SQL-fragment twin of :func:`dot_double` for hot construction
+    paths: callers embed it in ONE ``F.expr``/``selectExpr`` string so
+    the whole scoring expression parses JVM-side in a single py4j round
+    trip instead of assembling ~25 tree nodes at one round trip each
+    (r11 optimization: ~2 ms per round trip on the bench host — builder
+    chatter dominated several interactive-search walls; guide §7.3
+    driver-side planning cost). The parsed tree is the same zip_with +
+    left-fold aggregate seeded 0.0D, so results are bitwise identical
+    (pinned by the ANN/PQ oracle rows and test_operators.py)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cast_double_sql(arr: str) -> str:
+    """SQL-fragment twin of :func:`_as_double`."""
+    return f"transform({arr}, x -> cast(x as double))"
+
+
 def dot_double(a: Column, b: Column) -> Column:
     """``dot`` for arrays ALREADY cast to double — skips the per-
     evaluation element casts. In a pair join the cast otherwise re-runs

