@@ -240,6 +240,23 @@ N_RUNS = 3  # interleaved timed sweeps per query; medians reported
 # discarded, so a reader can re-derive the call.
 CANARY_THRESHOLD = 1.5
 
+# The CPU canary's blind spot (r11 verdict "what's wrong" #1): the host
+# has a SECOND noise mode — fleet-wide scheduling latency that inflates
+# every small sequential-stage query 1.4-2.2x while one 32-task CPU
+# burst still runs at floor (r11's driver run: untouched rows +49-214%
+# with identical plans; the r11 continuation takes showed the same).
+# The scheduler canary below times what that mode actually taxes — many
+# tiny sequential 1-task jobs, i.e. pure driver/scheduler round trips —
+# and brackets each sweep exactly like the CPU canary. A sweep whose
+# enclosing SCHEDULER canaries blow past the session's scheduler floor
+# is discarded on the same rule. Interpretation rule for readers: CPU
+# canary high = the box is compute-contended (old mode); scheduler
+# canary high with CPU canary at floor = the scheduling-latency mode —
+# small-query rows in that sweep are inflated and the sweep's numbers
+# are low-signal even if totals look plausible.
+SCHED_CANARY_THRESHOLD = 1.5
+SCHED_CANARY_JOBS = 20
+
 
 def _canary(spark) -> float:
     """Seconds for a fixed CPU-bound job — pure compute, no I/O, no
@@ -249,6 +266,18 @@ def _canary(spark) -> float:
     spark.range(30_000_000).selectExpr(
         "sum(id * 2654435761 % 1000003)"
     ).collect()
+    return time.perf_counter() - start
+
+
+def _sched_canary(spark) -> float:
+    """Seconds for SCHED_CANARY_JOBS sequential 1-task jobs with
+    near-zero compute each — a clean proxy for per-job scheduler +
+    driver round-trip latency, the component the CPU canary provably
+    misses (r11: fleet-wide 1.4-2.2x inflation of small sequential-
+    stage queries while the 32-task CPU canary stayed at floor)."""
+    start = time.perf_counter()
+    for _ in range(SCHED_CANARY_JOBS):
+        spark.range(0, 1000, 1, 1).selectExpr("sum(id)").collect()
     return time.perf_counter() - start
 
 
@@ -298,7 +327,9 @@ def main() -> None:
     # canaries blow past the session floor are discarded from the medians
     # (self-qualifying snapshot — see CANARY_THRESHOLD above).
     _canary(spark)  # untimed JIT warmup for the canary job itself
+    _sched_canary(spark)  # same for the scheduler canary
     canaries = [_canary(spark)]
+    sched_canaries = [_sched_canary(spark)]
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_RUNS):
         for name in HEADLINE:
@@ -307,6 +338,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - start)
         canaries.append(_canary(spark))
+        sched_canaries.append(_sched_canary(spark))
 
     # the floor comes from the SWEEP-regime canaries (canaries[1:]):
     # the pristine post-warmup reading runs in a quieter JVM (no GC debt
@@ -316,10 +348,17 @@ def main() -> None:
     # 0.38-0.43 during sweeps whose totals agreed within 5%). It stays
     # in the record as the pristine reference point.
     floor = min(canaries[1:])
+    sched_floor = min(sched_canaries[1:])
+    # a sweep is noisy if EITHER canary mode flags it: the CPU canary
+    # catches compute contention, the scheduler canary catches the
+    # fleet-wide scheduling-latency mode (r12; both series + floors are
+    # recorded below so the call stays re-derivable)
     noisy = [
         i
         for i in range(N_RUNS)
         if max(canaries[i], canaries[i + 1]) > floor * CANARY_THRESHOLD
+        or max(sched_canaries[i], sched_canaries[i + 1])
+        > sched_floor * SCHED_CANARY_THRESHOLD
     ]
     kept = [i for i in range(N_RUNS) if i not in noisy] or list(range(N_RUNS))
     all_noisy = not [i for i in range(N_RUNS) if i not in noisy]
@@ -357,6 +396,14 @@ def main() -> None:
         "canary_sec": [round(c, 3) for c in canaries],
         "canary_floor": round(floor, 3),
         "canary_threshold": CANARY_THRESHOLD,
+        # r12: the scheduler-latency canary series (SCHED_CANARY_JOBS
+        # sequential 1-task jobs per reading) — catches the noise mode
+        # the CPU canary provably misses; see the comment at
+        # SCHED_CANARY_THRESHOLD for the interpretation rule.
+        "sched_canary_sec": [round(c, 3) for c in sched_canaries],
+        "sched_canary_floor": round(sched_floor, 3),
+        "sched_canary_threshold": SCHED_CANARY_THRESHOLD,
+        "sched_canary_jobs": SCHED_CANARY_JOBS,
         "discarded_sweeps": noisy if not all_noisy else [],
         "all_sweeps_noisy": all_noisy,
     }
