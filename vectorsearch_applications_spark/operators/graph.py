@@ -165,12 +165,17 @@ def pagerank_int(
     # materialize the loop-invariant relations once: without the
     # checkpoint, every iteration's plan re-derives edges (the upstream
     # join + distinct) and out-degrees from scratch — 3 iterations cost
-    # 3× the edge build (measured 10.2 s → ~4 s at sf0.1)
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # 3× the edge build (measured 10.2 s → ~4 s at sf0.1).
+    #
+    # TWO invariant checkpoints, not three (r12): the bare edge relation
+    # is no longer checkpointed — e_deg's plan references it twice (join
+    # probe side + the out-degree aggregate), but both subtrees are
+    # canonically identical up to the distinct, so its exchange is
+    # computed once and reused (ReusedExchange); a third |E|-row cache
+    # write+read on the serialized driver timeline bought nothing.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     # the loop invariants are NOT pre-partitioned on the join keys
     # (r11 probe): under AQE, Dataset.localCheckpoint captures
     # UnknownPartitioning(0) — AdaptiveSparkPlanExec cannot promise an
@@ -185,12 +190,6 @@ def pagerank_int(
     # co-partitioned shape only wins when |V| exceeds the broadcast
     # threshold — at that scale flip it via an AQE-off plan compile of
     # the invariants (OPTIMIZATION_r11.md §5).
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     # out-degree is loop-invariant — attach it to the edge relation ONCE
     # so each iteration is a single join + aggregation instead of
     # rejoining degrees every round (the e⋈outd join repeated per
@@ -200,6 +199,15 @@ def pagerank_int(
     # module bans elsewhere.
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     e_deg = e.join(outd, "src").localCheckpoint(eager=False)
+    # the node set derives from the CHECKPOINTED e_deg (same rows as
+    # deriving from e — the inner degree join keeps every edge), so it
+    # reads the cached invariant instead of re-running the edge build
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (

@@ -8340,14 +8340,19 @@ def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("fluency_micro"), F.lit(0)).alias("fluency_micro"),
             F.coalesce(F.max("novelty_ppm"), F.lit(0)).alias("novelty_ppm"),
         )
-        .cache()
+        # materialize ONCE before fanning out: the three rank orderings
+        # below are separate sort branches, and without a materialized
+        # input each re-executes the full signal pipeline (no
+        # ReusedExchange across differently-ordered sorts) — measured 3×
+        # the pipeline cost. localCheckpoint, not .cache()+count() (r12,
+        # guide §5): the eager checkpoint materializes in its own single
+        # action, and the blocks die with the RDD when this plan is
+        # GC'd — a default-storage cache() with no unpersist() pinned a
+        # corpus-sized aggregate in executor memory for the session
+        # lifetime, which at 100 TB is standing memory pressure on
+        # every executor. Same rows either way (A/B: local wash).
+        .localCheckpoint(eager=True)
     )
-    # populate the cache with ONE pass before fanning out: the three rank
-    # orderings below are separate sort branches, and without a
-    # materialized input each re-executes the full signal pipeline
-    # (no ReusedExchange across differently-ordered sorts) — measured
-    # 3× the pipeline cost. One count() action = one pipeline run.
-    sig.count()
     r_flu = Window.orderBy(F.asc("fluency_micro"), F.asc("doc_id"))
     r_nov = Window.orderBy(F.asc("novelty_ppm"), F.asc("doc_id"))
     r_len = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
