@@ -1137,3 +1137,59 @@ def test_semantic_screen_matches_python_model(spark, vecs, n_cents):
         (r["vec_id"], r["centroid_id"]) for r in asg.collect()
     }
     assert got_asg == {(i, c) for i, _, c in rows}
+
+
+def test_simhash_fingerprints_sql_construction_bitwise_equal(spark):
+    """r12 §12 recipe: simhash_fingerprints' bit-sum aggregates and
+    fingerprint chain now parse JVM-side as SQL; they must match the
+    retired DataFrame-API form (rebuilt inline here) bitwise — same
+    shiftright/&1 bit test, same tf/-tf branches, same left-assoc
+    CAST-to-bigint add chain."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_applications_spark.functions.text import (
+        stable_hash64,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "unicode λ text ümlaut ß and MORE tokens 42"),
+            (4, ""),
+            (5, None),
+            (6, "a b c a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    bits = 32
+    toks = df.select(F.col("doc_id"), tokenize("text").alias("t"))
+    exploded = toks.select("doc_id", F.explode("t").alias("term"))
+    vocab = exploded.select("term").distinct().select(
+        "term", stable_hash64(F.col("term")).alias("h")
+    )
+    tf = (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(vocab, "term")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        bitval = F.when(
+            F.col(f"_s{j}") > 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = bitval if fingerprint is None else fingerprint + bitval
+    old = sums.select("doc_id", fingerprint.alias("simhash")).collect()
+    new = simhash_fingerprints(df).collect()
+    assert sorted(map(repr, new)) == sorted(map(repr, old))

@@ -275,3 +275,45 @@ def test_kgram_spans_detect_shared_span(spark):
     # doc 3 is shorter than... it has 9 tokens < 20 => zero k-grams
     assert out[3]["n_kgrams"] == 0
     assert out[3]["dup_ratio"] == 0.0
+
+
+def test_lsh_bucket_sql_path_bitwise_equal(spark):
+    """The str fast construction path of lsh_bucket (one JVM-parsed SQL
+    expression, r12 §12 recipe) must bucket bitwise-identically to the
+    Column-input DataFrame-API path — same Catalyst tree, different
+    assembly route. Covers negative components, zero vectors, and a
+    vector landing exactly on a hyperplane (proj == 0 → bit set)."""
+    planes = lsh_planes(n_planes=4, dim=4)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.3, 0.7, -0.2, 0.9]),
+            (4, [0.5, -0.5, 0.5, -0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a = df.select(
+        "vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")
+    ).collect()
+    b = df.select("vec_id", lsh_bucket("embedding", planes).alias("b")).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_lsh_bucket_table_sql_construction_bitwise_equal(spark):
+    """lsh_bucket_table's selectExpr construction must match the retired
+    Column-API form bitwise (same id/vector-cast/bucket trees)."""
+    from vectorsearch_applications_spark.operators.lsh import lsh_bucket_table
+
+    planes = lsh_planes(n_planes=4, dim=3)
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.2, 0.3]), (2, [0.0, 0.0, 0.0]), (3, [9.5, -3.25, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    new = lsh_bucket_table(df, planes).collect()
+    old = df.select(
+        F.col("vec_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_v"),
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    ).collect()
+    assert sorted(map(repr, new)) == sorted(map(repr, old))

@@ -47,12 +47,46 @@ def exact_duplicates(
     )
 
 
+# SQL-fragment twins for the §12 construction fast paths (r12): each
+# builder below assembles hundreds-to-thousands of py4j tree nodes at
+# ~2 ms per round trip on the bench host — parsing the SAME tree from one
+# SQL string JVM-side removes that driver latency (paid per query on a
+# real cluster exactly as on the bench). Every fragment mirrors its
+# Column-form twin node for node (same functions, literal types, operand
+# order — including the `i + 0` the Python loop emits), so outputs are
+# bitwise identical; pinned by the *_sql_construction_bitwise_equal tests
+# and the dedup oracle rows.
+_HASH64_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _tokenize_sql(text_sql: str) -> str:
+    """SQL twin of functions.text.tokenize (same escape-free pattern)."""
+    return f"filter(split(lower({text_sql}), '[^a-zA-Z0-9_]+'), x -> x != '')"
+
+
+def shingles_sql(text_sql: str, n: int = 3) -> str:
+    """SQL-fragment twin of :func:`shingles`."""
+    grams = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    return (
+        f"transform(array({_tokenize_sql(text_sql)}), t -> "
+        f"CASE WHEN size(t) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams})) END)[0]"
+    )
+
+
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles as array<string> (positional, space-joined).
 
     Pure Catalyst: sequence + transform + element_at; returns [] for docs
-    shorter than n tokens.
+    shorter than n tokens. A **str** column name takes the one-round-trip
+    SQL construction path (:func:`shingles_sql`, bitwise-identical tree).
     """
+    if isinstance(text_col, str):
+        from ..functions.vectors import sql_ident
+
+        return F.expr(shingles_sql(sql_ident(text_col), n))
+
     # let-bind the token array once (interpreted HOFs have no CSE — a raw
     # tokenize subtree would re-run its regex for every shingle position ×
     # every element_at; see operators/textstats.py:ngrams)
@@ -98,19 +132,19 @@ def minhash_signatures_wide(
     # (doc, shingle) occurrence — same values, ~occurrences/distinct× less
     # md5 work. No broadcast hint: distinct shingles grow with the corpus,
     # so the planner must be free to shuffle-join when the vocab is big.
-    vocab = exploded.select("shingle").distinct().select(
+    # The k hash columns and k min-aggregates parse as SQL (§12 fast
+    # path — bitwise-identical trees; see the header comment).
+    vocab = exploded.select("shingle").distinct().selectExpr(
         "shingle",
         *[
-            stable_hash64(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(
-                f"_h{s}"
-            )
+            _HASH64_SQL.format(x=f"concat(shingle, '#{s}')") + f" AS _h{s}"
             for s in range(num_hashes)
         ],
     )
     return (
         exploded.join(vocab, "shingle")
         .groupBy("doc_id")
-        .agg(*[F.min(f"_h{s}").alias(f"mh{s}") for s in range(num_hashes)])
+        .agg(*[F.expr(f"min(_h{s}) AS mh{s}") for s in range(num_hashes)])
     )
 
 
@@ -141,21 +175,20 @@ def minhash_bands_from_wide(
     derive the bands from it instead of re-running the shingle→vocab→
     min-agg pipeline per consumer."""
     n_bands = num_hashes // band_size
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * band_size + j}").cast("string")
-                    for j in range(band_size)
-                ],
+    # band-key expressions parse as ONE SQL string (§12 fast path —
+    # bitwise-identical trees; see the header comment)
+    band_keys = ", ".join(
+        "md5(concat_ws(',', {}))".format(
+            ", ".join(
+                f"CAST(mh{b * band_size + j} AS STRING)"
+                for j in range(band_size)
             )
         )
         for b in range(n_bands)
-    ]
+    )
     return sig.select(
         "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "band_key"),
     )
 
 
@@ -204,40 +237,13 @@ def minhash_bands_projection(
 
     Shingle and band keys are bit-identical to the batch shape
     (same stable_hash64 seeding, same md5 band key).
+
+    Construction (§12 fast path, r12): the whole nested expression —
+    ~2,900 py4j tree nodes when assembled via the DataFrame API — parses
+    JVM-side from ONE SQL string; same tree, bitwise-identical rows
+    (test_stream_dedup.py's projection==batch pins cover it end to end).
     """
     n_bands = num_hashes // band_size
-
-    def _seed_hash(s):
-        # NOT `lambda x, s=s: ...` — a 2-arg lambda is interpreted by
-        # PySpark as the (element, index) HOF form and the "default"
-        # binds to the index column (silent garbage hashes)
-        return lambda x: stable_hash64(F.concat(x, F.lit(f"#{s}")))
-
-    def _mins(arr):
-        return F.array(
-            *[
-                F.array_min(F.transform(arr, _seed_hash(s)))
-                for s in range(num_hashes)
-            ]
-        )
-
-    def _keys(m):
-        return F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(
-                                m, b * band_size + j + 1
-                            ).cast("string")
-                            for j in range(band_size)
-                        ],
-                    )
-                )
-                for b in range(n_bands)
-            ]
-        )
 
     # let-bind shingles → minhashes → keys (interpreted HOFs have no CSE;
     # a raw subtree would recompute the shingle array per seed). The
@@ -246,23 +252,41 @@ def minhash_bands_projection(
     # the whole tokenize+shingle pipeline a second time per row, doubling
     # the dominant cost on exactly the streaming hot path; posexplode of
     # [] emits zero rows, which is the same drop the batch shape's
-    # pre-explode filter performs.
-    keys = F.transform(
-        F.array(shingles(text_col, shingle_n)),
-        lambda arr: F.when(
-            arr.isNull() | (F.size(arr) == 0),
-            F.array().cast("array<string>"),
-            # NULL text → NULL shingle array → size() is NULL, and a
-            # bare size==0 guard would fall through to otherwise, where
-            # element_at/concat_ws swallow the NULL minhashes and emit
-            # n_bands rows all keyed md5('') — every null-text doc would
-            # falsely collide with every other. The batch shape's
-            # pre-explode filter drops such docs; emit zero rows here.
-        ).otherwise(F.transform(F.array(_mins(arr)), _keys)[0]),
-    )[0]
+    # pre-explode filter performs. The CASE's empty-array WHEN branch
+    # also covers NULL text: NULL text → NULL shingle array → size() is
+    # NULL, and a bare size==0 guard would fall through to the ELSE,
+    # where element_at/concat_ws swallow the NULL minhashes and emit
+    # n_bands rows all keyed md5('') — every null-text doc would falsely
+    # collide with every other.
+    from ..functions.vectors import sql_ident
+
+    seed_hash = _HASH64_SQL.format(x="concat(x, '#{s}')")
+    mins = "array({})".format(
+        ", ".join(
+            f"array_min(transform(arr, x -> {seed_hash.format(s=s)}))"
+            for s in range(num_hashes)
+        )
+    )
+    keys_of_m = "array({})".format(
+        ", ".join(
+            "md5(concat_ws(',', {}))".format(
+                ", ".join(
+                    f"CAST(element_at(m, {b * band_size + j + 1}) AS STRING)"
+                    for j in range(band_size)
+                )
+            )
+            for b in range(n_bands)
+        )
+    )
+    keys = (
+        f"transform(array({shingles_sql(sql_ident(text_col), shingle_n)}), "
+        f"arr -> CASE WHEN (arr IS NULL) OR (size(arr) = 0) "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(array({mins}), m -> {keys_of_m})[0] END)[0]"
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(keys).alias("band", "band_key"),
+        F.posexplode(F.expr(keys)).alias("band", "band_key"),
     )
 
 
@@ -591,23 +615,30 @@ def simhash_fingerprints(
     # session A/B 2.10→1.66 s at sf0.1) and return the SAME values for
     # the 32-bit-range hash, so the arithmetic SQL oracle
     # (floor(h / 2^j) % 2) is unchanged.
+    #
+    # Construction fast path (§12 recipe, r12): the `bits` sum aggregates
+    # and the 32-term fingerprint chain parse JVM-side as SQL (one round
+    # trip per aggregate + one for the chain) instead of assembling ~400
+    # py4j tree nodes at ~2 ms each — the dominant build cost of every
+    # simhash row on the bench host. Same functions, literal types and
+    # left-assoc add order as the retired Column forms, so fingerprints
+    # are bitwise identical — pinned by
+    # test_dedup.py::test_simhash_fingerprints_sql_construction_bitwise_equal
+    # and the dedup_simhash* oracle rows.
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf"))
-        ).alias(f"_s{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+            f" THEN tf ELSE -tf END) AS _s{j}"
+        )
         for j in range(bits)
     ]
     sums = tf.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = None
-    for j in range(bits):
-        bitval = F.when(
-            F.col(f"_s{j}") > 0, F.lit(2**j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fingerprint = bitval if fingerprint is None else fingerprint + bitval
-    return sums.select("doc_id", fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"CASE WHEN _s{j} > 0 THEN CAST({2**j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return sums.selectExpr("doc_id", f"{fingerprint} AS simhash")
 
 
 def simhash_fingerprints_projection(
@@ -635,39 +666,42 @@ def simhash_fingerprints_projection(
     without it each of the ``bits`` aggregates would re-hash every
     token. Docs with NULL/token-less text emit ZERO rows, exactly like
     the batch shape's explode.
+
+    Construction (§12 fast path, r12): the whole expression — ~7,600
+    py4j tree nodes when assembled via the DataFrame API, the single
+    chattiest builder in the engine — parses JVM-side from ONE SQL
+    string; same tree, bitwise-identical rows (projection==batch pins
+    in test_properties.py / test_stream_dedup.py cover it end to end).
     """
+    from ..functions.vectors import sql_ident
 
-    def _bit_acc(j):
-        # closure factory, NOT `lambda acc, h, j=j:` — a 3-arg lambda is
-        # rejected, and default-arg binding inside HOF lambdas is the
-        # r8 (element, index) trap
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1)).cast("bigint")
-
-    def _fp(hs):
-        fingerprint = None
-        for j in range(bits):
-            s = F.aggregate(hs, F.lit(0).cast("bigint"), _bit_acc(j))
-            bitval = F.when(
-                s > 0, F.lit(2**j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            fingerprint = bitval if fingerprint is None else fingerprint + bitval
-        return fingerprint
-
-    hashes = F.transform(
-        F.array(tokenize(text_col)),
-        lambda toks: F.transform(toks, lambda t: stable_hash64(t)),
-    )[0]
-    fp_arr = F.transform(
-        F.array(hashes),
-        lambda hs: F.when(
-            hs.isNull() | (F.size(hs) == 0),
-            F.array().cast("array<bigint>"),
-        ).otherwise(F.array(_fp(hs))),
-    )[0]
+    # per-bit balance: a left fold over the let-bound token hashes; the
+    # CAST binds the whole CASE (same tree as the retired when/otherwise
+    # chain), and the fingerprint is the same left-assoc add chain
+    bit_sums = [
+        f"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        f"CAST(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        f" AS BIGINT))"
+        for j in range(bits)
+    ]
+    fp = " + ".join(
+        f"CASE WHEN {s} > 0 THEN CAST({2**j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for j, s in enumerate(bit_sums)
+    )
+    hashes = (
+        f"transform(array({_tokenize_sql(sql_ident(text_col))}), "
+        f"toks -> transform(toks, t -> {_HASH64_SQL.format(x='t')}))[0]"
+    )
+    fp_arr = (
+        f"transform(array({hashes}), hs -> "
+        f"CASE WHEN (hs IS NULL) OR (size(hs) = 0) "
+        f"THEN CAST(array() AS array<bigint>) "
+        f"ELSE array({fp}) END)[0]"
+    )
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(fp_arr).alias("simhash")
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(fp_arr)).alias("simhash"),
     )
 
 
@@ -680,19 +714,17 @@ def _simhash_band_split(
     contract depends on this being a single definition)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    band_vals = [
-        (
-            F.floor(
-                F.col("simhash") / F.lit(float(2 ** (band_bits * b)))
-            ).cast("bigint")
-            % (2**band_bits)
-        )
+    # band expressions parse as ONE SQL string (§12 fast path — bitwise-
+    # identical trees; see the header comment)
+    band_vals = ", ".join(
+        f"CAST(floor(simhash / {float(2 ** (band_bits * b))!r}D) AS BIGINT)"
+        f" % {2 ** band_bits}"
         for b in range(n_bands)
-    ]
+    )
     return fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
+        F.posexplode(F.expr(f"array({band_vals})")).alias("band", "bval"),
     )
 
 
