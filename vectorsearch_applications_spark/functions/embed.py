@@ -23,6 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .text import tokenize
+from .vectors import sql_ident
 
 
 def _dim_contrib(token: Column, d) -> Column:
@@ -51,7 +52,7 @@ _HASH_EMBED_SQL = r"""element_at(
     array(
       transform(sequence(0, {dm1}), d ->
         aggregate(
-          filter(split(lower({t}), '\\W+'), x -> x != ''),
+          filter(split(lower({t}), '[^a-zA-Z0-9_]+'), x -> x != ''),
           0.0D,
           (acc, tk) -> acc +
             ((cast(conv(substr(md5(tk), d * 2 + 1, 2), 16, 10)
@@ -89,7 +90,7 @@ def hash_embed_col(text: Column | str, dim: int = 16) -> Column:
     """
     assert dim <= 16, "one md5 yields 16 byte-dims"
     if isinstance(text, str):
-        return F.expr(_HASH_EMBED_SQL.format(t=f"`{text}`", dm1=dim - 1))
+        return F.expr(_HASH_EMBED_SQL.format(t=sql_ident(text), dm1=dim - 1))
     toks = tokenize(text)
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -176,9 +177,9 @@ def hash_embed_ids(
         " + ".join(["0.0D"] + [f"_s{d} * _s{d}" for d in range(dim)])
     )
     return sums.selectExpr(
-        f"_eid AS `{id_col}`",
+        f"_eid AS {sql_ident(id_col)}",
         f"CASE WHEN {norm} = 0 THEN {raw} "
-        f"ELSE transform({raw}, x -> x / {norm}) END AS `{out_col}`",
+        f"ELSE transform({raw}, x -> x / {norm}) END AS {sql_ident(out_col)}",
     )
 
 

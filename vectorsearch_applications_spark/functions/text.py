@@ -14,7 +14,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Regexp used on BOTH engines (Spark `split`, DuckDB `regexp_split_to_array`).
-TOKEN_PATTERN = r"\W+"
+# The escape-free spelling of \W+ (Java default flags: \w = [a-zA-Z0-9_]).
+# Spelled as a character class so the SQL-template fast paths can embed it
+# in string literals with NO backslashes — '\\W+' only parses to \W+ while
+# spark.sql.parser.escapedStringLiterals is false (the default); a session
+# flipping that legacy conf would silently tokenize differently (r11
+# advice). Identical match semantics in Java regex (Spark) and RE2
+# (the DuckDB oracle's \W).
+TOKEN_PATTERN = r"[^a-zA-Z0-9_]+"
 
 
 def tokenize(col: Column | str) -> Column:

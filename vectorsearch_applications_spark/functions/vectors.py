@@ -27,6 +27,17 @@ def dot(a: Column, b: Column) -> Column:
     return dot_double(_as_double(a), _as_double(b))
 
 
+def sql_ident(name: str) -> str:
+    """Backtick-quoted TOP-LEVEL column reference for the SQL-fragment
+    construction fast paths (r11 advice: embedded backticks must be
+    doubled or a hostile name breaks the parse). Note the quoted form
+    binds a literal top-level name — a dotted nested-field reference
+    that F.col() would resolve does NOT resolve through it; callers
+    needing nested fields must pass a Column and take the DataFrame-API
+    path."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def dot_double_sql(a: str, b: str) -> str:
     """SQL-fragment twin of :func:`dot_double` for hot construction
     paths: callers embed it in ONE ``F.expr``/``selectExpr`` string so

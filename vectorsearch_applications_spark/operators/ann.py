@@ -99,7 +99,7 @@ def _assign(
     The argmin expression parses from ONE SQL string (r11: the
     DataFrame-API assembly cost ~80 py4j round trips per call on a hot
     interactive path — same tree either way, bitwise-identical)."""
-    from ..functions.vectors import cast_double_sql, dot_double_sql
+    from ..functions.vectors import cast_double_sql, dot_double_sql, sql_ident
 
     picked = F.expr(
         "array_min(transform(_cents, c -> struct("
@@ -110,7 +110,7 @@ def _assign(
     return (
         rows.select(
             F.col(id_col).alias("vec_id"),
-            F.expr(cast_double_sql(f"`{vec_col}`")).alias("_v"),
+            F.expr(cast_double_sql(sql_ident(vec_col))).alias("_v"),
         )
         .crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(*out, picked)

@@ -380,6 +380,13 @@ def bm25_scores_from_terms(
     # search on ~15 graded rows). Literals are embedded pre-folded
     # exactly as the DataFrame-API form computed them Python-side
     # (k1+1, 1-b), so the analyzed trees — and scores — are identical.
+    # repr() of a finite float always parses as a Spark double literal;
+    # inf/nan (reprs 'inf'/'nan' → invalid SQL) are rejected up front
+    # (r11 advice — the old lit() form accepted them silently).
+    import math
+
+    if not (math.isfinite(k1) and math.isfinite(b)):
+        raise ValueError(f"k1/b must be finite floats (got k1={k1}, b={b})")
     scored_terms = (
         postings.join(F.broadcast(q_with_stats), join_keys)
         .withColumn(
