@@ -909,3 +909,175 @@ def test_knn_prf_small_corpus_uses_true_mean(spark):
     # vec 1 (dot 1.533…) then 3 (dot 1.4) then 2 (dot 0.6)
     order = [r["vec_id"] for r in sorted(hits, key=lambda r: r["rank"])]
     assert order == [1, 3, 2]
+
+
+def test_hybrid_fusion_sql_construction_bitwise_equal(spark):
+    """r12 §12: minmax_normalize + hybrid_search's SQL-parsed window /
+    weight / fusion expressions must match the retired Column forms
+    (rebuilt inline) bitwise — including the degenerate constant-score
+    group (norm 0.0) and docs present in only one arm."""
+    from pyspark.sql import Window
+
+    from vectorsearch_applications_spark.operators.hybrid import hybrid_search
+
+    kw = spark.createDataFrame(
+        [(0, 10, 2.5), (0, 11, 1.5), (0, 12, 1.0), (1, 10, 3.0), (1, 13, 3.0)],
+        "query_id long, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [(0, 10, 0.1), (0, 14, 0.4), (1, 13, 0.2), (1, 10, 0.2)],
+        "query_id long, doc_id long, distance double",
+    )
+    alpha = 0.25
+    new = hybrid_search(kw, vec, alpha=alpha, limit=10).collect()
+
+    def old_minmax(df, value_col, group_cols, out_col="norm"):
+        w = Window.partitionBy(*group_cols)
+        rng = F.max(value_col).over(w) - F.min(value_col).over(w)
+        return df.withColumn(
+            out_col,
+            F.when(rng == 0, F.lit(0.0)).otherwise(
+                (F.col(value_col) - F.min(value_col).over(w)) / rng
+            ),
+        )
+
+    kw_n = old_minmax(
+        kw.select("query_id", "doc_id", "score"), "score", ["query_id"]
+    ).select(
+        "query_id", "doc_id", (F.col("norm") * F.lit(1.0 - alpha)).alias("kw_score")
+    )
+    vec_n = old_minmax(
+        vec.select(
+            "query_id", "doc_id", (F.lit(1.0) - F.col("distance")).alias("sim")
+        ),
+        "sim",
+        ["query_id"],
+    ).select(
+        "query_id", "doc_id", (F.col("norm") * F.lit(alpha)).alias("vec_score")
+    )
+    fused = kw_n.join(vec_n, ["query_id", "doc_id"], "full_outer").withColumn(
+        "score",
+        F.coalesce("kw_score", F.lit(0.0)) + F.coalesce("vec_score", F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    old = (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank", "score")
+        .collect()
+    )
+    assert sorted(map(repr, new)) == sorted(map(repr, old))
+
+
+def test_retrieval_metrics_sql_construction_bitwise_equal(spark):
+    """r12 §12: retrieval_metrics' SQL-parsed aggregates must match the
+    retired Column forms (rebuilt inline) bitwise — in particular the mrr
+    reciprocal must stay a DOUBLE division (1.0D), not decimal."""
+    from vectorsearch_applications_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+
+    hits = spark.createDataFrame(
+        [("kw", 0, 100, 1), ("kw", 0, 0, 3), ("kw", 1, 7, 2), ("vec", 0, 0, 1)],
+        "method string, query_id long, doc_id long, rank long",
+    )
+    golden = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "query_id long, relevant_doc_id long"
+    )
+    new = retrieval_metrics(
+        hits, golden, method_col="method", methods=["kw", "vec"]
+    ).collect()
+
+    method_df = spark.createDataFrame([("kw",), ("vec",)], "method string")
+    base = golden.select("query_id", "relevant_doc_id").crossJoin(method_df)
+    per_query = (
+        base.join(hits, ["method", "query_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("doc_id") == F.col("relevant_doc_id"), F.col("rank")
+                )
+            ).alias("hit_rank")
+        )
+    )
+    old = (
+        per_query.groupBy("method")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)
+            ).alias("raw_hits"),
+            F.round(
+                F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                2,
+            ).alias("hit_rate"),
+            F.round(
+                F.sum(F.coalesce(1.0 / F.col("hit_rank"), F.lit(0.0)))
+                / F.count("*"),
+                2,
+            ).alias("mrr"),
+            F.sum(
+                F.when(F.col("hit_rank").isNull(), 1).otherwise(0)
+            ).alias("total_misses"),
+        )
+        .collect()
+    )
+    assert sorted(map(repr, new)) == sorted(map(repr, old))
+
+
+def test_langid_ngram_sql_construction_bitwise_equal(spark):
+    """r12 §12: langid_ngram's SQL-parsed score/argmax select must match
+    the retired Column form (rebuilt inline) bitwise, including the
+    'und' zero-score docs and the alphabetical tie-break."""
+    from vectorsearch_applications_spark.operators.textstats import (
+        LANG_PROFILES,
+        langid_ngram,
+        langid_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog sing"),
+            (2, "der ich und sch ein da"),
+            (3, "zzzz 9999"),
+            (4, ""),
+            (5, " de la el que en os ar "),
+            (6, " le de et les ent ait ous "),
+        ],
+        "doc_id long, text string",
+    )
+    new = langid_ngram(df).collect()
+
+    profiles = {k: LANG_PROFILES[k] for k in sorted(LANG_PROFILES)}
+    langs = list(profiles)
+
+    def _score(t, grams):
+        total = None
+        for g, w in sorted(grams.items()):
+            hit = F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))
+            term = hit * F.lit(w)
+            total = term if total is None else total + term
+        return (total / F.lit(3)).cast("bigint")
+
+    norm = langid_normalize("text")
+
+    def _score_col(grams):
+        return F.transform(F.array(norm), lambda t: _score(t, grams))[0]
+
+    scored = df.select(
+        F.col("doc_id"),
+        *[_score_col(g).alias(f"score_{lang}") for lang, g in profiles.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    old = scored.select(
+        "doc_id",
+        *[f"score_{l}" for l in langs],
+        pred.otherwise(F.lit("und")).alias("lang_pred"),
+        best.alias("lang_score"),
+    ).collect()
+    assert sorted(map(repr, new)) == sorted(map(repr, old))

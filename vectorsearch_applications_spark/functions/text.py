@@ -34,6 +34,13 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda x: x != F.lit(""))
 
 
+def tokenize_sql(text_sql: str) -> str:
+    """SQL-fragment twin of :func:`tokenize` for the §12 construction
+    fast paths — same split/filter tree, same escape-free pattern, so
+    token arrays are bitwise identical to the Column form."""
+    return f"filter(split(lower({text_sql}), '{TOKEN_PATTERN}'), x -> x != '')"
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace/punctuation token count (reference A6 ``get_token_count``,
     ``src/llm/llm_utils.py:6-28`` — tiktoken there; the portable token model

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash64, tokenize
+from ..functions.text import tokenize_sql as _tokenize_sql
 
 
 def exact_duplicates(
@@ -57,11 +58,6 @@ def exact_duplicates(
 # bitwise identical; pinned by the *_sql_construction_bitwise_equal tests
 # and the dedup oracle rows.
 _HASH64_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
-
-
-def _tokenize_sql(text_sql: str) -> str:
-    """SQL twin of functions.text.tokenize (same escape-free pattern)."""
-    return f"filter(split(lower({text_sql}), '[^a-zA-Z0-9_]+'), x -> x != '')"
 
 
 def shingles_sql(text_sql: str, n: int = 3) -> str:

@@ -46,40 +46,44 @@ def retrieval_metrics(
         else:
             method_df = hits.select(method_col).distinct()
         base = base.crossJoin(method_df)
-    # left join so queries with zero hits still count toward n_queries
+    # left join so queries with zero hits still count toward n_queries.
+    # The aggregate expressions parse as SQL (§12 fast path, r12): same
+    # trees as the retired Column forms — note 1.0D, not 1.0, in the mrr
+    # reciprocal (a bare SQL 1.0 parses as DECIMAL and would change the
+    # division's type and rounding; the D-suffixed literal is the double
+    # the Column form built). Bitwise-identical output — pinned by
+    # test_operators.py::test_retrieval_metrics_sql_construction_bitwise_equal
+    # and the eval_* oracle rows.
     per_query = (
         base.join(hits, [*group, "query_id"], "left")
         .groupBy(*group, "query_id")
         .agg(
-            F.min(
-                F.when(
-                    F.col("doc_id") == F.col("relevant_doc_id"), F.col("rank")
-                )
-            ).alias("hit_rank")
+            F.expr(
+                "min(CASE WHEN doc_id = relevant_doc_id THEN rank END)"
+                " AS hit_rank"
+            )
         )
     )
     return (
         per_query.groupBy(*group)
         .agg(
-            F.count("*").alias("n_queries"),
-            F.sum(
-                F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)
-            ).alias("raw_hits"),
-            F.round(
-                F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
-                / F.count("*"),
-                2,
-            ).alias("hit_rate"),
-            F.round(
-                F.sum(
-                    F.coalesce(1.0 / F.col("hit_rank"), F.lit(0.0))
-                )
-                / F.count("*"),
-                2,
-            ).alias("mrr"),
-            F.sum(
-                F.when(F.col("hit_rank").isNull(), 1).otherwise(0)
-            ).alias("total_misses"),
+            F.expr("count(*) AS n_queries"),
+            F.expr(
+                "sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)"
+                " AS raw_hits"
+            ),
+            F.expr(
+                "round(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)"
+                " / count(*), 2) AS hit_rate"
+            ),
+            F.expr(
+                "round(sum(coalesce(1.0D / hit_rank, 0.0D)) / count(*), 2)"
+                " AS mrr"
+            ),
+            F.expr(
+                "sum(CASE WHEN hit_rank IS NULL THEN 1 ELSE 0 END)"
+                " AS total_misses"
+            ),
         )
     )
 

@@ -27,13 +27,25 @@ def minmax_normalize(
     df: DataFrame, value_col: str, group_cols: list[str], out_col: str = "norm"
 ) -> DataFrame:
     """(s − min)/(max − min) within group; degenerate group → 0.0 (sklearn
-    MinMaxScaler behavior on a constant column)."""
-    w = Window.partitionBy(*group_cols)
-    rng = F.max(value_col).over(w) - F.min(value_col).over(w)
+    MinMaxScaler behavior on a constant column).
+
+    Construction (§12 fast path, r12): the window expression parses
+    JVM-side as ONE SQL string — same min/max-over-partition subtrees
+    (repeated textually exactly as the Column form repeated them), same
+    default window frame, so outputs are bitwise identical (pinned by
+    test_operators.py::test_hybrid_fusion_sql_construction_bitwise_equal
+    and every hybrid oracle row)."""
+    from ..functions.vectors import sql_ident
+
+    pb = ", ".join(sql_ident(c) for c in group_cols)
+    v = sql_ident(value_col)
+    mn = f"min({v}) OVER (PARTITION BY {pb})"
+    mx = f"max({v}) OVER (PARTITION BY {pb})"
     return df.withColumn(
         out_col,
-        F.when(rng == 0, F.lit(0.0)).otherwise(
-            (F.col(value_col) - F.min(value_col).over(w)) / rng
+        F.expr(
+            f"CASE WHEN {mx} - {mn} = 0 THEN 0.0D "
+            f"ELSE ({v} - {mn}) / ({mx} - {mn}) END"
         ),
     )
 
@@ -50,37 +62,49 @@ def hybrid_search(
     vec_hits: (query_id, doc_id, distance)   — cosine distance, lower better
     Output:   (query_id, doc_id, rank, score) — fused, rank 1-based.
     """
+    # §12 fast path: weight/score/rank expressions parse as SQL — same
+    # trees as the retired Column forms (float weights embedded via repr,
+    # which round-trips any finite double), bitwise-identical output.
+    import math
+
+    if not math.isfinite(alpha):
+        raise ValueError(f"alpha must be a finite float (got {alpha})")
     kw_n = minmax_normalize(
         kw_hits.select("query_id", "doc_id", "score"),
         "score",
         ["query_id"],
-    ).select(
+    ).selectExpr(
         "query_id",
         "doc_id",
-        (F.col("norm") * F.lit(1.0 - alpha)).alias("kw_score"),
+        f"norm * {1.0 - alpha!r}D AS kw_score",
     )
     vec_n = minmax_normalize(
-        vec_hits.select(
-            "query_id", "doc_id", (F.lit(1.0) - F.col("distance")).alias("sim")
+        vec_hits.selectExpr(
+            "query_id", "doc_id", "1.0D - distance AS sim"
         ),
         "sim",
         ["query_id"],
-    ).select(
+    ).selectExpr(
         "query_id",
         "doc_id",
-        (F.col("norm") * F.lit(alpha)).alias("vec_score"),
+        f"norm * {float(alpha)!r}D AS vec_score",
     )
 
     fused = (
         kw_n.join(vec_n, ["query_id", "doc_id"], "full_outer")
         .withColumn(
             "score",
-            F.coalesce("kw_score", F.lit(0.0)) + F.coalesce("vec_score", F.lit(0.0)),
+            F.expr("coalesce(kw_score, 0.0D) + coalesce(vec_score, 0.0D)"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w))
+        fused.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER "
+                "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC)"
+            ),
+        )
         .filter(F.col("rank") <= limit)
         .select("query_id", "doc_id", "rank", "score")
     )
@@ -107,21 +131,32 @@ def rrf_fuse(
     """
     from functools import reduce
 
+    # §12 fast path: same trees as the retired Column forms (1.0D /
+    # (kD + rank) with k embedded via repr), bitwise-identical output.
+    import math
+
+    if not math.isfinite(k):
+        raise ValueError(f"k must be a finite number (got {k})")
     contribs = [
-        h.select(
+        h.selectExpr(
             "query_id",
             "doc_id",
-            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("c"),
+            f"1.0D / ({float(k)!r}D + rank) AS c",
         )
         for h in hit_lists
     ]
     allc = reduce(DataFrame.unionByName, contribs)
     fused = allc.groupBy("query_id", "doc_id").agg(
-        F.sum("c").alias("score"), F.count(F.lit(1)).alias("n_lists")
+        F.expr("sum(c) AS score"), F.expr("count(1) AS n_lists")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w))
+        fused.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER "
+                "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC)"
+            ),
+        )
         .filter(F.col("rank") <= limit)
         .select("query_id", "doc_id", "rank", "score", "n_lists")
     )

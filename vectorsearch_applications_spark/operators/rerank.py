@@ -25,10 +25,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..functions.text import tokenize
-
-
 def _jaccard(a, b):
+    """Column-form Jaccard kept for Column-input callers/tests; the hot
+    rerank path builds the same tree from SQL (§12 fast path below)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union == 0, F.lit(0.0)).otherwise(
@@ -62,13 +61,20 @@ def rerank_overlap(
     candidate subtree into a broadcast build taxed rag_pipeline_eval
     +17% — the barrier cost more than the tokenize it saved locally).
     """
+    # §12 fast path (r12): tokenize/jaccard expressions parse as SQL —
+    # same trees as the retired Column forms (the union subtree repeats
+    # in the CASE exactly as the Column form repeated it), so scores are
+    # bitwise identical (pinned by the rerank oracle rows).
+    from ..functions.text import tokenize_sql
+    from ..functions.vectors import sql_ident
+
     pairs = (
         hits.select("query_id", "doc_id")
         .join(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
-                    tokenize(query_col).alias("_qt"),
+                    F.expr(tokenize_sql(sql_ident(query_col))).alias("_qt"),
                 )
             ),
             "query_id",
@@ -77,8 +83,15 @@ def rerank_overlap(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
             "doc_id",
         )
-        .withColumn("_dt", tokenize(F.col(text_col)))
-        .withColumn("cross_score", _jaccard(F.col("_qt"), F.col("_dt")))
+        .withColumn("_dt", F.expr(tokenize_sql(sql_ident(text_col))))
+        .withColumn(
+            "cross_score",
+            F.expr(
+                "CASE WHEN size(array_union(_qt, _dt)) = 0 THEN 0.0D "
+                "ELSE CAST(size(array_intersect(_qt, _dt)) AS DOUBLE) "
+                "/ CAST(size(array_union(_qt, _dt)) AS DOUBLE) END"
+            ),
+        )
         .select("query_id", "doc_id", "cross_score")
     )
     return _rank_with_threshold(pairs, top_k, threshold)

@@ -70,39 +70,48 @@ def langid_ngram(
     profiles = {k: profiles[k] for k in sorted(profiles)}
     langs = list(profiles)
 
-    def _score(t: Column, grams: dict[str, int]) -> Column:
-        total = None
-        for g, w in sorted(grams.items()):
-            hit = F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))
-            term = hit * F.lit(w)
-            total = term if total is None else total + term
-        # each hit contributes len(gram)=3 to the raw char diff
-        return (total / F.lit(3)).cast("bigint")
+    from ..functions.vectors import sql_ident
 
-    # let-bind the normalized text once per language column (higher-order
-    # lambda binding — the regexp_replace runs once per lang, not per gram);
-    # unary-lambda factory: F.transform infers lambda arity by signature
-    norm = langid_normalize(text_col)
+    # Construction fast path (§12 recipe, r12): the per-language score
+    # columns and the argmax CASE assembled ~3,100 py4j tree nodes via
+    # the DataFrame API (every gram term is its own length/replace
+    # subtree) — the whole select now parses JVM-side as SQL. Same
+    # functions, literal types and operand order as the retired Column
+    # form (the normalized text stays let-bound per language via the
+    # 1-element transform; the CASE re-embeds the greatest() subtree per
+    # branch exactly as the when-chain did), so outputs are bitwise
+    # identical — pinned by
+    # test_operators.py::test_langid_ngram_sql_construction_bitwise_equal
+    # and the langid_ngram oracle row.
+    def _score_sql(grams: dict[str, int]) -> str:
+        terms = " + ".join(
+            "(length(t) - length(replace(t, '{g}', ''))) * {w}".format(
+                g=g.replace("'", "''"), w=w
+            )
+            for g, w in sorted(grams.items())
+        )
+        return f"CAST(({terms}) / 3 AS BIGINT)"
 
-    def _score_col(grams: dict[str, int]) -> Column:
-        return F.transform(F.array(norm), lambda t: _score(t, grams))[0]
-
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
+    norm = (
+        f"concat(' ', regexp_replace(lower({sql_ident(text_col)}), "
+        f"'[^a-z ]', ' '), ' ')"
+    )
+    scored = docs.selectExpr(
+        f"{sql_ident(id_col)} AS doc_id",
         *[
-            _score_col(grams).alias(f"score_{lang}")
+            f"transform(array({norm}), t -> {_score_sql(grams)})[0]"
+            f" AS score_{lang}"
             for lang, grams in profiles.items()
         ],
     )
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
-    pred = F.when(best <= 0, F.lit("und"))
-    for l in langs:
-        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
-    return scored.select(
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cases = " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs)
+    return scored.selectExpr(
         "doc_id",
         *[f"score_{l}" for l in langs],
-        pred.otherwise(F.lit("und")).alias("lang_pred"),
-        best.alias("lang_score"),
+        f"CASE WHEN {best} <= 0 THEN 'und' {cases} ELSE 'und' END"
+        f" AS lang_pred",
+        f"{best} AS lang_score",
     )
 
 
