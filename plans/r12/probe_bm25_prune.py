@@ -40,30 +40,34 @@ spark = get_spark(app_name="bm25_prune_r12")
 spark.sparkContext.setLogLevel("ERROR")
 
 docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
-# 8x replication with disjoint ids: token mass ~8x sf0.1 => auto bucket
-# count > 1 (ceil(mass / 8M))
-big = docs.crossJoin(F.broadcast(spark.range(8).select(F.col("id").alias("_r")))).select(
+# sf0.1 is ~271k tokens; REPL=256 gives ~69M => auto n_buckets ~9
+# (ceil(mass / 8M)) -- a real multi-directory fan-out, not a 2-way split
+REPL = int(os.environ.get("PROBE_REPL", "256"))
+big = docs.crossJoin(
+    F.broadcast(spark.range(REPL).select(F.col("id").alias("_r")))
+).select(
     (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
     "text",
 )
 
-shutil.rmtree(ROOT, ignore_errors=True)
 os.makedirs(ROOT, exist_ok=True)
-
-t0 = time.perf_counter()
-base_auto = bm25_save_index(big, ROOT, "auto")  # auto bucket count
-t1 = time.perf_counter()
-base_one = bm25_save_index(big, ROOT, "one", n_buckets=1)
-t2 = time.perf_counter()
+base_auto = os.path.join(ROOT, "auto__bm25")
+base_one = os.path.join(ROOT, "one__bm25")
+if not os.path.isdir(base_auto):
+    t0 = time.perf_counter()
+    base_auto = bm25_save_index(big, ROOT, "auto")  # auto bucket count
+    t1 = time.perf_counter()
+    base_one = bm25_save_index(big, ROOT, "one", n_buckets=1)
+    t2 = time.perf_counter()
+    print(f"builds: auto {t1 - t0:.1f}s, single-bucket {t2 - t1:.1f}s")
 
 meta_auto = spark.read.parquet(os.path.join(base_auto, "meta")).head()
-print(f"auto layout: n_buckets={meta_auto['n_buckets']} "
-      f"(build {t1 - t0:.1f}s); single-bucket build {t2 - t1:.1f}s")
+print(f"auto layout: n_buckets={meta_auto['n_buckets']}")
 assert meta_auto["n_buckets"] > 1, "corpus too small for the auto fan-out"
 
 queries = docs.filter(F.col("doc_id") < 5).select(
     F.col("doc_id").alias("query_id"),
-    F.concat_ws(" ", F.slice(F.split(F.lower("text"), "[^a-zA-Z0-9_]+"), 1, 4)).alias("query"),
+    F.concat_ws(" ", F.slice(F.split(F.lower("text"), "[^a-zA-Z0-9_]+"), 1, 2)).alias("query"),
 )
 
 # 1. plan dump: PartitionFilters on the postings scan
@@ -81,13 +85,23 @@ assert any(
     "bucket" in ln and ("IN" in ln or "in(" in ln.lower()) for ln in part_lines
 ), "no bucket PartitionFilter found in the indexed-search plan"
 
-# 2. interleaved A/B: pruned multi-bucket vs single-bucket full scan
-rows_auto = sorted(map(repr, plan_df.collect()))
-rows_one = sorted(
-    map(repr, bm25_search_indexed(spark, ROOT, "one", queries, limit=10).collect())
+# 2. interleaved A/B: pruned multi-bucket vs single-bucket full scan.
+# Ranked rows must be identical (rank orders on round(score,4) + doc_id
+# tie-break); the RAW double score legitimately differs in last-ulp
+# across layouts (different partial-sum merge order), so compare keys
+# exactly and scores to 1e-9.
+ra = sorted(
+    plan_df.collect(), key=lambda r: (r["query_id"], r["rank"])
 )
-assert rows_auto == rows_one, "bucketed and single-bucket results differ!"
-print(f"results identical ({len(rows_auto)} rows)")
+ro = sorted(
+    bm25_search_indexed(spark, ROOT, "one", queries, limit=10).collect(),
+    key=lambda r: (r["query_id"], r["rank"]),
+)
+assert [(r["query_id"], r["doc_id"], r["rank"]) for r in ra] == [
+    (r["query_id"], r["doc_id"], r["rank"]) for r in ro
+], "ranked rows differ!"
+assert all(abs(x["score"] - y["score"]) < 1e-9 for x, y in zip(ra, ro))
+print(f"ranked rows identical ({len(ra)} rows; scores equal to <1e-9)")
 
 t_auto: list[float] = []
 t_one: list[float] = []
@@ -109,4 +123,3 @@ print(
     f"auto_all={[round(x, 3) for x in t_auto]} "
     f"one_all={[round(x, 3) for x in t_one]}"
 )
-shutil.rmtree(ROOT, ignore_errors=True)
