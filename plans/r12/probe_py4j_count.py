@@ -73,7 +73,9 @@ for name in names:
     rows.append((COUNTER["n"], name))
 
 rows.sort(reverse=True)
-out = os.path.join(HERE, "plans/r12/py4j_counts.tsv")
+out = os.environ.get(
+    "COUNT_OUT", os.path.join(HERE, "plans/r12/py4j_counts.tsv")
+)
 with open(out, "w") as fh:
     fh.write("round_trips\tquery\n")
     for n, name in rows:

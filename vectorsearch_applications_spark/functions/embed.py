@@ -52,7 +52,7 @@ _HASH_EMBED_SQL = r"""element_at(
     array(
       transform(sequence(0, {dm1}), d ->
         aggregate(
-          filter(split(lower({t}), '[^a-zA-Z0-9_]+'), x -> x != ''),
+          filter(split(lower({t}), '{pat}'), x -> x != ''),
           0.0D,
           (acc, tk) -> acc +
             ((cast(conv(substr(md5(tk), d * 2 + 1, 2), 16, 10)
@@ -90,7 +90,13 @@ def hash_embed_col(text: Column | str, dim: int = 16) -> Column:
     """
     assert dim <= 16, "one md5 yields 16 byte-dims"
     if isinstance(text, str):
-        return F.expr(_HASH_EMBED_SQL.format(t=sql_ident(text), dm1=dim - 1))
+        from .text import sql_token_pattern_literal
+
+        return F.expr(
+            _HASH_EMBED_SQL.format(
+                t=sql_ident(text), dm1=dim - 1, pat=sql_token_pattern_literal()
+            )
+        )
     toks = tokenize(text)
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

