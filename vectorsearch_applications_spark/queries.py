@@ -8709,27 +8709,43 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-exact discounted revenue, and return counts — the vendor-
     management rollup.
 
-    Aggregate the FACT table first, join the dimension after: the two
-    countDistincts compile to an Expand (3× row multiplication), and
-    doing the dim join first would drag s_name through every expanded
-    row. Keyed on l_suppkey alone, the expand carries only fact columns
-    and the supplier join touches |suppliers| aggregated rows (measured
-    3.2 s → 2.1 s at sf0.1, byte-identical output — decimal revenue
-    sums are grouping-path-independent)."""
+    Aggregate the FACT table first, join the dimension after (r8:
+    measured 3.2 s → 2.1 s — the dim join touches |suppliers| aggregated
+    rows, not the fact table). r12: the two exact countDistincts no
+    longer share one aggregate — that form compiles to an Expand (3× row
+    multiplication of the FULL fact projection before its shuffle).
+    Split instead (guide §2.2 "shuffle fewer bytes"): one plain
+    aggregate for the distinct-free measures, plus one
+    distinct→count per distinct measure over a NARROW 2-column
+    projection (l_suppkey + the counted key, both ints, map-side
+    partial distinct applies), then a |suppliers|-sized 3-way join.
+    A/B (plans/r12/probe_scorecard_shapes.py, 8 interleaved sweeps):
+    Expand 2.673 s vs split 1.300 s (−51.3%), results identical —
+    decimal revenue sums are grouping-path-independent, and the
+    distinct counts are exact either way."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
-    agg = li.groupBy("l_suppkey").agg(
+    base = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
         F.sum(rev).cast("double").alias("revenue"),
         F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias(
             "n_returned"
         ),
     )
+    ords = (
+        li.select("l_suppkey", "l_orderkey").distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    parts = (
+        li.select("l_suppkey", "l_partkey").distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    agg = base.join(ords, "l_suppkey").join(parts, "l_suppkey")
     return s.join(agg, agg["l_suppkey"] == s["s_suppkey"]).select(
         "s_suppkey",
         "s_name",
