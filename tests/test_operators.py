@@ -1081,3 +1081,37 @@ def test_langid_ngram_sql_construction_bitwise_equal(spark):
         best.alias("lang_score"),
     ).collect()
     assert sorted(map(repr, new)) == sorted(map(repr, old))
+
+
+def test_isin_ints_sql_construction_bitwise_equal(spark):
+    """isin_ints' parsed `col IN (...)` fast path (one py4j round trip)
+    must select exactly the rows of Column.isin's element-by-element
+    literal list (r12: a 500-id candidate re-entry cost ~2,029 round
+    trips through Column.isin), including the empty-list and
+    non-int-fallback branches and hostile column names."""
+    from vectorsearch_applications_spark.functions.vectors import isin_ints
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(-5, 50)], "id long, s string"
+    )
+    ids = [-4, 0, 3, 7, 11, 19, 42]
+    a = df.filter(isin_ints("id", ids)).collect()
+    b = df.filter(F.col("id").isin(ids)).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b)) and len(a) == 7
+
+    # empty list short-circuits to no rows (the callers' old
+    # `if ids else F.lit(False)` contract, now inside the helper)
+    assert df.filter(isin_ints("id", [])).count() == 0
+
+    # non-int values take the Column.isin fallback, same rows
+    a = df.filter(isin_ints("s", ["s0", "s2"])).collect()
+    b = df.filter(F.col("s").isin(["s0", "s2"])).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b)) and a
+
+    # bools are NOT ints here (type() check): fallback path, same rows
+    bf = spark.createDataFrame([(True,), (False,)], "b boolean")
+    assert bf.filter(isin_ints("b", [True])).count() == 1
+
+    # hostile column name: backtick doubles, still parses
+    h = df.selectExpr("id AS `i``d`")
+    assert h.filter(isin_ints("i`d", [3, 7])).count() == 2

@@ -38,6 +38,28 @@ def sql_ident(name: str) -> str:
     return f"`{name.replace('`', '``')}`"
 
 
+def isin_ints(col_name: str, values) -> Column:
+    """``col IN (<values>)`` parsed as ONE SQL expression when every
+    value is a plain Python int (bool excluded) — ``Column.isin(list)``
+    converts the literal list element-by-element over py4j (~4 round
+    trips per value: a 500-id candidate re-entry measured 2,029 round
+    trips ≈ 0.4 s of pure construction chatter on this host), while the
+    parsed form is one round trip (guide §7.3 planning cost). Catalyst
+    builds the same In(col, literals) predicate either way (integer
+    literals coerce to the column's integral type in both paths), so
+    results are bitwise identical — pinned by the oracle preflight on
+    every consumer. Empty values short-circuit to lit(False); any
+    non-int value falls back to Column.isin (strings would need
+    escaping, float repr can drift)."""
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    if all(type(v) is int for v in vals):
+        ident = f"`{col_name.replace('`', '``')}`"
+        return F.expr(f"{ident} IN ({','.join(map(str, vals))})")
+    return F.col(col_name).isin(vals)
+
+
 def dot_double_sql(a: str, b: str) -> str:
     """SQL-fragment twin of :func:`dot_double` for hot construction
     paths: callers embed it in ONE ``F.expr``/``selectExpr`` string so

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..functions.vectors import isin_ints
 
 
 # Session-scoped index cache: (session id, corpus key) → built stats.
@@ -951,7 +952,7 @@ def bm25_search_indexed(
             r["bucket"]
             for r in q_terms.select("bucket").distinct().collect()
         ]
-        postings = postings.filter(F.col("bucket").isin(touched))
+        postings = postings.filter(isin_ints("bucket", touched))
     scores = bm25_scores_from_terms(
         postings, term_stats, corpus_stats, q_terms, k1=k1, b=b
     )

