@@ -17,8 +17,21 @@ import sys
 
 def normalize(text: str) -> str:
     text = re.sub(r"#\d+L?", "#N", text)
-    text = re.sub(r"\blambda x_\d+\b", "lambda x_K", text)
+    # Lambda variable NAMES are spelling, not structure: the SQL parser
+    # keeps source names (x, acc, t, m — and the SAME name may rebind in
+    # nested scopes) while the Column API mints fresh numbered names
+    # (x_45). Scope-aware positional renaming would need a real parser,
+    # so collapse every lambda-bound name to one token. CAVEAT: this
+    # also erases which bound variable an occurrence refers to, so a
+    # tree that swapped two bound variables inside one lambda body would
+    # falsely compare identical — acceptable for this evidence tool
+    # because every conversion is ALSO gated by bitwise result pins and
+    # the 239/239 oracle preflight; the committed dumps keep the raw
+    # names for manual review.
+    text = re.sub(r"\blambda \w+#", "lambda v#", text)
     text = re.sub(r"\bx_\d+\b", "x_K", text)
+    # per-process RDD lineage ids in ExistingRDD arguments
+    text = re.sub(r"RDD\[\d+\]", "RDD[N]", text)
     text = re.sub(r"plan_id=\d+", "plan_id=N", text)
     text = re.sub(r"\[codegen id : \d+\]", "[codegen id : N]", text)
     text = re.sub(r"\(\d+\)", "(N)", text)  # operator ordinals
