@@ -1115,3 +1115,40 @@ def test_isin_ints_sql_construction_bitwise_equal(spark):
     # hostile column name: backtick doubles, still parses
     h = df.selectExpr("id AS `i``d`")
     assert h.filter(isin_ints("i`d", [3, 7])).count() == 2
+
+
+def test_tokenize_sql_matches_column_path_under_both_parser_confs(spark):
+    """The SQL-fragment tokenizer must produce bitwise-identical token
+    arrays to the Column path under BOTH settings of
+    spark.sql.parser.escapedStringLiterals (r12 §5: the escape-free
+    character class was reverted for its 3-5x split cost, so the \\W+
+    literal must be escaped per the ACTIVE session's parser conf)."""
+    from vectorsearch_applications_spark.functions.text import (
+        sql_token_pattern_literal,
+        tokenize,
+        tokenize_sql,
+    )
+    from vectorsearch_applications_spark.functions.vectors import sql_ident
+
+    df = spark.createDataFrame(
+        [("Hello, wörld! a_b--c 42",), ("",), ("...",), ("ONE two\tthree",)],
+        "t string",
+    )
+    conf_key = "spark.sql.parser.escapedStringLiterals"
+    saved = spark.conf.get(conf_key, "false")
+    try:
+        for esc in ("false", "true"):
+            spark.conf.set(conf_key, esc)
+            lit = sql_token_pattern_literal()
+            assert lit == (r"\W+" if esc == "true" else "\\\\W+")
+            a = df.select(F.expr(tokenize_sql("t")).alias("x")).collect()
+            b = df.select(tokenize("t").alias("x")).collect()
+            assert list(map(repr, a)) == list(map(repr, b))
+            assert a[0].x == ["hello", "w", "rld", "a_b", "c", "42"]
+    finally:
+        spark.conf.set(conf_key, saved)
+
+    # sql_ident: hostile backticked name round-trips through a parse
+    h = df.selectExpr("t AS `t``x`")
+    got = h.select(F.expr(f"length({sql_ident('t`x')})").alias("n")).count()
+    assert got == 4
