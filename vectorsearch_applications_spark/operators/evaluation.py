@@ -154,23 +154,37 @@ def confusion_ladder(
 
     Output: (threshold_e6, tp, fp, fn, tn) — all BIGINT.
     """
+    import math
+
+    from ..functions.vectors import sql_ident
+
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    s, y = F.col(score_col), F.col(label_col).cast("bigint")
-
-    def _c(col, name):  # zero-fill so an empty corpus yields 0-rows, not nulls
-        return F.coalesce(F.sum(col), F.lit(0)).cast("bigint").alias(name)
-
-    aggs = []
+    if not all(math.isfinite(t) for t in thresholds):
+        # repr(inf/nan) is not a parseable SQL double literal
+        raise ValueError("thresholds must be finite")
+    # the 4·|ladder| conditional sums parse as ONE SQL projection (§12
+    # fast path, r12): same trees as the retired Column forms — the
+    # D-suffixed threshold literal is the double F.lit(float(t)) built
+    # (repr round-trips any finite float exactly, and the parser's
+    # Double.parseDouble is correctly rounded), the bare 1/0 literals
+    # are the ints the Column arithmetic used. coalesce zero-fills so an
+    # empty corpus yields 0-rows, not nulls.
+    s = sql_ident(score_col)
+    y = f"CAST({sql_ident(label_col)} AS BIGINT)"
+    exprs = []
     for i, t in enumerate(thresholds):
-        pred = (s > F.lit(float(t))).cast("bigint")
-        aggs += [
-            _c(pred * y, f"tp_{i}"),
-            _c(pred * (1 - y), f"fp_{i}"),
-            _c((1 - pred) * y, f"fn_{i}"),
-            _c((1 - pred) * (1 - y), f"tn_{i}"),
-        ]
-    one = scored.agg(*aggs)
+        pred = f"CAST(({s} > {float(t)!r}D) AS BIGINT)"
+        for body, name in (
+            (f"{pred} * {y}", f"tp_{i}"),
+            (f"{pred} * (1 - {y})", f"fp_{i}"),
+            (f"(1 - {pred}) * {y}", f"fn_{i}"),
+            (f"(1 - {pred}) * (1 - {y})", f"tn_{i}"),
+        ):
+            exprs.append(
+                f"CAST(coalesce(sum({body}), 0) AS BIGINT) AS {name}"
+            )
+    one = scored.selectExpr(*exprs)
     stack = ", ".join(
         f"bigint({round(t * 1_000_000)}), tp_{i}, fp_{i}, fn_{i}, tn_{i}"
         for i, t in enumerate(thresholds)

@@ -6923,11 +6923,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # integer node ids through the iterative core (guide §2.3 narrower
+    # types): suppliers on even longs, customers on odd — the same
+    # disjoint namespaces as the 's…'/'c…' strings, bijectively, so the
+    # distinct edge set, out-degrees, join matches and integer ranks are
+    # all identical; every shuffle (edge distinct, degree agg, 3×
+    # contrib re-aggregation) then hashes/compares/moves 8-byte longs
+    # instead of UTF8 strings, and the strings are re-derived in ONE
+    # final |V|-row projection (CAST(BIGINT AS STRING) prints the same
+    # digits the original concat(int) cast did).
     edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+        (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return pagerank_int(edges, iterations=3)
+    return pagerank_int(edges, iterations=3).selectExpr(
+        "CASE WHEN node % 2 = 0 THEN concat('s', CAST(node DIV 2 AS STRING)) "
+        "ELSE concat('c', CAST(node DIV 2 AS STRING)) END AS node",
+        "rank",
+    )
 
 
 _HTML_RAW_SQL = (
