@@ -316,6 +316,24 @@ def test_zorder_value_interleaves_bits(spark):
     assert row["z"] == 0b011011
 
 
+def test_zorder_value_sql_construction_bitwise_equal(spark):
+    """The str fast path (one parsed SQL chain) must build the same
+    BIGINT as the Column loop for every input — r12 §12 conversion pin."""
+    from vectorsearch_applications_spark.sources.collections import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (65535, 65535), (12345, 54321)], "x long, y long"
+    )
+    rows = df.select(
+        zorder_value("x", "y", bits=16).alias("z_sql"),
+        zorder_value(F.col("x"), F.col("y"), bits=16).alias("z_col"),
+    ).collect()
+    for r in rows:
+        assert r["z_sql"] == r["z_col"]
+
+
 def test_create_collection_writes_bloom_filters(spark, tmp_path):
     """bloom_cols must actually land in the files: a bloom filter for a
     high-cardinality id adds its bitset bytes to every file (pyarrow 16

@@ -297,40 +297,32 @@ def ivf_search(
     must not be scored as vectors."""
     from pyspark.sql.types import ArrayType, DoubleType
 
-    from ..functions.vectors import dot_double
+    from ..functions.vectors import (
+        cast_double_sql,
+        dot_double_sql,
+        sql_ident,
+    )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
-            "qv"
-        ),
+        F.expr(cast_double_sql(sql_ident(query_vec_col))).alias("qv"),
     )
     # Probe selection is the same map-side argmin trick as ivf_build's
     # assignment, generalized to top-nprobe: sort the per-row
     # (distance, centroid_id) struct array and slice — no window, so a
-    # billion-query batch never shuffles just to pick its buckets.
+    # billion-query batch never shuffles just to pick its buckets. The
+    # whole expression parses from ONE SQL string (§12 fast path, r12):
+    # same array_sort/slice/explode tree over the same scored structs as
+    # the retired Column form, bitwise-identical results.
     probes = (
         q.crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(
             "query_id",
             "qv",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "_cents",
-                            lambda c: F.struct(
-                                (
-                                    F.lit(1.0)
-                                    - dot_double(F.col("qv"), c["centroid"])
-                                ).alias("d"),
-                                c["centroid_id"].alias("centroid_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
+            F.expr(
+                "explode(slice(array_sort(transform(_cents, c -> struct("
+                f"1.0D - {dot_double_sql('qv', 'c.centroid')} AS d, "
+                f"c.centroid_id AS centroid_id))), 1, {int(nprobe)}))"
             ).alias("_p"),
         )
         .select("query_id", F.col("_p.centroid_id").alias("centroid_id"), "qv")
@@ -361,12 +353,10 @@ def ivf_search(
     else:
         bucketed = corpus.select(
             F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "_v"
-            ),
+            F.expr(cast_double_sql(sql_ident(vec_col))).alias("_v"),
         ).join(assignments.drop("_v"), "vec_id")
     cand = bucketed.join(F.broadcast(probes), "centroid_id").withColumn(
-        "distance", F.lit(1.0) - dot_double(F.col("_v"), F.col("qv"))
+        "distance", F.expr(f"1.0D - {dot_double_sql('_v', 'qv')}")
     )
     ww = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
     return (

@@ -42,14 +42,22 @@ from pyspark.sql import functions as F
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column_name, n_null, n_distinct, min_s, max_s) per requested
     column — one stats scan + one NDV scan, both Expand-free."""
-    aggs = []
+    from ..functions.vectors import sql_ident
+
+    # the per-column stat aggregates and NDV branches parse as SQL (§12
+    # fast path, r12): same trees as the retired Column forms — sum over
+    # CAST(IS NULL AS BIGINT), CAST(min/max AS STRING), count(1) over
+    # the distinct'd single-column projection. Bitwise-identical output.
+    exprs = []
     for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        q = sql_ident(c)
+        a = c.replace("`", "``")
+        exprs += [
+            f"sum(CAST(({q} IS NULL) AS BIGINT)) AS `_nn_{a}`",
+            f"CAST(min({q}) AS STRING) AS `_mn_{a}`",
+            f"CAST(max({q}) AS STRING) AS `_mx_{a}`",
         ]
-    row = df.agg(*aggs)
+    row = df.selectExpr(*exprs)
     stack_args = ", ".join(
         f"'{c}', _nn_{c}, _mn_{c}, _mx_{c}" for c in cols
     )
@@ -60,12 +68,12 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     import functools
 
     branches = [
-        df.select(F.col(c).alias("v"))
-        .filter(F.col("v").isNotNull())  # countDistinct ignores nulls
+        df.selectExpr(f"{sql_ident(c)} AS v")
+        .filter("v IS NOT NULL")  # countDistinct ignores nulls
         .distinct()
-        .agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        .selectExpr(
+            "'{}' AS column_name".format(c.replace("'", "''")),
+            "CAST(count(1) AS BIGINT) AS n_distinct",
         )
         for c in cols
     ]

@@ -10445,7 +10445,7 @@ def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         (F.col("o_custkey") % 65536).alias("y"),
     )
-    m = zorder_value(F.col("x"), F.col("y"), bits=16).cast("bigint")
+    m = zorder_value("x", "y", bits=16).cast("bigint")
     return src.select(
         "o_orderkey",
         m.alias("morton"),
