@@ -83,7 +83,15 @@ def connected_components(
     rounds = fixed_rounds if fixed_rounds is not None else max_iterations
     for _ in range(rounds):
         # One round of hash-min: each endpoint offers its label to the
-        # other; a vertex keeps the min of its own and all offers.
+        # other; a vertex keeps the min of its own and all offers. The
+        # labels branch of the union is tagged so the round's OLD label
+        # rides the same aggregation (labels has exactly one row per id,
+        # and every id in offers appears in labels, so min-over-one-value
+        # reproduces it exactly) — the convergence check then becomes a
+        # filter+count over the just-checkpointed frame instead of a
+        # join of two checkpointed frames (one fewer join + exchange on
+        # the serialized per-round driver timeline; labels themselves
+        # are byte-identical, the old column is control flow only).
         offers = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), "component")
@@ -92,22 +100,35 @@ def connected_components(
                     F.col("src").alias("id"), "component"
                 )
             )
-            .union(labels)
         )
-        new_labels = offers.groupBy("id").agg(
-            F.min("component").alias("component")
-        ).localCheckpoint(eager=True)
-
         if fixed_rounds is not None:
-            labels = new_labels
+            new_all = (
+                offers.union(labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            labels = new_all
             continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        ctype = labels.schema["component"].dataType.simpleString()
+        new_all = (
+            offers.select(
+                "id", "component", F.lit(None).cast(ctype).alias("_old")
+            )
+            .union(
+                labels.select("id", "component", F.col("component").alias("_old"))
+            )
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        changed = new_all.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_all.select("id", "component")
         if changed == 0:
             break
     return labels
