@@ -261,45 +261,41 @@ def knn_prf_search(
         query_vec_col=query_vec_col,
         k=fb_k,
     )
+    from ..functions.vectors import cast_double_sql, dot_double_sql, sql_ident
+
     corp = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.expr(cast_double_sql(sql_ident(vec_col))).alias("_v"),
     )
     fb = r1.join(corp, "vec_id").select("query_id", "rank", "_v")
 
-    def _rank_ordered(col):
-        return F.transform(
-            F.array_sort(F.collect_list(F.struct("rank", col))),
-            lambda s: s[col],
-        )
-
+    # the rank-ordered Rocchio fold parses from ONE SQL string (§12 fast
+    # path, r12): same collect_list/array_sort/zip_with fold — the
+    # explicit 0.0D init keeps the oracle's '0.0 + v1 + …' chain (and
+    # never starts at -0.0) — so q' is bitwise-identical to the retired
+    # Column form
+    _ranked = "transform(array_sort(collect_list(struct(rank, _v))), s -> s._v)"
     cent = fb.groupBy("query_id").agg(
-        F.aggregate(
-            _rank_ordered("_v"),
-            # explicit 0.0 init so the fold is the oracle's
-            # '0.0 + v1 + …' chain (and never starts at -0.0)
-            F.transform(
-                F.element_at(_rank_ordered("_v"), 1), lambda _: F.lit(0.0)
-            ),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("_s"),
+        F.expr(
+            f"aggregate({_ranked}, "
+            f"transform(element_at({_ranked}, 1), x -> 0.0D), "
+            "(acc, v) -> zip_with(acc, v, (a, b) -> a + b)) AS _s"
+        ),
         # divide by the ACTUAL feedback count, not fb_k — a corpus
         # smaller than fb_k must still yield a true mean (and the oracle
         # coalesces missing pivot slots to 0.0 + divides by this count)
-        F.count(F.lit(1)).cast("double").alias("_nfb"),
+        F.expr("CAST(count(1) AS DOUBLE) AS _nfb"),
     )
     q2 = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.transform(
-                F.col(query_vec_col), lambda x: x.cast("double")
-            ).alias("_q"),
+            F.expr(cast_double_sql(sql_ident(query_vec_col))).alias("_q"),
         )
         .join(cent, "query_id")
         .select(
             "query_id",
-            F.zip_with(
-                "_q", "_s", lambda a, b: a + b / F.col("_nfb")
+            F.expr(
+                "zip_with(_q, _s, (a, b) -> a + (b / _nfb))"
             ).alias("_q2"),
         )
     )
@@ -310,15 +306,13 @@ def knn_prf_search(
     scored = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "_v"
-            ),
+            F.expr(cast_double_sql(sql_ident(vec_col))).alias("_v"),
         )
         .crossJoin(F.broadcast(q2))
         .select(
             "query_id",
             "vec_id",
-            (F.lit(1.0) - dot_double(F.col("_v"), F.col("_q2"))).alias(
+            F.expr(f"1.0D - {dot_double_sql('_v', '_q2')}").alias(
                 "distance"
             ),
         )

@@ -659,9 +659,7 @@ def q_ann_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qz.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "vec_id",
-        quantized_dot(
-            F.col("codes"), F.col("qcodes"), F.col("scale"), F.col("qscale")
-        ).alias("score"),
+        quantized_dot("codes", "qcodes", "scale", "qscale").alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
@@ -12123,9 +12121,7 @@ def q_eval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qz.crossJoin(F.broadcast(qqueries)).select(
         "query_id",
         "vec_id",
-        quantized_dot(
-            F.col("codes"), F.col("qcodes"), F.col("scale"), F.col("qscale")
-        ).alias("score"),
+        quantized_dot("codes", "qcodes", "scale", "qscale").alias("score"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     quant = (
