@@ -1671,8 +1671,14 @@ class SparkSearchClient:
         return docs.filter(filters) if filters is not None else docs
 
     def _query_df(self, query: str) -> DataFrame:
+        # ONE partition on purpose: createDataFrame(<list>) parallelizes
+        # a 1-row frame over |cores| partitions, so each query-side
+        # collect runs a |cores|-task mostly-empty job of pure scheduler
+        # latency (~0.8 s at local[32] vs ~0.2 s for the 1-slice form,
+        # bitwise-equal — see queries._search_queries_df).
+        rdd = self.spark.sparkContext.parallelize([(0, query)], 1)
         return self.spark.createDataFrame(
-            [(0, query)], "query_id long, query string"
+            rdd, "query_id long, query string"
         )
 
     def _format(

@@ -73,7 +73,18 @@ SEARCH_QUERIES: list[tuple[int, str]] = [
 
 
 def _search_queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(SEARCH_QUERIES, "query_id long, query string")
+    # ONE partition on purpose: createDataFrame(<python list>) backs the
+    # frame with parallelize(data) at DEFAULT parallelism — 3 rows
+    # spread over |cores| partitions, so every query-side action (the
+    # take in knn_search, the routed dispatch collect, broadcast builds)
+    # runs a |cores|-task job of almost entirely EMPTY tasks: pure
+    # scheduler latency, measured 0.77–0.94 s per collect at local[32]
+    # vs 0.21 s from this 1-slice form (bitwise-equal rows; r12 §16).
+    # Worse at scale, not better: on a 10k-core cluster the same literal
+    # frame becomes 10k empty tasks per dispatch — and it is why these
+    # rows previously ran FASTER at 8 cores than 32 (r11 scaling block).
+    rdd = spark.sparkContext.parallelize(SEARCH_QUERIES, 1)
+    return spark.createDataFrame(rdd, "query_id long, query string")
 
 
 _SQ_VALUES = ", ".join(f"({i}::BIGINT, '{t}')" for i, t in SEARCH_QUERIES)
@@ -1840,6 +1851,22 @@ _RU_VALUES = ", ".join(
 _RQ_VALUES = ", ".join(f"({i}::BIGINT, '{q}')" for i, q in _ROUTE_QUERIES)
 
 
+def _routes_df(spark: SparkSession) -> DataFrame:
+    # ONE partition for the same reason as _search_queries_df: the
+    # routed dispatch COLLECTS the embed/argmax over these literal rows
+    # per call, and the default createDataFrame(<list>) form spreads
+    # them over |cores| near-empty tasks of pure scheduler latency.
+    rdd = spark.sparkContext.parallelize(
+        [(r, u) for r, _, u in _ROUTE_UTTERANCES], 1
+    )
+    return spark.createDataFrame(rdd, "route string, utterance string")
+
+
+def _route_queries_df(spark: SparkSession) -> DataFrame:
+    rdd = spark.sparkContext.parallelize(_ROUTE_QUERIES, 1)
+    return spark.createDataFrame(rdd, "query_id long, query string")
+
+
 @register(
     "route_classify",
     f"""
@@ -1875,12 +1902,8 @@ FROM ranked WHERE rn = 1
 """,
 )
 def q_route_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    routes = spark.createDataFrame(
-        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
-    )
-    queries = spark.createDataFrame(
-        _ROUTE_QUERIES, "query_id long, query string"
-    )
+    routes = _routes_df(spark)
+    queries = _route_queries_df(spark)
     return route_queries(queries, routes, dim=_EMBED_DIM)
 
 
@@ -1958,11 +1981,10 @@ def q_router_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans/router.py:fit_route_thresholds."""
     from .plans.router import fit_route_thresholds
 
-    routes = spark.createDataFrame(
-        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
-    )
+    routes = _routes_df(spark)
     train = spark.createDataFrame(
-        _ROUTE_TRAIN, "query_id long, query string, label string"
+        spark.sparkContext.parallelize(_ROUTE_TRAIN, 1),
+        "query_id long, query string, label string",
     )
     return fit_route_thresholds(
         train, routes, default_route="search", dim=_EMBED_DIM
@@ -2140,12 +2162,8 @@ def q_routed_query_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("documents")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    routes = spark.createDataFrame(
-        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
-    )
-    queries = spark.createDataFrame(
-        _ROUTE_QUERIES, "query_id long, query string"
-    )
+    routes = _routes_df(spark)
+    queries = _route_queries_df(spark)
     return routed_query_pipeline(
         spark,
         queries,
@@ -2175,12 +2193,8 @@ def q_client_routed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection-keyed BM25 stats cache — must not change a single value
     of the module entry's answer."""
     client = _client_for(spark, sf_dir)
-    routes = spark.createDataFrame(
-        [(r, u) for r, _, u in _ROUTE_UTTERANCES], "route string, utterance string"
-    )
-    queries = spark.createDataFrame(
-        _ROUTE_QUERIES, "query_id long, query string"
-    )
+    routes = _routes_df(spark)
+    queries = _route_queries_df(spark)
     return client.routed_query(
         "documents.parquet",
         queries,
