@@ -658,7 +658,9 @@ def bm25_save_index(
     corpus_stats.write.mode("overwrite").parquet(
         os.path.join(base, "corpus_stats")
     )
-    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+    from ..sources.io import one_slice_df
+
+    one_slice_df(spark, [(n_buckets,)], "n_buckets int").write.mode(
         "overwrite"
     ).parquet(os.path.join(base, "meta"))
     return base

@@ -315,7 +315,10 @@ def learn_bpe_merges_with_vocab(
         l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merges.append((i + 1, l, r, c))
         words = apply_merge(words, l, r).localCheckpoint(eager=False)
-    merges_df = spark.createDataFrame(
+    from ..sources.io import one_slice_df
+
+    merges_df = one_slice_df(
+        spark,
         merges,
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )

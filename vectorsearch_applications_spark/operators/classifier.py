@@ -114,6 +114,8 @@ def fit_summary(
         (name, float(w), float(acc))
         for name, w in zip([*feature_cols, "_bias"], weights)
     ]
-    return spark.createDataFrame(
-        rows, "feature string, weight double, train_accuracy double"
+    from ..sources.io import one_slice_df
+
+    return one_slice_df(
+        spark, rows, "feature string, weight double, train_accuracy double"
     )

@@ -410,8 +410,10 @@ def _resolve_index_meta(
 def _write_index_meta(spark, base: str, params: dict) -> None:
     import os
 
-    spark.createDataFrame(
-        [tuple(params.values())], list(params.keys())
+    from ..sources.io import one_slice_df
+
+    one_slice_df(
+        spark, [tuple(params.values())], list(params.keys())
     ).write.mode("overwrite").parquet(os.path.join(base, "meta"))
 
 

@@ -40,8 +40,10 @@ def retrieval_metrics(
         # every golden query is evaluated under every method
         if methods is not None:
             spark = hits.sparkSession
-            method_df = spark.createDataFrame(
-                [(m,) for m in methods], f"{method_col} string"
+            from ..sources.io import one_slice_df
+
+            method_df = one_slice_df(
+                spark, [(m,) for m in methods], f"{method_col} string"
             )
         else:
             method_df = hits.select(method_col).distinct()

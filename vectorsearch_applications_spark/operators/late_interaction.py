@@ -161,8 +161,12 @@ def late_interaction_rerank(
                 cand.schema["doc_id"],
             ]
         )
-        cand = docs.sparkSession.createDataFrame(
-            [(r["query_id"], r["doc_id"]) for r in rows], schema
+        from ..sources.io import one_slice_df
+
+        cand = one_slice_df(
+            docs.sparkSession,
+            [(r["query_id"], r["doc_id"]) for r in rows],
+            schema,
         )
         doc_ids = sorted({r["doc_id"] for r in rows})
         # isin_ints, not Column.isin: the candidate id list is the

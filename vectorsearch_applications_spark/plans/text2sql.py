@@ -95,7 +95,9 @@ def text2sql_pipeline(
     """End-to-end Q6: generate → guard → execute. One statement per call
     (the reference's interactive shape); the generated string is untrusted
     input and always passes through :func:`validate_select_only`."""
-    q = spark.createDataFrame([(question,)], "question string")
+    from ..sources.io import one_slice_df
+
+    q = one_slice_df(spark, [(question,)], "question string")
     generated = text2sql_generate(q, acomplete_fn=acomplete_fn)
     sql = generated.select("generated_sql").head()["generated_sql"]
     return run_guarded_sql(spark, sql)

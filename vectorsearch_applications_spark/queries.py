@@ -21,7 +21,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .sources.io import load_table
+from .sources.io import load_table, one_slice_df
 from .functions.text import BPE_PATTERN, bpe_token_count, token_count, tokenize
 from .operators.bm25 import bm25_search
 from .operators.knn import knn_search
@@ -4056,7 +4056,7 @@ def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bm25 import bm25_search_multifield
 
     part = load_table(spark, sf_dir, "part")
-    qdf = spark.createDataFrame(_MF_QUERIES, "query_id long, query string")
+    qdf = one_slice_df(spark, _MF_QUERIES, "query_id long, query string")
     hits = bm25_search_multifield(
         part, qdf, id_col="p_partkey", text_cols=["p_name", "p_type"], limit=10
     )
@@ -4381,8 +4381,8 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = ev.select(
         "event_type", "value", epoch_seconds(ev, "ts").alias("es")
     )
-    windows = spark.createDataFrame(
-        RANGE_WINDOWS, "window_id long, w_start long, w_end long"
+    windows = one_slice_df(
+        spark, RANGE_WINDOWS, "window_id long, w_start long, w_end long"
     )
     joined = interval_join(
         facts, windows, "es", "w_start", "w_end", bucket_width=86400
@@ -4440,8 +4440,8 @@ def q_events_session_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataF
     iv = s.groupBy("user_id", "session_id").agg(
         F.min("es").alias("s_start"), (F.max("es") + 1).alias("s_end")
     )
-    w = spark.createDataFrame(
-        RANGE_WINDOWS, "window_id long, w_start long, w_end long"
+    w = one_slice_df(
+        spark, RANGE_WINDOWS, "window_id long, w_start long, w_end long"
     )
     joined = interval_overlap_join(
         iv, w, "s_start", "s_end", "w_start", "w_end", bucket_width=86400
@@ -7836,8 +7836,8 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.min("doc_id").alias("first_doc"))
     )
-    thresholds = spark.createDataFrame(
-        [(n,) for n in (50, 100, 200, 300, 400, 500)], "n_docs long"
+    thresholds = one_slice_df(
+        spark, [(n,) for n in (50, 100, 200, 300, 400, 500)], "n_docs long"
     )
     return (
         firsts.crossJoin(F.broadcast(thresholds))
@@ -9697,7 +9697,7 @@ def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     own trigrams' postings; classic edit-distance semantics are integer
     and identical across engines."""
     part = load_table(spark, sf_dir, "part")
-    q = spark.createDataFrame(_FUZZY_QUERIES, "query_id long, qname string")
+    q = one_slice_df(spark, _FUZZY_QUERIES, "query_id long, qname string")
     # trigram sets via explode of index sequence (substr is 1-based)
     qtri = (
         q.select(
@@ -12145,7 +12145,7 @@ def q_eval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     j = exact.join(quant, ["query_id", "vec_id"])
-    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    ks = one_slice_df(spark, [(1,), (5,), (10,)], "k int")
     cnt = (
         j.crossJoin(F.broadcast(ks))
         .filter((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")))

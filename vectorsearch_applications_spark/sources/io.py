@@ -46,6 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def one_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A literal-rows DataFrame on ONE partition.
+
+    ``createDataFrame(<python list>)`` backs the frame with
+    ``parallelize(data)`` at DEFAULT parallelism, so a handful of literal
+    rows span |cores| partitions and every action over the frame — a
+    take/collect, a broadcast build, a 1-row meta write — runs a
+    |cores|-task job of almost entirely EMPTY tasks (pure scheduler
+    latency locally; one empty task per core fleet-wide on a cluster,
+    and 1-row meta tables written as |cores| parquet files). Literal
+    frames are bounded by construction, so one partition is always
+    right. Rows are bitwise-identical either way (r12 §16)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
